@@ -1,0 +1,350 @@
+"""Typed configuration tree for the engine.
+
+Counterpart of the reference's Lua config system
+(`cartographer/common/lua_parameter_dictionary.{h,cc}` + the option structs
+produced by each module's `Create*Options`): a tree of frozen dataclasses with
+
+  * defaults equal to the reference's shipped configuration
+    (`configuration_files/trajectory_builder_3d.lua`, `pose_graph.lua`,
+    `map_builder.lua`) overlaid with D-LIOM's `basic_config_3d.lua`,
+  * dict-based overrides with *strict unknown-key detection* (the parity
+    feature of LuaParameterDictionary's reference counting),
+  * named presets mirroring `src/dlio/config/*.lua` (viral, kaist, kitti, ...)
+    implemented as override dicts with an include chain.
+
+Capacity fields (`max_*`) have no reference analog: they pin the static shapes
+every XLA computation is compiled with.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Tuple
+
+
+def _replace_strict(obj, overrides: Mapping[str, Any], path: str = ""):
+    """Apply nested dict overrides to a dataclass tree; raise on unknown keys."""
+    if not dataclasses.is_dataclass(obj):
+        raise TypeError(f"{path or '<root>'} is not a config node")
+    names = {f.name for f in dataclasses.fields(obj)}
+    updates = {}
+    for key, value in overrides.items():
+        if key not in names:
+            raise KeyError(f"unknown config key '{path}{key}'")
+        current = getattr(obj, key)
+        if isinstance(value, Mapping) and dataclasses.is_dataclass(current):
+            updates[key] = _replace_strict(current, value, f"{path}{key}.")
+        else:
+            updates[key] = value
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class AdaptiveVoxelFilterConfig:
+    # trajectory_builder_3d.lua high/low_resolution_adaptive_voxel_filter
+    max_length: float = 2.0
+    min_num_points: int = 150
+    max_range: float = 15.0
+
+
+@dataclass(frozen=True)
+class RangeDataInserterConfig:
+    # trajectory_builder_3d.lua submaps.range_data_inserter
+    hit_probability: float = 0.55
+    miss_probability: float = 0.49
+    num_free_space_voxels: int = 2
+
+
+@dataclass(frozen=True)
+class SubmapsConfig:
+    # trajectory_builder_3d.lua submaps, overlaid with basic_config_3d.lua
+    high_resolution: float = 0.2
+    high_resolution_max_range: float = 60.0
+    low_resolution: float = 0.45
+    num_range_data: int = 100
+    range_data_inserter: RangeDataInserterConfig = field(
+        default_factory=RangeDataInserterConfig
+    )
+    # --- TPU capacity knobs (no reference analog) ---
+    # Grid extent in cells per axis (must be even); the grid spans
+    # [-extent/2, extent/2) * resolution around the submap origin.
+    high_resolution_extent: int = 512
+    low_resolution_extent: int = 256
+
+
+@dataclass(frozen=True)
+class CeresScanMatcherConfig:
+    # trajectory_builder_3d.lua ceres_scan_matcher + basic_config_3d.lua
+    occupied_space_weight_0: float = 1.0
+    occupied_space_weight_1: float = 6.0
+    translation_weight: float = 6.0
+    rotation_weight: float = 45.0
+    only_optimize_yaw: bool = False
+    max_num_iterations: int = 12
+
+
+@dataclass(frozen=True)
+class MotionFilterConfig:
+    # basic_config_3d.lua motion_filter
+    max_time_seconds: float = 0.5
+    max_distance_meters: float = 0.2
+    max_angle_radians: float = math.radians(5.0)
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    # trajectory_builder_3d.lua imu (D-LIOM addition, proto/imu_options.proto)
+    acc_noise: float = 3.9939570888238808e-01
+    gyr_noise: float = 1.5636343949698187e-03
+    acc_bias_noise: float = 6.4356659353532566e-05
+    gyr_bias_noise: float = 3.5640318696367613e-05
+    gravity: float = 9.80511
+    prior_pose_noise: float = 1e-2
+    prior_vel_noise: float = 1e4
+    prior_bias_noise: float = 1e-2
+    ceres_pose_noise_t: float = 5e-2
+    ceres_pose_noise_r: float = 5e-2
+    ceres_pose_noise_t_drift: float = 3e-1
+    ceres_pose_noise_r_drift: float = 1e-1
+    prior_gravity_noise: float = 1e-2
+
+
+@dataclass(frozen=True)
+class TrajectoryBuilderConfig:
+    """Local SLAM (frontend) options — TRAJECTORY_BUILDER_3D overlaid with
+    basic_config_3d.lua."""
+
+    min_range: float = 0.5
+    max_range: float = 100.0
+    num_accumulated_range_data: int = 1
+    voxel_filter_size: float = 0.3
+    scan_period: float = 0.1
+    manual_deskew_stamps: bool = False  # eable_mannually_discrew
+    enable_ndt_initialization: bool = False
+    frames_for_static_initialization: int = 7
+    frames_for_dynamic_initialization: int = 7
+    frames_for_online_gravity_estimate: int = 7
+    enable_gravity_factor: bool = True
+    high_resolution_adaptive_voxel_filter: AdaptiveVoxelFilterConfig = field(
+        default_factory=lambda: AdaptiveVoxelFilterConfig(2.0, 150, 15.0)
+    )
+    low_resolution_adaptive_voxel_filter: AdaptiveVoxelFilterConfig = field(
+        default_factory=lambda: AdaptiveVoxelFilterConfig(4.0, 200, 60.0)
+    )
+    ceres_scan_matcher: CeresScanMatcherConfig = field(
+        default_factory=CeresScanMatcherConfig
+    )
+    motion_filter: MotionFilterConfig = field(default_factory=MotionFilterConfig)
+    imu_gravity_time_constant: float = 0.1
+    rotational_histogram_size: int = 120
+    submaps: SubmapsConfig = field(default_factory=SubmapsConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    # --- TPU capacity knobs ---
+    max_raw_points: int = 131072  # raw points per accumulated scan
+    max_filtered_points: int = 32768  # after fixed voxel filter
+    max_high_res_points: int = 4096  # after high-res adaptive filter
+    max_low_res_points: int = 8192  # after low-res adaptive filter
+    max_imu_per_scan: int = 64  # IMU samples bridging two scans
+    window_size: int = 4  # sliding-window keys kept fully dense
+    gn_iterations: int = 8  # window-optimizer Gauss-Newton iterations
+
+
+@dataclass(frozen=True)
+class FastCorrelativeConfig:
+    # pose_graph.lua fast_correlative_scan_matcher_3d + basic_config_3d.lua
+    branch_and_bound_depth: int = 8
+    full_resolution_depth: int = 3
+    min_rotational_score: float = 0.6
+    min_low_resolution_score: float = 0.55
+    linear_xy_search_window: float = 15.0
+    linear_z_search_window: float = 8.0
+    angular_search_window: float = math.radians(45.0)
+
+
+@dataclass(frozen=True)
+class LoopCeresConfig:
+    # pose_graph.lua constraint_builder.ceres_scan_matcher_3d
+    occupied_space_weight_0: float = 5.0
+    occupied_space_weight_1: float = 30.0
+    translation_weight: float = 10.0
+    rotation_weight: float = 10.0
+    only_optimize_yaw: bool = False
+    max_num_iterations: int = 10
+
+
+@dataclass(frozen=True)
+class ConstraintBuilderConfig:
+    # pose_graph.lua constraint_builder + basic_config_3d.lua overrides
+    sampling_ratio: float = 0.05
+    max_constraint_distance: float = 50.0
+    min_score: float = 0.45
+    global_localization_min_score: float = 0.45
+    loop_closure_translation_weight: float = 1e4
+    loop_closure_rotation_weight: float = 1e2
+    log_matches: bool = True
+    every_nodes_to_find_constraint: int = 3
+    # submap-image proposal options (constraint_builder_options.proto:47-56)
+    cv_binary_threshold: int = 200
+    cv_structure_element_size: int = 3
+    minimum_good_match_num: int = 5
+    good_match_ratio_of_distance: float = 0.5
+    ransac_thresh_of_2d_transform_estimate: float = 3.0
+    scale_estimated_tolerance: float = 0.1
+    fast_correlative_scan_matcher: FastCorrelativeConfig = field(
+        default_factory=FastCorrelativeConfig
+    )
+    ceres_scan_matcher: LoopCeresConfig = field(default_factory=LoopCeresConfig)
+
+
+@dataclass(frozen=True)
+class OptimizationProblemConfig:
+    # pose_graph.lua optimization_problem + basic_config_3d.lua
+    huber_scale: float = 1e2
+    acceleration_weight: float = 1e3
+    rotation_weight: float = 3e5
+    local_slam_pose_translation_weight: float = 1e5
+    local_slam_pose_rotation_weight: float = 1e5
+    odometry_translation_weight: float = 1e5
+    odometry_rotation_weight: float = 1e5
+    fixed_frame_pose_translation_weight: float = 1e1
+    fixed_frame_pose_rotation_weight: float = 1e2
+    log_solver_summary: bool = False
+    max_num_iterations: int = 10
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    # POSE_GRAPH overlaid with basic_config_3d.lua
+    optimize_every_n_nodes: int = 100
+    constraint_builder: ConstraintBuilderConfig = field(
+        default_factory=ConstraintBuilderConfig
+    )
+    matcher_translation_weight: float = 5e2
+    matcher_rotation_weight: float = 1.6e3
+    optimization_problem: OptimizationProblemConfig = field(
+        default_factory=OptimizationProblemConfig
+    )
+    max_num_final_iterations: int = 400
+    global_sampling_ratio: float = 0.1
+    log_residual_histograms: bool = False
+    global_constraint_search_after_n_seconds: float = 10.0
+    # D-LIOM additions (pose_graph_options.proto:59-64)
+    max_radius_enable_loop_detection: float = 10.0
+    num_close_submaps_loop_with_initial_value: int = 5
+    nodes_space_to_perform_loop_detection: float = 1.0
+    # --- TPU capacity knobs ---
+    max_submaps: int = 512
+    max_nodes: int = 8192
+    max_constraints: int = 16384
+
+
+@dataclass(frozen=True)
+class MapBuilderConfig:
+    # map_builder.lua
+    use_trajectory_builder_3d: bool = True
+    num_background_threads: int = 8
+    collate_by_trajectory: bool = False
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Root config ≙ the `options` table of basic_config_3d.lua."""
+
+    map_builder: MapBuilderConfig = field(default_factory=MapBuilderConfig)
+    trajectory_builder: TrajectoryBuilderConfig = field(
+        default_factory=TrajectoryBuilderConfig
+    )
+    pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    map_frame: str = "map"
+    tracking_frame: str = "base_link"
+    num_point_clouds: int = 1
+
+    def override(self, overrides: Mapping[str, Any]) -> "EngineConfig":
+        return _replace_strict(self, overrides)
+
+
+# --- Presets: each mirrors a src/dlio/config/*.lua file as an override of
+# the basic config (the include chain collapses into a single dict). ---
+
+_VIRAL = {
+    # src/dlio/config/viral.lua
+    "tracking_frame": "imu",
+    "num_point_clouds": 2,
+    "pose_graph": {
+        "optimize_every_n_nodes": 100,
+        "max_radius_enable_loop_detection": 5.0,
+        "num_close_submaps_loop_with_initial_value": 30,
+    },
+    "trajectory_builder": {
+        "min_range": 1.0,
+        "scan_period": 0.1,
+        "enable_gravity_factor": False,
+        "submaps": {"high_resolution": 0.1},
+        "imu": {
+            "acc_noise": 0.365432018302,
+            "gyr_noise": 0.0367396706572,
+            "acc_bias_noise": 0.000433,
+            "gyr_bias_noise": 2.66e-05,
+            "gravity": 9.80511,
+            "prior_gravity_noise": 0.1,
+            "ceres_pose_noise_t": 0.05,
+            "ceres_pose_noise_r": 0.05,
+            "ceres_pose_noise_t_drift": 0.01,
+            "ceres_pose_noise_r_drift": 0.01,
+            "prior_pose_noise": 0.05,
+            "prior_vel_noise": 0.05,
+            "prior_bias_noise": 1e-03,
+        },
+    },
+}
+
+_KAIST = {
+    # src/dlio/config/kaist.lua spirit: urban driving, 2 VLP-16s, no gravity factor
+    "tracking_frame": "imu",
+    "num_point_clouds": 2,
+    "pose_graph": {"optimize_every_n_nodes": 100},
+    "trajectory_builder": {
+        "min_range": 2.0,
+        "max_range": 100.0,
+        "enable_gravity_factor": False,
+        "submaps": {"high_resolution": 0.2, "high_resolution_max_range": 80.0},
+    },
+}
+
+_KITTI = {
+    # src/dlio/config/kitti.lua spirit: single HDL-64, manual deskew stamps
+    "tracking_frame": "imu",
+    "num_point_clouds": 1,
+    "trajectory_builder": {
+        "min_range": 2.0,
+        "max_range": 80.0,
+        "manual_deskew_stamps": True,
+        "enable_gravity_factor": False,
+    },
+}
+
+_TONGJI = {
+    "tracking_frame": "imu",
+    "num_point_clouds": 1,
+    "pose_graph": {"optimize_every_n_nodes": 100},
+    "trajectory_builder": {"min_range": 1.0},
+}
+
+PRESETS: Dict[str, Mapping[str, Any]] = {
+    "basic": {},
+    "viral": _VIRAL,
+    "kaist": _KAIST,
+    "kitti": _KITTI,
+    "tongji": _TONGJI,
+}
+
+
+def load_config(preset: str = "basic", overrides: Mapping[str, Any] | None = None) -> EngineConfig:
+    if preset not in PRESETS:
+        raise KeyError(f"unknown preset '{preset}'; have {sorted(PRESETS)}")
+    cfg = EngineConfig().override(PRESETS[preset])
+    if overrides:
+        cfg = cfg.override(overrides)
+    return cfg
