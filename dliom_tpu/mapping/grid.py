@@ -1,0 +1,138 @@
+"""Dense HBM-resident submap probability grids.
+
+TPU-native counterpart of the reference's sparse pointer-tree `HybridGrid`
+(`cartographer/mapping/3d/hybrid_grid.h`): a fixed-extent dense array of int16
+cell values per submap, flat in HBM, so every lookup is a single gather and
+every update a single scatter — no pointer chasing, fully static shapes.
+
+Conventions (identical to the reference):
+  * cell index `i` (a signed 3-vector) has its center at `i * resolution`
+    in the submap frame (`GetCenterOfCell`, hybrid_grid.h:446);
+  * a point maps to the cell `round(point / resolution)` per component
+    (`GetCellIndex`, hybrid_grid.h:430);
+  * value 0 is *unknown*; values [1, 32767] map linearly onto probabilities
+    [0.1, 0.9] (mapping/probability.py). 32767 fits int16 exactly.
+
+The dense grid spans indices [-extent/2, extent/2) per axis; points outside
+are masked out of updates and read as unknown. This trades the reference's
+unbounded growth for static shapes (SURVEY.md §7 "Dynamic sparse grid →
+static shapes"); extents are config capacity knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from dliom_tpu.mapping import probability as pv
+
+GRID_DTYPE = jnp.int16
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """Static description of one dense grid (hashable → jit-static)."""
+
+    resolution: float
+    extent: int  # cells per axis; grid covers [-extent/2, extent/2)
+
+    @property
+    def num_cells(self) -> int:
+        return self.extent ** 3
+
+    @property
+    def half(self) -> int:
+        return self.extent // 2
+
+
+def make_grid(spec: GridSpec) -> jnp.ndarray:
+    """A fresh all-unknown grid, flat (extent^3,) int16."""
+    return jnp.zeros(spec.num_cells, GRID_DTYPE)
+
+
+def cell_index(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
+    """Point(s) (..., 3) -> signed cell index (..., 3) int32 (reference
+    GetCellIndex: round per component)."""
+    return jnp.round(points / resolution).astype(jnp.int32)
+
+
+def center_of_cell(cells: jnp.ndarray, resolution: float) -> jnp.ndarray:
+    return cells.astype(jnp.float32) * resolution
+
+
+def linear_index(cells: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Signed cell index (..., 3) -> (flat index (...,), in-bounds mask (...,)).
+
+    Out-of-bounds indices are clamped into range; callers must use the mask.
+    """
+    shifted = cells + spec.half
+    in_bounds = jnp.all((shifted >= 0) & (shifted < spec.extent), axis=-1)
+    clamped = jnp.clip(shifted, 0, spec.extent - 1)
+    lin = (clamped[..., 0] * spec.extent + clamped[..., 1]) * spec.extent + clamped[
+        ..., 2
+    ]
+    return lin, in_bounds
+
+
+def lookup_value(values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    """Cell value(s) at signed cell indices; unknown (0) out of bounds."""
+    lin, ok = linear_index(cells, spec)
+    v = values[lin].astype(jnp.int32)
+    return jnp.where(ok, v, 0)
+
+
+def lookup_probability(
+    values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec
+) -> jnp.ndarray:
+    return pv.value_to_probability(lookup_value(values, cells, spec))
+
+
+def set_cells(
+    values: jnp.ndarray, cells: jnp.ndarray, new_values: jnp.ndarray, spec: GridSpec
+) -> jnp.ndarray:
+    """Direct cell assignment (test/deserialization helper)."""
+    lin, ok = linear_index(cells, spec)
+    lin = jnp.where(ok, lin, spec.num_cells)  # out-of-bounds -> dropped
+    return values.at[lin].set(new_values.astype(GRID_DTYPE), mode="drop")
+
+
+def interpolated_probability(
+    values: jnp.ndarray, points: jnp.ndarray, spec: GridSpec
+) -> jnp.ndarray:
+    """Smoothed trilinear probability at point(s) (..., 3) in the grid frame.
+
+    Counterpart of the reference's InterpolatedGrid::GetProbability
+    (interpolated_grid.h:50-103): per axis the interpolant is
+    lerp(q_lo, q_hi, smoothstep(t)) with smoothstep(t) = 3t^2 - 2t^3, which
+    interpolates cell-center values with vanishing derivative at centers —
+    continuously differentiable, so `jax.grad` through this function gives
+    the analytic Jacobians the reference gets from Ceres autodiff.
+
+    The lower corner is the largest cell whose center is <= the point per
+    axis (CenterOfLowerVoxel, interpolated_grid.h:122-139) == floor(p/res).
+    """
+    pr = points / spec.resolution
+    lower = jnp.floor(pr)
+    t = pr - lower  # in [0, 1)
+    s = t * t * (3.0 - 2.0 * t)  # smoothstep weight toward the upper corner
+    lower = lower.astype(jnp.int32)
+
+    out = 0.0
+    for dx in (0, 1):
+        wx = s[..., 0] if dx else (1.0 - s[..., 0])
+        for dy in (0, 1):
+            wy = s[..., 1] if dy else (1.0 - s[..., 1])
+            for dz in (0, 1):
+                wz = s[..., 2] if dz else (1.0 - s[..., 2])
+                corner = lower + jnp.asarray([dx, dy, dz], jnp.int32)
+                q = lookup_probability(values, corner, spec)
+                out = out + q * (wx * wy * wz)
+    return out
+
+
+def occupied_cells(values: jnp.ndarray, spec: GridSpec, threshold: float = 0.501):
+    """Boolean occupancy over the dense grid (viz/serialization helper)."""
+    thr = int(pv.probability_to_value(jnp.float32(threshold)))
+    return values >= thr
