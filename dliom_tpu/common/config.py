@@ -143,9 +143,12 @@ class TrajectoryBuilderConfig:
     imu: ImuConfig = field(default_factory=ImuConfig)
     # --- TPU capacity knobs ---
     max_raw_points: int = 131072  # raw points per accumulated scan
-    max_filtered_points: int = 32768  # after fixed voxel filter
-    max_high_res_points: int = 4096  # after high-res adaptive filter
-    max_low_res_points: int = 8192  # after low-res adaptive filter
+    max_filtered_points: int = 8192  # after fixed voxel filter
+    # Matching-cloud capacities: the adaptive filters *target*
+    # min_num_points (150/200), so matched clouds are typically a few
+    # hundred points; these caps bound the compiled shapes.
+    max_high_res_points: int = 1024  # after high-res adaptive filter
+    max_low_res_points: int = 1024  # after low-res adaptive filter
     max_imu_per_scan: int = 64  # IMU samples bridging two scans
     window_size: int = 4  # sliding-window keys kept fully dense
     gn_iterations: int = 8  # window-optimizer Gauss-Newton iterations

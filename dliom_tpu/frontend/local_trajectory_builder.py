@@ -1,0 +1,242 @@
+"""The per-scan frontend hot loop as one compiled device step.
+
+TPU-native counterpart of the reference's `LocalTrajectoryBuilder3D`
+(`cartographer/mapping/internal/3d/local_trajectory_builder_3d.cc`): each
+scan flows through
+
+  voxel filter (half size)       AddRangeData:393
+  -> per-point deskew            :408-446 (slerp of the predicted relative
+                                 motion over the scan period)
+  -> min/max-range clipping      :454-473 (beyond-max hits clamped to a miss)
+  -> voxel filter (full size)    :477-482
+  -> adaptive high/low filters   AddAccumulatedRangeData:506-534
+  -> scan-to-submap GN match     :535 (vs the front submap's 2 grids)
+  -> [window optimize]           :555 (IMU fusion; in `predict_only` slice
+                                 mode the matched pose is taken directly)
+  -> motion-filtered insertion   InsertIntoSubmap:584-622
+  -> rotational histogram        :605
+
+The whole step is a pure function (FrontendState, ScanInput) ->
+(FrontendState, ScanResult): one XLA computation per scan, statically shaped,
+reused for every scan. The host only feeds sensor batches and reads results.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dliom_tpu.common.config import TrajectoryBuilderConfig
+from dliom_tpu.mapping import motion_filter as mf
+from dliom_tpu.mapping.submap import (
+    ActiveSubmaps,
+    grid_specs,
+    insert_range_data_into_submaps,
+    make_active_submaps,
+    matching_slot,
+    slot_pose,
+)
+from dliom_tpu.ops.scan_matcher import match
+from dliom_tpu.ops.voxel_filter import adaptive_voxel_filter, truncate_cloud, voxel_filter
+from dliom_tpu.ops.rotational_histogram import compute_histogram
+from dliom_tpu.transform.rigid import Rigid3, quat_slerp
+
+
+class FrontendState(NamedTuple):
+    submaps: ActiveSubmaps
+    pose: Rigid3  # latest optimized pose (prev_state_)
+    motion_filter: mf.MotionFilterState
+    scan_index: jnp.ndarray  # int32
+
+
+class ScanInput(NamedTuple):
+    time: jnp.ndarray  # f32 seconds (scan-end stamp)
+    points: jnp.ndarray  # (N, 3) in tracking frame, scan-end convention
+    times: jnp.ndarray  # (N,) per-point relative times (<= 0)
+    mask: jnp.ndarray  # (N,)
+    relative_prediction: Rigid3  # predicted motion since previous scan
+
+
+class ScanResult(NamedTuple):
+    time: jnp.ndarray
+    local_pose: Rigid3  # optimized pose (MatchingResult::local_pose)
+    inserted: jnp.ndarray  # bool: passed the motion filter
+    finished_submap: jnp.ndarray  # submap id finished this scan, or -1
+    matcher_cost: jnp.ndarray
+    num_hits: jnp.ndarray  # valid accumulated returns
+    histogram: jnp.ndarray  # rotational scan matcher histogram
+
+
+def make_initial_state(cfg: TrajectoryBuilderConfig) -> FrontendState:
+    return FrontendState(
+        submaps=make_active_submaps(cfg.submaps),
+        pose=Rigid3.identity(),
+        motion_filter=mf.MotionFilterState.initial(),
+        scan_index=jnp.int32(0),
+    )
+
+
+def step(
+    state: FrontendState,
+    scan: ScanInput,
+    cfg: TrajectoryBuilderConfig,
+) -> tuple[FrontendState, ScanResult]:
+    """One frontend scan in `predict_only` mode: the pose prediction comes
+    from `scan.relative_prediction` (IMU window fusion plugs in upstream of
+    this in the full pipeline)."""
+    hi_spec, lo_spec = grid_specs(cfg.submaps)
+    prev_pose = state.pose
+    prediction = prev_pose.compose(scan.relative_prediction)
+
+    # 1. Voxel filter at half size on the raw scan (AddRangeData:393).
+    half = voxel_filter(
+        scan.points, scan.times, scan.mask, 0.5 * cfg.voxel_filter_size
+    )
+
+    # 2. Deskew: per-hit pose = prev_pose * slerp(s, relative_prediction),
+    #    s = (T + t_i)/T with t_i <= 0 (:430-446).
+    s = jnp.clip(
+        (cfg.scan_period + half.times) / cfg.scan_period, 0.0, 1.0
+    )
+    rel = scan.relative_prediction
+    hit_rot = quat_slerp(
+        jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (half.points.shape[0], 4)
+        ),
+        jnp.broadcast_to(rel.rotation, (half.points.shape[0], 4)),
+        s,
+    )
+    hit_t = s[:, None] * rel.translation
+    hit_poses = Rigid3(rotation=hit_rot, translation=hit_t)
+    # hits in local frame
+    hits_local = prev_pose.apply(hit_poses.apply(half.points))
+    origins_local = prev_pose.apply(hit_poses.apply(jnp.zeros_like(half.points)))
+
+    # 3. Range clipping (:454-473). Beyond-max returns become misses
+    #    (tracked but, as in the reference 3D inserter, never rasterized).
+    delta = hits_local - origins_local
+    rng = jnp.linalg.norm(delta, axis=-1)
+    ok_min = rng >= cfg.min_range
+    in_range = half.mask & ok_min & (rng <= cfg.max_range)
+
+    # 4. Voxel filter at full size -> filtered range data in local frame
+    #    (:477-482); origin = current (scan-end) position.
+    filtered = voxel_filter(
+        hits_local, half.times, in_range, cfg.voxel_filter_size
+    )
+    filtered = truncate_cloud(filtered, cfg.max_filtered_points)
+    current_origin = prediction.translation
+
+    # 5. To tracking frame; adaptive filters (AddAccumulatedRangeData:506-534).
+    filtered_tracking = prediction.inverse().apply(filtered.points)
+    high = adaptive_voxel_filter(
+        filtered_tracking,
+        filtered.times,
+        filtered.mask,
+        max_length=cfg.high_resolution_adaptive_voxel_filter.max_length,
+        min_num_points=cfg.high_resolution_adaptive_voxel_filter.min_num_points,
+        max_range=cfg.high_resolution_adaptive_voxel_filter.max_range,
+        out_capacity=cfg.max_high_res_points,
+    )
+    low = adaptive_voxel_filter(
+        filtered_tracking,
+        filtered.times,
+        filtered.mask,
+        max_length=cfg.low_resolution_adaptive_voxel_filter.max_length,
+        min_num_points=cfg.low_resolution_adaptive_voxel_filter.min_num_points,
+        max_range=cfg.low_resolution_adaptive_voxel_filter.max_range,
+        out_capacity=cfg.max_low_res_points,
+    )
+
+    # 6. Scan-to-submap match against the front submap (:535-556).
+    mslot = matching_slot(state.submaps)
+    submap_pose = slot_pose(state.submaps, mslot)
+    initial_in_submap = submap_pose.inverse().compose(prediction)
+    result = match(
+        initial_in_submap,
+        clouds=[(high.points, high.mask), (low.points, low.mask)],
+        grids=[
+            state.submaps.high_values[mslot],
+            state.submaps.low_values[mslot],
+        ],
+        specs=[hi_spec, lo_spec],
+        occupied_space_weights=[
+            cfg.ceres_scan_matcher.occupied_space_weight_0,
+            cfg.ceres_scan_matcher.occupied_space_weight_1,
+        ],
+        translation_weight=cfg.ceres_scan_matcher.translation_weight,
+        rotation_weight=cfg.ceres_scan_matcher.rotation_weight,
+        only_optimize_yaw=cfg.ceres_scan_matcher.only_optimize_yaw,
+        max_iterations=cfg.ceres_scan_matcher.max_num_iterations,
+    )
+    pose_estimate = submap_pose.compose(result.pose)
+
+    # 7. Slice mode: matched pose is the optimized pose (WindowOptimize is
+    #    the IMU-fusion stage layered on top in imu/window_optimizer.py).
+    opt_pose = pose_estimate
+    gravity_alignment = opt_pose.rotation
+
+    # Re-express the filtered cloud under the optimized pose (the reference
+    # transforms filtered_range_data_in_tracking by opt_pose, :559-561).
+    filtered_in_opt = opt_pose.apply(prediction.inverse().apply(filtered.points))
+    origin_in_opt = opt_pose.translation
+
+    # 8. Motion filter gate + insertion (InsertIntoSubmap:593-609).
+    similar, new_mf = mf.is_similar(
+        state.motion_filter,
+        scan.time,
+        opt_pose,
+        max_time_seconds=cfg.motion_filter.max_time_seconds,
+        max_distance_meters=cfg.motion_filter.max_distance_meters,
+        max_angle_radians=cfg.motion_filter.max_angle_radians,
+    )
+    insert = (~similar) & (jnp.sum(filtered.mask) > 0)
+    new_submaps, finished = insert_range_data_into_submaps(
+        state.submaps,
+        origin_in_opt,
+        filtered_in_opt,
+        filtered.mask,
+        gravity_alignment,
+        cfg.submaps,
+        insert,
+    )
+
+    # 9. Rotational histogram of the gravity-aligned scan (:604-608).
+    hist = compute_histogram(
+        Rigid3.rotation_only(gravity_alignment).apply(
+            prediction.inverse().apply(filtered.points)
+        ),
+        filtered.mask,
+        num_buckets=cfg.rotational_histogram_size,
+    )
+
+    new_state = FrontendState(
+        submaps=new_submaps,
+        pose=opt_pose,
+        motion_filter=new_mf,
+        scan_index=state.scan_index + 1,
+    )
+    return new_state, ScanResult(
+        time=scan.time,
+        local_pose=opt_pose,
+        inserted=insert,
+        finished_submap=finished,
+        matcher_cost=result.cost,
+        num_hits=jnp.sum(filtered.mask.astype(jnp.int32)),
+        histogram=hist,
+    )
+
+
+def run_sequence(
+    initial_state: FrontendState,
+    scans: ScanInput,  # leading axis = scan index
+    cfg: TrajectoryBuilderConfig,
+):
+    """lax.scan over a whole sequence (the bench/batch path)."""
+
+    def body(state, scan):
+        return step(state, scan, cfg)
+
+    return jax.lax.scan(body, initial_state, scans)

@@ -1,0 +1,171 @@
+"""Submap3D / ActiveSubmaps3D as a fixed-two-slot device pytree.
+
+Counterpart of the reference's `cartographer/mapping/3d/submap_3d.{h,cc}`:
+
+  * each submap owns a high- and a low-resolution probability grid in its own
+    frame (`local_pose().inverse()` applied at insertion, submap_3d.cc:270);
+  * the high-res grid only receives returns within `high_resolution_max_range`
+    of the (submap-frame) origin (:272-276);
+  * every scan is inserted into both active submaps (:303-309);
+  * when the back submap reaches `num_range_data` scans, a new submap spawns
+    at the current origin with a gravity-aligned rotation, and the front
+    submap is finished and dropped (:310-326);
+  * the *front* (older) submap is the matching target.
+
+TPU-native twist: the two active submaps live in two fixed grid slots.
+Submap k occupies slot k % 2, so spawning submap k+1 overwrites the slot of
+the just-finished submap k-1 — no slot-to-slot copying, and the matching slot
+is always (newest_id - 1) % 2 once two submaps exist. Spawn (a full grid
+reset) runs under `lax.cond` so non-spawn scans skip the write.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dliom_tpu.common.config import SubmapsConfig
+from dliom_tpu.mapping.grid import GRID_DTYPE, GridSpec
+from dliom_tpu.ops.grid_update import insert_range_data
+from dliom_tpu.transform.rigid import Rigid3
+
+
+class ActiveSubmaps(NamedTuple):
+    """Two grid slots + per-slot metadata. Slot layout: submap id k -> slot
+    k % 2. `num_created` counts submaps ever spawned; slots hold submaps
+    num_created-2 (front/matching, finished on next spawn) and num_created-1
+    (back) once num_created >= 2."""
+
+    high_values: jnp.ndarray  # (2, high_extent^3) int16
+    low_values: jnp.ndarray  # (2, low_extent^3) int16
+    pose_rotation: jnp.ndarray  # (2, 4) local_pose quaternion per slot
+    pose_translation: jnp.ndarray  # (2, 3)
+    num_range_data: jnp.ndarray  # (2,) int32
+    num_created: jnp.ndarray  # () int32
+
+
+def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
+    return (
+        GridSpec(cfg.high_resolution, cfg.high_resolution_extent),
+        GridSpec(cfg.low_resolution, cfg.low_resolution_extent),
+    )
+
+
+def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
+    """Initial state: one submap at identity (ActiveSubmaps3D ctor,
+    submap_3d.cc:286-295)."""
+    hi, lo = grid_specs(cfg)
+    q = jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0)
+    return ActiveSubmaps(
+        high_values=jnp.zeros((2, hi.num_cells), GRID_DTYPE),
+        low_values=jnp.zeros((2, lo.num_cells), GRID_DTYPE),
+        pose_rotation=q,
+        pose_translation=jnp.zeros((2, 3), jnp.float32),
+        num_range_data=jnp.zeros(2, jnp.int32),
+        num_created=jnp.int32(1),
+    )
+
+
+def matching_slot(state: ActiveSubmaps) -> jnp.ndarray:
+    """Slot index of the front (older, matching) submap."""
+    front_id = jnp.maximum(state.num_created - 2, 0)
+    return jnp.where(state.num_created >= 2, front_id % 2, (state.num_created - 1) % 2)
+
+
+def back_slot(state: ActiveSubmaps) -> jnp.ndarray:
+    return (state.num_created - 1) % 2
+
+
+def slot_pose(state: ActiveSubmaps, slot) -> Rigid3:
+    return Rigid3(state.pose_rotation[slot], state.pose_translation[slot])
+
+
+def insert_range_data_into_submaps(
+    state: ActiveSubmaps,
+    origin_in_local: jnp.ndarray,
+    returns_in_local: jnp.ndarray,
+    returns_mask: jnp.ndarray,
+    gravity_alignment: jnp.ndarray,
+    cfg: SubmapsConfig,
+    enabled: jnp.ndarray,
+) -> Tuple[ActiveSubmaps, jnp.ndarray]:
+    """One ActiveSubmaps3D::InsertRangeData step (submap_3d.cc:303-315).
+
+    `enabled` gates the whole operation (motion-filtered scans still flow
+    through the compiled graph with no-op updates). Returns (state, finished):
+    `finished` is the submap id finished by a spawn this step, or -1.
+    """
+    hi, lo = grid_specs(cfg)
+
+    def insert_slot(values, spec, slot, gate, max_range=None):
+        # The gate folds into the point mask: a disabled insert degenerates
+        # to an all-dropped scatter with no grid traffic.
+        pose = slot_pose(state, slot)
+        inv = pose.inverse()
+        pts = inv.apply(returns_in_local)
+        org = inv.apply(origin_in_local)
+        mask = returns_mask & gate
+        if max_range is not None:
+            mask = mask & (jnp.linalg.norm(pts - org, axis=-1) <= max_range)
+        return insert_range_data(
+            values,
+            org,
+            pts,
+            mask,
+            spec=spec,
+            hit_probability=cfg.range_data_inserter.hit_probability,
+            miss_probability=cfg.range_data_inserter.miss_probability,
+            num_free_space_voxels=cfg.range_data_inserter.num_free_space_voxels,
+            slot=slot,
+        )
+
+    new_high = state.high_values
+    new_low = state.low_values
+    new_counts = state.num_range_data
+    for slot in range(2):
+        # slot holds a live submap iff its id (>= num_created-2) maps here
+        slot_active = jnp.where(
+            state.num_created >= 2,
+            True,
+            slot == (state.num_created - 1) % 2,
+        )
+        use = slot_active & enabled
+        # FilterRangeDataByMaxRange applies in the submap frame
+        new_high = insert_slot(
+            new_high, hi, slot, use, cfg.high_resolution_max_range
+        )
+        new_low = insert_slot(new_low, lo, slot, use)
+        new_counts = new_counts.at[slot].add(use.astype(jnp.int32))
+
+    state = state._replace(
+        high_values=new_high, low_values=new_low, num_range_data=new_counts
+    )
+
+    # Spawn when the back submap reaches num_range_data (submap_3d.cc:310-315)
+    bslot = back_slot(state)
+    spawn = enabled & (state.num_range_data[bslot] >= cfg.num_range_data)
+    finished = jnp.where(
+        spawn & (state.num_created >= 2), state.num_created - 2, -1
+    )
+
+    def do_spawn(s: ActiveSubmaps) -> ActiveSubmaps:
+        new_slot = s.num_created % 2
+        return ActiveSubmaps(
+            high_values=s.high_values.at[new_slot].set(
+                jnp.zeros(hi.num_cells, GRID_DTYPE)
+            ),
+            low_values=s.low_values.at[new_slot].set(
+                jnp.zeros(lo.num_cells, GRID_DTYPE)
+            ),
+            pose_rotation=s.pose_rotation.at[new_slot].set(gravity_alignment),
+            pose_translation=s.pose_translation.at[new_slot].set(
+                origin_in_local
+            ),
+            num_range_data=s.num_range_data.at[new_slot].set(0),
+            num_created=s.num_created + 1,
+        )
+
+    state = jax.lax.cond(spawn, do_spawn, lambda s: s, state)
+    return state, finished

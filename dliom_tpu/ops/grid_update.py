@@ -21,6 +21,7 @@ with update-once semantics").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dliom_tpu.mapping import probability as pv
@@ -44,15 +45,28 @@ def insert_range_data(
     hit_probability: float = 0.55,
     miss_probability: float = 0.49,
     num_free_space_voxels: int = 2,
+    slot: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
-    """Insert one range-data batch; returns the updated flat grid.
+    """Insert one range-data batch; returns the updated grid.
 
     Args:
-      values: flat (extent^3,) int16 grid.
+      values: flat (extent^3,) int16 grid, or a multi-submap bank of shape
+        (num_slots, extent^3) — `slot` selects which slot to update. The
+        update is a pure scatter: disabled/invalid records drop out via
+        out-of-bounds indices, so a no-op insert costs no grid traffic.
       origin: (3,) sensor origin in the grid frame.
       hits: (N, 3) hit points in the grid frame (padded).
-      hits_mask: (N,) validity of each hit.
+      hits_mask: (N,) validity of each hit (AND this with any enable gate).
     """
+    bank_shape = values.shape
+    if values.ndim == 2:
+        flat = values.reshape(-1)
+        base = jnp.asarray(slot, jnp.int32) * spec.num_cells
+        num_flat = bank_shape[0] * spec.num_cells
+    else:
+        flat = values
+        base = jnp.int32(0)
+        num_flat = spec.num_cells
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
@@ -92,22 +106,33 @@ def insert_range_data(
         is_miss = jnp.zeros_like(hit_valid)
 
     # Sort by (cell, kind): hits sort before misses within a cell; invalid
-    # entries sort to the end. First record per cell wins.
+    # entries sort to the end. The first record of each cell group decides
+    # the update kind (hit priority); every group member then writes the
+    # *identical* updated value, so the scatter stays fully sorted (the
+    # fast path for the TPU scatter engine) without a compaction pass.
     sentinel = spec.num_cells
     lin_key = jnp.where(all_valid, all_lin, sentinel)
     key = lin_key * 2 + is_miss.astype(jnp.int32)
-    order = jnp.argsort(key)
-    s_lin = lin_key[order]
-    s_miss = is_miss[order]
-    first = jnp.concatenate(
-        [jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]]
-    ) & (s_lin < sentinel)
+    s_key, s_lin = jax.lax.sort([key, lin_key], num_keys=1)
+    s_miss = s_key & 1
+    m = s_lin.shape[0]
+    first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
+    head_pos = jax.lax.cummax(
+        jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0)
+    )
+    head_is_miss = s_miss[head_pos]
 
-    current = values[jnp.clip(s_lin, 0, sentinel - 1)].astype(jnp.int32)
+    gather_idx = base + jnp.clip(s_lin, 0, sentinel - 1)
+    current = flat.at[gather_idx].get(
+        mode="clip", indices_are_sorted=True
+    ).astype(jnp.int32)
     updated = jnp.where(
-        s_miss,
+        head_is_miss == 1,
         pv.apply_odds(current, miss_odds),
         pv.apply_odds(current, hit_odds),
     )
-    scatter_idx = jnp.where(first, s_lin, sentinel)
-    return values.at[scatter_idx].set(updated.astype(GRID_DTYPE), mode="drop")
+    scatter_idx = jnp.where(s_lin < sentinel, base + s_lin, num_flat)
+    out = flat.at[scatter_idx].set(
+        updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
+    )
+    return out.reshape(bank_shape)

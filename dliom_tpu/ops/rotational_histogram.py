@@ -1,0 +1,124 @@
+"""Rotational scan-matcher histograms, vectorized.
+
+Counterpart of the reference's `RotationalScanMatcher`
+(`cartographer/mapping/internal/3d/scan_matching/rotational_scan_matcher.cc`):
+
+  * points are cut into 0.2 m z-slices;
+  * within a slice, points are sorted by angle around the slice centroid;
+  * each consecutive pair contributes the angle of its xy-delta to a [0, pi)
+    histogram, weighted by how orthogonal the delta is to the centroid ray
+    (rejecting floor/ceiling returns), for deltas in [0.2 m, 0.9 m];
+  * match score = cosine similarity against a candidate histogram rotated by
+    a yaw angle (fractional buckets linearly interpolated).
+
+The per-slice stateful walk (a `last_point` that only advances on kept
+pairs, :71-86) is vectorized as consecutive-sorted-pair differences: pairs
+closer than kMinDistance are dropped instead of merged — after the 0.3+ m
+voxel filter that precedes every histogram in the pipeline the two walks
+almost always visit identical pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MIN_DISTANCE = 0.2
+MAX_DISTANCE = 0.9
+SLICE_HEIGHT = 0.2
+_NUM_SLICES = 1024  # z in [-102.4, 102.4) m
+
+
+def compute_histogram(
+    points: jnp.ndarray, mask: jnp.ndarray, num_buckets: int = 120
+) -> jnp.ndarray:
+    """Histogram of a (gravity-aligned) cloud; (num_buckets,) float32."""
+    n = points.shape[0]
+    z_slice = jnp.round(points[:, 2] / SLICE_HEIGHT).astype(jnp.int32)
+    slice_id = jnp.clip(z_slice + _NUM_SLICES // 2, 0, _NUM_SLICES - 1)
+    seg = jnp.where(mask, slice_id, _NUM_SLICES)
+
+    # Per-slice centroid.
+    ones = mask.astype(jnp.float32)
+    sums = jax.ops.segment_sum(
+        points * ones[:, None], seg, num_segments=_NUM_SLICES + 1
+    )
+    counts = jax.ops.segment_sum(ones, seg, num_segments=_NUM_SLICES + 1)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    centroid = centroids[jnp.clip(seg, 0, _NUM_SLICES)]
+
+    offs = points[:, :2] - centroid[:, :2]
+    far_enough = jnp.linalg.norm(offs, axis=-1) >= MIN_DISTANCE
+    angle_about_centroid = jnp.arctan2(offs[:, 1], offs[:, 0])
+
+    # Sort by (slice, angle); invalid/too-close points go last.
+    valid = mask & far_enough
+    big = jnp.float32(1e9)
+    sort_slice = jnp.where(valid, seg, _NUM_SLICES + 1)
+    order = jnp.lexsort(
+        (jnp.where(valid, angle_about_centroid, big), sort_slice)
+    )
+    sp = points[order]
+    sc = centroid[order]
+    sseg = sort_slice[order]
+    svalid = valid[order]
+
+    # Consecutive pairs within a slice.
+    delta = sp[1:, :2] - sp[:-1, :2]
+    direction = sp[1:, :2] - sc[1:, :2]
+    dist = jnp.linalg.norm(delta, axis=-1)
+    dirn = jnp.linalg.norm(direction, axis=-1)
+    same_slice = (sseg[1:] == sseg[:-1]) & svalid[1:] & svalid[:-1]
+    keep = (
+        same_slice
+        & (dist >= MIN_DISTANCE)
+        & (dist <= MAX_DISTANCE)
+        & (dirn >= MIN_DISTANCE)
+    )
+    angle = jnp.arctan2(delta[:, 1], delta[:, 0])
+    ortho = 1.0 - jnp.abs(
+        jnp.sum(delta * direction, axis=-1) / jnp.maximum(dist * dirn, 1e-12)
+    )
+    value = jnp.maximum(0.0, ortho)
+
+    # Map angle to [0, pi) buckets (AddValueToHistogram).
+    a = jnp.mod(angle, jnp.pi)
+    bucket = jnp.clip(
+        jnp.round(num_buckets * (a / jnp.pi) - 0.5).astype(jnp.int32),
+        0,
+        num_buckets - 1,
+    )
+    bucket = jnp.where(keep, bucket, num_buckets)
+    return jax.ops.segment_sum(
+        jnp.where(keep, value, 0.0), bucket, num_segments=num_buckets + 1
+    )[:num_buckets]
+
+
+def rotate_histogram(histogram: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotate by `angle` with linear interpolation of fractional buckets
+    (RotateHistogram, rotational_scan_matcher.cc:118-140)."""
+    n = histogram.shape[0]
+    rotate_by = -angle * n / jnp.pi
+    full = jnp.round(rotate_by - 0.5).astype(jnp.int32)
+    frac = rotate_by - full
+    idx = jnp.arange(n)
+    src0 = jnp.mod(idx - full, n)
+    src1 = jnp.mod(idx - full - 1, n)
+    return (1.0 - frac) * histogram[src0] + frac * histogram[src1]
+
+
+def match_histograms(
+    histogram: jnp.ndarray, reference: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Cosine similarity of `histogram` rotated by each angle vs `reference`
+    (RotationalScanMatcher::Match). Returns (len(angles),) scores in [0, 1]."""
+
+    def score(angle):
+        rotated = rotate_histogram(histogram, angle)
+        denom = jnp.linalg.norm(rotated) * jnp.linalg.norm(reference)
+        s = jnp.dot(rotated, reference) / jnp.maximum(denom, 1e-12)
+        # An empty histogram matches everything (reference MatchHistograms
+        # returns 1 for zero norm).
+        return jnp.where(denom < 1e-12, 1.0, s)
+
+    return jax.vmap(score)(jnp.asarray(angles))

@@ -122,10 +122,15 @@ def match(
         )
 
     zero = jnp.zeros(ndelta, jnp.float32)
+    eye = jnp.eye(ndelta, dtype=jnp.float32)
 
-    def cost_of(pose):
-        r = residual_at(zero, pose)
-        return jnp.sum(r * r)
+    def r_and_jac(pose):
+        """Residual and (M, ndelta) Jacobian in ONE gather pass: linearize
+        computes the primal once (the expensive grid gathers); each tangent
+        evaluation is pure arithmetic on the stored corner values."""
+        r, jvp = jax.linearize(lambda d: residual_at(d, pose), zero)
+        jac = jnp.stack([jvp(eye[i]) for i in range(ndelta)], axis=1)
+        return r, jac
 
     # Levenberg-Marquardt with a Ceres-style trust region: damping is
     # (1/radius) * diag(J^T J); the gain ratio rho (actual vs model cost
@@ -135,21 +140,28 @@ def match(
     # so rho is measured against a decaying reference cost, letting the
     # solver step out of shallow side basins; the best accepted pose is
     # tracked and returned.
+    #
+    # The loop carries (r, J) of the last accepted pose, so each iteration
+    # performs exactly one full residual+Jacobian evaluation (at the
+    # candidate) — the candidate's cost check and the next iteration's
+    # linearization share the same pass.
     def lm_step(carry, _):
-        pose, radius, ref_cost, best_pose, best_cost = carry
-        r = residual_at(zero, pose)
-        jac = jax.jacfwd(residual_at)(zero, pose)  # (M, ndelta)
-        cost = jnp.sum(r * r)
+        pose, r, jac, cost, radius, ref_cost, best_pose, best_cost = carry
         grad = jac.T @ r
         hess = jac.T @ jac
         d2 = jnp.clip(jnp.diag(hess), 1e-12, 1e32)
         step = -jnp.linalg.solve(hess + (1.0 / radius) * jnp.diag(d2), grad)
         cand = _apply_delta(pose, step, only_optimize_yaw)
-        new_cost = cost_of(cand)
+        cand_r, cand_jac = r_and_jac(cand)
+        new_cost = jnp.sum(cand_r * cand_r)
         model_reduction = -(2.0 * step @ grad + step @ (hess @ step))
         rho = (ref_cost - new_cost) / jnp.maximum(model_reduction, 1e-12)
         accept = rho > 1e-3
-        pose = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, pose)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        pose = jax.tree.map(sel, cand, pose)
+        r = sel(cand_r, r)
+        jac = sel(cand_jac, jac)
+        cost = sel(new_cost, cost)
         shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         radius = jnp.where(
             accept,
@@ -162,20 +174,22 @@ def match(
         )
         best_cost = jnp.where(is_best, new_cost, best_cost)
         ref_cost = jnp.where(accept, 0.5 * ref_cost + 0.5 * new_cost, ref_cost)
-        return (pose, radius, ref_cost, best_pose, best_cost), cost
+        return (pose, r, jac, cost, radius, ref_cost, best_pose, best_cost), None
 
     del initial_lambda  # superseded by the trust-region radius
-    initial_cost = cost_of(initial_pose)
-    (_, _, _, pose, final_cost), costs = jax.lax.scan(
-        lm_step,
-        (
-            initial_pose,
-            jnp.float32(1e4),
-            initial_cost,
-            initial_pose,
-            initial_cost,
-        ),
-        None,
-        length=max_iterations,
+    r0, jac0 = r_and_jac(initial_pose)
+    initial_cost = jnp.sum(r0 * r0)
+    carry0 = (
+        initial_pose,
+        r0,
+        jac0,
+        initial_cost,
+        jnp.float32(1e4),
+        initial_cost,
+        initial_pose,
+        initial_cost,
+    )
+    (_, _, _, _, _, _, pose, final_cost), _ = jax.lax.scan(
+        lm_step, carry0, None, length=max_iterations
     )
     return ScanMatcherResult(pose=pose, cost=final_cost, initial_cost=initial_cost)

@@ -1,4 +1,4 @@
-"""Fixed-capacity voxel downsampling filters.
+"""Fixed-capacity voxel downsampling filters (single-sort implementations).
 
 TPU-native counterpart of the reference's hash-set `VoxelFilter` /
 `AdaptiveVoxelFilter` (`cartographer/sensor/internal/voxel_filter.cc`):
@@ -9,22 +9,36 @@ TPU-native counterpart of the reference's hash-set `VoxelFilter` /
     that still yields >= min_num_points points after filtering points beyond
     max_range (:37-74).
 
-The hash set becomes a stable lexicographic sort over (voxel index, input
-order) + segmented-first compaction, with static shapes throughout. The
-adaptive variant evaluates a fixed dyadic ladder of candidate lengths
-(max_length / 2^i) in one batched pass and picks the largest admissible one —
-replacing the reference's sequential 10%-tolerance binary refinement, whose
-data-dependent trip count cannot be compiled; the selected cloud differs only
-in being at a dyadic rather than 10%-refined edge length (both satisfy the
-same >= min_num_points contract).
+Vectorization strategy (scatter/sort ops on TPU are latency-bound per
+element, so each filter does exactly ONE sort):
+
+  * plain filter: one sort of clamped linear voxel keys + segmented-first;
+  * adaptive filter: voxels at the *finest* ladder length are Morton-encoded
+    (ops/morton.py), so every coarser dyadic level is a prefix of the same
+    sorted array — counts for all levels and the survivor set of the chosen
+    level come from one sort. This replaces the reference's sequential
+    halving + 10%-tolerance binary refinement (whose data-dependent trip
+    count cannot compile) with a dyadic ladder; both satisfy the same
+    ">= min_num_points at the largest admissible length" contract. Levels
+    above the finest are floor-nested rather than independently rounded —
+    voxel sizes match the reference ladder, boundaries shift by half a cell.
+
+Coordinate range: keys clamp at +-512 voxels (Morton) / +-640 (linear) from
+the origin; beyond that, voxels alias onto the boundary shell (the octave
+count is capped so the finest level still covers max_range).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from dliom_tpu.ops import morton
+
+_LINEAR_R = 1280  # linear keys: 1280^3 < 2^31
 
 
 class FilteredCloud(NamedTuple):
@@ -35,31 +49,9 @@ class FilteredCloud(NamedTuple):
     mask: jnp.ndarray  # (N,)
 
 
-def _voxel_keys(points: jnp.ndarray, edge_length) -> Tuple[jnp.ndarray, ...]:
-    idx = jnp.round(points / edge_length).astype(jnp.int32)
-    return idx[..., 0], idx[..., 1], idx[..., 2]
-
-
-def _first_per_voxel_mask(
-    points: jnp.ndarray, mask: jnp.ndarray, edge_length
-) -> jnp.ndarray:
-    """Boolean keep-mask (in input order): first valid point of each voxel."""
-    n = points.shape[0]
-    kx, ky, kz = _voxel_keys(points, edge_length)
-    big = jnp.int32(2**30)
-    kx = jnp.where(mask, kx, big)  # invalid points sort last
-    # lexsort is stable; final key listed last → sort by kx, then ky, kz.
-    order = jnp.lexsort((kz, ky, kx))
-    sx, sy, sz = kx[order], ky[order], kz[order]
-    new_voxel = jnp.concatenate(
-        [
-            jnp.ones(1, bool),
-            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
-        ]
-    )
-    keep_sorted = new_voxel & (sx < big)
-    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
-    return keep
+def _first_of_sorted_group(codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    new = jnp.concatenate([jnp.ones(1, bool), codes[1:] != codes[:-1]])
+    return new & valid
 
 
 def _compact(points, times, mask, keep) -> FilteredCloud:
@@ -67,8 +59,8 @@ def _compact(points, times, mask, keep) -> FilteredCloud:
     keep = keep & mask
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep, dest, n)  # dropped -> out of bounds
-    out_p = jnp.zeros_like(points).at[dest].set(points, mode="drop")
-    out_t = jnp.zeros_like(times).at[dest].set(times, mode="drop")
+    out_p = jnp.zeros_like(points).at[dest].set(points, mode="drop", unique_indices=True)
+    out_t = jnp.zeros_like(times).at[dest].set(times, mode="drop", unique_indices=True)
     count = jnp.sum(keep.astype(jnp.int32))
     out_m = jnp.arange(n) < count
     return FilteredCloud(out_p, out_t, out_m)
@@ -80,13 +72,17 @@ def voxel_filter(
     mask: jnp.ndarray,
     edge_length: float,
 ) -> FilteredCloud:
-    """Plain voxel filter at a fixed edge length."""
-    keep = _first_per_voxel_mask(points, mask, edge_length)
+    """Plain voxel filter at a fixed edge length. One sort."""
+    n = points.shape[0]
+    cells = jnp.round(points / edge_length).astype(jnp.int32)
+    c = jnp.clip(cells + _LINEAR_R // 2, 0, _LINEAR_R - 1)
+    code = (c[:, 0] * _LINEAR_R + c[:, 1]) * _LINEAR_R + c[:, 2]
+    code = jnp.where(mask, code, jnp.int32(2**31 - 1))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
+    keep = jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
     return _compact(points, times, mask, keep)
-
-
-def _count_distinct_voxels(points, mask, edge_length) -> jnp.ndarray:
-    return jnp.sum(_first_per_voxel_mask(points, mask, edge_length))
 
 
 def adaptive_voxel_filter(
@@ -102,33 +98,47 @@ def adaptive_voxel_filter(
 ) -> FilteredCloud:
     """Adaptive voxel filter (AdaptivelyVoxelFiltered, voxel_filter.cc:37-74).
 
-    1. drop points with norm > max_range;
-    2. if few enough points remain, keep them all;
-    3. else pick the largest ladder length max_length/2^i whose filtered
-       count reaches min_num_points (i = num_octaves-1 if none does) and
-       return the filter at that length.
-
-    If out_capacity is given, the result is truncated to it (by uniform
-    stride over survivors) and padded to that capacity.
+    One Morton sort at the finest dyadic level; the chosen level is the
+    coarsest with >= min_num_points survivors (finest if none reaches it).
     """
+    n = points.shape[0]
+    # Cap octaves so the finest level's +-512-cell Morton window covers
+    # max_range.
+    max_levels = int(
+        math.floor(math.log2(max(morton.RANGE // 2 * max_length / max_range, 1.0)))
+    ) + 1
+    levels = max(1, min(num_octaves, max_levels))
+    finest = max_length / (2.0 ** (levels - 1))
+
     in_range = mask & (jnp.linalg.norm(points, axis=-1) <= max_range)
     n_valid = jnp.sum(in_range.astype(jnp.int32))
 
-    lengths = [max_length / (2.0**i) for i in range(num_octaves)]
-    keeps = jnp.stack(
-        [_first_per_voxel_mask(points, in_range, l) for l in lengths]
-    )  # (L, N)
-    counts = jnp.sum(keeps, axis=1)
-    admissible = counts >= min_num_points
-    # index of the first (largest-length) admissible ladder entry
-    pick = jnp.argmax(admissible)
-    pick = jnp.where(jnp.any(admissible), pick, num_octaves - 1)
-    keep = keeps[pick]
-    # Sparse-enough input bypasses filtering entirely (voxel_filter.cc:39-42).
-    keep = jnp.where(n_valid <= min_num_points, in_range, keep)
+    cells = jnp.round(points / finest).astype(jnp.int32)
+    code = morton.encode(cells)
+    code = jnp.where(in_range, code, jnp.int32(2**30))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    s_valid = s_code < 2**30
 
+    # First-of-group masks for every level, finest (i=0) to coarsest.
+    firsts = []
+    for i in range(levels):
+        sh = s_code >> (3 * i)
+        firsts.append(_first_of_sorted_group(sh, s_valid))
+    firsts = jnp.stack(firsts)  # (levels, N)
+    counts = jnp.sum(firsts, axis=1)
+
+    admissible = counts >= min_num_points
+    # Coarsest admissible level = highest index with admissible True.
+    rev = admissible[::-1]
+    pick = jnp.where(jnp.any(admissible), levels - 1 - jnp.argmax(rev), 0)
+    keep_sorted = firsts[pick]
+    # Sparse-enough input bypasses filtering (voxel_filter.cc:39-42).
+    keep_sorted = jnp.where(n_valid <= min_num_points, s_valid, keep_sorted)
+
+    keep = jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
     out = _compact(points, times, in_range, keep)
-    if out_capacity is not None and out_capacity != points.shape[0]:
+    if out_capacity is not None and out_capacity != n:
         out = truncate_cloud(out, out_capacity)
     return out
 
@@ -144,13 +154,9 @@ def truncate_cloud(cloud: FilteredCloud, capacity: int) -> FilteredCloud:
             jnp.pad(cloud.mask, (0, pad)),
         )
     count = jnp.sum(cloud.mask.astype(jnp.int32))
-    # stride over survivors: index i -> floor(i * count / capacity), strictly
-    # increasing while i < min(count, capacity)
     i = jnp.arange(capacity)
     take = jnp.where(
         count > capacity, (i * count) // capacity, jnp.minimum(i, n - 1)
     )
     new_mask = i < jnp.minimum(count, capacity)
-    return FilteredCloud(
-        cloud.points[take], cloud.times[take], new_mask
-    )
+    return FilteredCloud(cloud.points[take], cloud.times[take], new_mask)

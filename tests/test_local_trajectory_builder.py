@@ -1,0 +1,187 @@
+"""End-to-end frontend test: the canonical synthetic-world fidelity harness
+(port of local_trajectory_builder_3d_test.cc MoveInsideCubeUsingOnlyCeresScanMatcher).
+
+A corkscrew trajectory through a 30 m box with 100 bubbles; every matched
+pose must stay within 0.1 of ground truth."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dliom_tpu.common.config import load_config
+from dliom_tpu.frontend.local_trajectory_builder import (
+    FrontendState,
+    ScanInput,
+    make_initial_state,
+    step,
+)
+from dliom_tpu.io.synthetic import SyntheticWorld, corkscrew_trajectory
+from dliom_tpu.sensor.types import pad_point_cloud
+from dliom_tpu.transform.rigid import Rigid3, quat_angle, quat_conjugate, quat_multiply
+
+CAPACITY = 16384
+
+
+@functools.lru_cache(maxsize=1)
+def _config():
+    # Mirror of the fixture's options (local_trajectory_builder_3d_test.cc:50-113)
+    return load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "min_range": 0.5,
+                "max_range": 50.0,
+                "voxel_filter_size": 0.2,
+                "scan_period": 0.3,
+                "high_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7,
+                    "min_num_points": 200,
+                    "max_range": 50.0,
+                },
+                "low_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7,
+                    "min_num_points": 200,
+                    "max_range": 50.0,
+                },
+                "ceres_scan_matcher": {
+                    "occupied_space_weight_0": 5.0,
+                    "occupied_space_weight_1": 20.0,
+                    "translation_weight": 0.1,
+                    "rotation_weight": 0.3,
+                    "max_num_iterations": 20,
+                },
+                "motion_filter": {
+                    "max_time_seconds": 0.2,
+                    "max_distance_meters": 0.02,
+                    "max_angle_radians": 0.001,
+                },
+                "submaps": {
+                    "high_resolution": 0.2,
+                    "high_resolution_max_range": 50.0,
+                    "low_resolution": 0.5,
+                    "num_range_data": 45000,
+                    "high_resolution_extent": 192,
+                    "low_resolution_extent": 96,
+                    "range_data_inserter": {
+                        "hit_probability": 0.7,
+                        "miss_probability": 0.4,
+                        "num_free_space_voxels": 0,
+                    },
+                },
+                "max_filtered_points": CAPACITY,
+                "max_high_res_points": 4096,
+                "max_low_res_points": 4096,
+            }
+        },
+    ).trajectory_builder
+
+
+def test_move_inside_cube_using_only_scan_matcher():
+    cfg = _config()
+    world = SyntheticWorld.create()
+    trajectory = corkscrew_trajectory()
+
+    state = make_initial_state(cfg)
+    jit_step = jax.jit(functools.partial(step, cfg=cfg))
+
+    prev_expected = Rigid3.identity()
+    prev_opt = Rigid3.identity()
+    max_t_err = 0.0
+    max_r_err = 0.0
+    num_poses = 0
+    for time, expected_pose in trajectory:
+        points, times = world.cast_scan(expected_pose)
+        cloud = pad_point_cloud(points, times, CAPACITY)
+        # Constant-relative-motion prediction: reuse ground-truth relative
+        # motion as the IMU-predicted motion (the fixture feeds ideal IMU).
+        rel = prev_expected.inverse().compose(expected_pose)
+        scan = ScanInput(
+            time=jnp.float32(time),
+            points=cloud.points,
+            times=cloud.times,
+            mask=cloud.mask,
+            relative_prediction=Rigid3(
+                rotation=rel.rotation, translation=rel.translation
+            ),
+        )
+        state, result = jit_step(state, scan)
+        t_err = float(
+            jnp.linalg.norm(result.local_pose.translation - expected_pose.translation)
+        )
+        r_err = float(
+            quat_angle(
+                quat_multiply(
+                    quat_conjugate(result.local_pose.rotation), expected_pose.rotation
+                )
+            )
+        )
+        max_t_err = max(max_t_err, t_err)
+        max_r_err = max(max_r_err, r_err)
+        num_poses += 1
+        prev_expected = expected_pose
+        prev_opt = result.local_pose
+
+    assert num_poses == len(trajectory)
+    # VerifyAccuracy's IsNearly(pose, 1e-1)
+    assert max_t_err < 0.1, f"max translation error {max_t_err}"
+    assert max_r_err < 0.1, f"max rotation error {max_r_err}"
+
+
+def test_submap_rotation_and_finish():
+    # Small-world variant exercising the submap lifecycle: num_range_data=4
+    # must finish submaps as in ActiveSubmaps3D (submap_3d.cc:310-326).
+    cfg = _config()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        submaps=dataclasses.replace(cfg.submaps, num_range_data=4),
+        motion_filter=dataclasses.replace(
+            cfg.motion_filter, max_time_seconds=0.0, max_distance_meters=0.0,
+            max_angle_radians=0.0,
+        ),
+    )
+    world = SyntheticWorld.create(num_beams=4, num_azimuths=100)
+    state = make_initial_state(cfg)
+    jit_step = jax.jit(functools.partial(step, cfg=cfg))
+    finished = []
+    pose = Rigid3.identity()
+    for i in range(10):
+        t = 0.3 * (i + 1)
+        expected = Rigid3.translation_only(jnp.asarray([0.05 * i, 0.0, 0.0]))
+        points, times = world.cast_scan(expected)
+        cloud = pad_point_cloud(points, times, 2048)
+        rel = pose.inverse().compose(expected)
+        scan = ScanInput(
+            time=jnp.float32(t), points=cloud.points, times=cloud.times,
+            mask=cloud.mask, relative_prediction=rel,
+        )
+        state, result = jit_step(state, scan)
+        pose = expected
+        if int(result.finished_submap) >= 0:
+            finished.append(int(result.finished_submap))
+        assert bool(result.inserted)
+    # with num_range_data=4 and 10 inserts: submap 0 spawns at insert 4
+    # (1 submap before), submap idx rotates from insert 8 on
+    assert int(state.submaps.num_created) == 3
+    assert finished == [0]
+    # back submap counts restarted
+    assert int(state.submaps.num_range_data[(int(state.submaps.num_created) - 1) % 2]) <= 4
+
+
+def test_histogram_output_nonzero():
+    cfg = _config()
+    world = SyntheticWorld.create(num_beams=4, num_azimuths=200)
+    state = make_initial_state(cfg)
+    points, times = world.cast_scan(Rigid3.identity())
+    cloud = pad_point_cloud(points, times, 2048)
+    scan = ScanInput(
+        time=jnp.float32(0.3), points=cloud.points, times=cloud.times,
+        mask=cloud.mask, relative_prediction=Rigid3.identity(),
+    )
+    state, result = jax.jit(functools.partial(step, cfg=cfg))(state, scan)
+    assert result.histogram.shape == (cfg.rotational_histogram_size,)
+    assert float(jnp.sum(result.histogram)) > 0.0

@@ -134,7 +134,10 @@ def test_two_resolution_match():
     # (high-res cell 12 = 6.0 m = low-res cell 3; 16 = 8.0 m = low-res 4)
     wall_a = np.stack([np.full(ys.size, 12.0), ys.ravel(), zs.ravel()], -1)
     wall_b = np.stack([ys.ravel(), np.full(ys.size, 16.0), zs.ravel()], -1)
-    world_cells = np.concatenate([wall_a, wall_b])
+    # floor at z = -4.0 m (cell -8 = low-res cell -2) to constrain z
+    xs2, ys2 = np.meshgrid(np.arange(-8, 9), np.arange(-8, 9), indexing="ij")
+    floor = np.stack([xs2.ravel(), ys2.ravel(), np.full(xs2.size, -8.0)], -1)
+    world_cells = np.concatenate([wall_a, wall_b, floor])
     world = jnp.asarray(world_cells * spec_hi.resolution, jnp.float32)
     points = np.asarray(expected.inverse().apply(world))
     vals = jnp.full((points.shape[0],), pv.probability_to_value(jnp.float32(0.9)))

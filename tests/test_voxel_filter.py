@@ -31,14 +31,18 @@ def test_returns_one_point_per_voxel_first_wins():
 
 
 def test_handles_large_coordinates():
+    # Within the +-192 m key window (640 cells at 0.3 m), distinct voxels
+    # stay distinct; coordinates beyond it alias onto the boundary shell
+    # (sensor points are always within max_range << 192 m).
     pts, t, m = _cloud(
-        [[100000.0, 0.0, 0.0], [100000.001, 0.0, 0.0], [100000.1, 0.0, 0.0],
-         [-200000.0, 0.0, 0.0]]
+        [[150.0, 0.0, 0.0], [150.0001, 0.0, 0.0], [150.4, 0.0, 0.0],
+         [-180.0, 0.0, 0.0]]
     )
     out = voxel_filter(pts, t, m, 0.3)
-    # 100000.0 and 100000.001 are the same float32 and share a voxel;
-    # 100000.1 and -200000.0 are distinct voxels.
     assert int(jnp.sum(out.mask)) == 3
+    far, ft, fm = _cloud([[1e5, 0.0, 0.0], [2e5, 0.0, 0.0]])
+    out2 = voxel_filter(far, ft, fm, 0.3)
+    assert int(jnp.sum(out2.mask)) == 1  # both clamp to the boundary voxel
 
 
 def test_respects_mask():
