@@ -82,10 +82,13 @@ def step(
     state: FrontendState,
     scan: ScanInput,
     cfg: TrajectoryBuilderConfig,
+    fuse_fn=None,
 ) -> tuple[FrontendState, ScanResult]:
-    """One frontend scan in `predict_only` mode: the pose prediction comes
-    from `scan.relative_prediction` (IMU window fusion plugs in upstream of
-    this in the full pipeline)."""
+    """One frontend scan. Without `fuse_fn` the matched pose is the output
+    (predict-only slice mode). With `fuse_fn(pose_estimate) -> (opt_pose,
+    aux)` the tightly-coupled stage (WindowOptimize,
+    local_trajectory_builder_3d.cc:555-557) runs between matching and
+    insertion; `aux` is returned alongside the ScanResult."""
     hi_spec, lo_spec = grid_specs(cfg.submaps)
     prev_pose = state.pose
     prediction = prev_pose.compose(scan.relative_prediction)
@@ -173,9 +176,12 @@ def step(
     )
     pose_estimate = submap_pose.compose(result.pose)
 
-    # 7. Slice mode: matched pose is the optimized pose (WindowOptimize is
-    #    the IMU-fusion stage layered on top in imu/window_optimizer.py).
-    opt_pose = pose_estimate
+    # 7. Fusion stage: either pass the matched pose through (slice mode) or
+    #    run the tightly-coupled window optimizer via fuse_fn.
+    if fuse_fn is None:
+        opt_pose, fuse_aux = pose_estimate, None
+    else:
+        opt_pose, fuse_aux = fuse_fn(pose_estimate)
     gravity_alignment = opt_pose.rotation
 
     # Re-express the filtered cloud under the optimized pose (the reference
@@ -218,7 +224,7 @@ def step(
         motion_filter=new_mf,
         scan_index=state.scan_index + 1,
     )
-    return new_state, ScanResult(
+    result_out = ScanResult(
         time=scan.time,
         local_pose=opt_pose,
         inserted=insert,
@@ -227,6 +233,9 @@ def step(
         num_hits=jnp.sum(filtered.mask.astype(jnp.int32)),
         histogram=hist,
     )
+    if fuse_fn is None:
+        return new_state, result_out
+    return new_state, (result_out, fuse_aux)
 
 
 def run_sequence(

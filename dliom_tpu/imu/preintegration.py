@@ -1,0 +1,229 @@
+"""IMU preintegration with midpoint integration and full 15x15 covariance.
+
+TPU-native counterpart of the reference's VINS-Mono `IntegrationBase`
+(`cartographer/mapping/internal/3d/initialization/integration_base.h`,
+`midPointIntegration` :156-265) which D-LIOM uses for dynamic initialization,
+and of the GTSAM `PreintegratedImuMeasurements` driving the window optimizer
+(AddImuData, local_trajectory_builder_3d.cc:180-195) — one midpoint
+preintegrator serves both roles here.
+
+State ordering of the 15-dof error state (VINS O_P/O_R/O_V/O_BA/O_BG):
+[delta_p (0:3), delta_theta (3:6), delta_v (6:9), d_ba (9:12), d_bg (12:15)].
+
+All integration is a `lax.scan` over a fixed-capacity batch of samples with a
+validity mask, so the per-scan IMU bridge compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dliom_tpu.common.config import ImuConfig
+from dliom_tpu.transform.rigid import (
+    Rigid3,
+    quat_from_axis_angle,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    quat_to_rotation_matrix,
+    so3_hat,
+)
+
+
+class Preintegrated(NamedTuple):
+    """Preintegrated IMU measurement between two keys."""
+
+    delta_p: jnp.ndarray  # (3,)
+    delta_q: jnp.ndarray  # (4,) wxyz
+    delta_v: jnp.ndarray  # (3,)
+    jacobian: jnp.ndarray  # (15, 15) d(state)/d(state0 incl. biases)
+    covariance: jnp.ndarray  # (15, 15)
+    dt: jnp.ndarray  # () total time
+    ba: jnp.ndarray  # (3,) linearization accel bias
+    bg: jnp.ndarray  # (3,) linearization gyro bias
+    acc0: jnp.ndarray  # (3,) last accepted sample (midpoint partner)
+    gyr0: jnp.ndarray  # (3,)
+    count: jnp.ndarray  # () int32 number of samples integrated
+
+
+def make_preintegrated(
+    ba: jnp.ndarray, bg: jnp.ndarray, acc0: jnp.ndarray, gyr0: jnp.ndarray
+) -> Preintegrated:
+    return Preintegrated(
+        delta_p=jnp.zeros(3, jnp.float32),
+        delta_q=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        delta_v=jnp.zeros(3, jnp.float32),
+        jacobian=jnp.eye(15, dtype=jnp.float32),
+        covariance=jnp.zeros((15, 15), jnp.float32),
+        dt=jnp.float32(0.0),
+        ba=jnp.asarray(ba, jnp.float32),
+        bg=jnp.asarray(bg, jnp.float32),
+        acc0=jnp.asarray(acc0, jnp.float32),
+        gyr0=jnp.asarray(gyr0, jnp.float32),
+        count=jnp.int32(0),
+    )
+
+
+def noise_matrix(cfg: ImuConfig) -> jnp.ndarray:
+    """18x18 process noise (integration_base.h IMUNoise ctor :18-33):
+    blocks [acc_n, gyr_n, acc_n, gyr_n, ba_w, bg_w] squared."""
+    d = jnp.asarray(
+        [cfg.acc_noise] * 3
+        + [cfg.gyr_noise] * 3
+        + [cfg.acc_noise] * 3
+        + [cfg.gyr_noise] * 3
+        + [cfg.acc_bias_noise] * 3
+        + [cfg.gyr_bias_noise] * 3,
+        jnp.float32,
+    )
+    return jnp.diag(d * d)
+
+
+def _midpoint_step(pre: Preintegrated, dt, acc1, gyr1, noise) -> Preintegrated:
+    """One midPointIntegration step (integration_base.h:173-265)."""
+    ba, bg = pre.ba, pre.bg
+    un_gyr = 0.5 * (pre.gyr0 + gyr1) - bg
+    dq_step = quat_from_axis_angle(un_gyr * dt)
+    new_dq = quat_normalize(quat_multiply(pre.delta_q, dq_step))
+
+    un_acc_0 = quat_rotate(pre.delta_q, pre.acc0 - ba)
+    un_acc_1 = quat_rotate(new_dq, acc1 - ba)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+    new_dp = pre.delta_p + pre.delta_v * dt + 0.5 * un_acc * dt * dt
+    new_dv = pre.delta_v + un_acc * dt
+
+    # 15x15 error-state transition F and 15x18 noise mapping V
+    # (integration_base.h:191-240).
+    r0 = quat_to_rotation_matrix(pre.delta_q)
+    r1 = quat_to_rotation_matrix(new_dq)
+    rwx = so3_hat(un_gyr)
+    ra0 = so3_hat(pre.acc0 - ba)
+    ra1 = so3_hat(acc1 - ba)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    f = jnp.zeros((15, 15), jnp.float32)
+    f = f.at[0:3, 0:3].set(eye3)
+    f = f.at[0:3, 3:6].set(
+        -0.25 * r0 @ ra0 * dt * dt
+        + -0.25 * r1 @ ra1 @ (eye3 - rwx * dt) * dt * dt
+    )
+    f = f.at[0:3, 6:9].set(eye3 * dt)
+    f = f.at[0:3, 9:12].set(-0.25 * (r0 + r1) * dt * dt)
+    f = f.at[0:3, 12:15].set(0.25 * r1 @ ra1 * dt * dt * dt)
+    f = f.at[3:6, 3:6].set(eye3 - rwx * dt)
+    f = f.at[3:6, 12:15].set(-eye3 * dt)
+    f = f.at[6:9, 3:6].set(
+        -0.5 * r0 @ ra0 * dt + -0.5 * r1 @ ra1 @ (eye3 - rwx * dt) * dt
+    )
+    f = f.at[6:9, 6:9].set(eye3)
+    f = f.at[6:9, 9:12].set(-0.5 * (r0 + r1) * dt)
+    f = f.at[6:9, 12:15].set(0.5 * r1 @ ra1 * dt * dt)
+    f = f.at[9:12, 9:12].set(eye3)
+    f = f.at[12:15, 12:15].set(eye3)
+
+    v = jnp.zeros((15, 18), jnp.float32)
+    v = v.at[0:3, 0:3].set(0.25 * r0 * dt * dt)
+    v03 = -0.125 * r1 @ ra1 * dt * dt * dt
+    v = v.at[0:3, 3:6].set(v03)
+    v = v.at[0:3, 6:9].set(0.25 * r1 * dt * dt)
+    v = v.at[0:3, 9:12].set(v03)
+    v = v.at[3:6, 3:6].set(0.5 * eye3 * dt)
+    v = v.at[3:6, 9:12].set(0.5 * eye3 * dt)
+    v = v.at[6:9, 0:3].set(0.5 * r0 * dt)
+    v63 = -0.25 * r1 @ ra1 * dt * dt
+    v = v.at[6:9, 3:6].set(v63)
+    v = v.at[6:9, 6:9].set(0.5 * r1 * dt)
+    v = v.at[6:9, 9:12].set(v63)
+    v = v.at[9:12, 12:15].set(eye3 * dt)
+    v = v.at[12:15, 15:18].set(eye3 * dt)
+
+    return pre._replace(
+        delta_p=new_dp,
+        delta_q=new_dq,
+        delta_v=new_dv,
+        jacobian=f @ pre.jacobian,
+        covariance=f @ pre.covariance @ f.T + v @ noise @ v.T,
+        dt=pre.dt + dt,
+        acc0=acc1,
+        gyr0=gyr1,
+        count=pre.count + 1,
+    )
+
+
+def integrate(
+    pre: Preintegrated,
+    dts: jnp.ndarray,  # (M,)
+    accs: jnp.ndarray,  # (M, 3)
+    gyrs: jnp.ndarray,  # (M, 3)
+    mask: jnp.ndarray,  # (M,)
+    noise: jnp.ndarray,  # (18, 18)
+) -> Preintegrated:
+    """Integrate a masked batch of samples (propagate, :266-292)."""
+
+    def body(p, x):
+        dt, acc, gyr, ok = x
+        new = _midpoint_step(p, dt, acc, gyr, noise)
+        out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, p)
+        return out, None
+
+    out, _ = jax.lax.scan(body, pre, (dts, accs, gyrs, mask))
+    return out
+
+
+class NavState(NamedTuple):
+    """World-frame navigation state (gtsam::NavState analog)."""
+
+    rotation: jnp.ndarray  # (4,) wxyz, body->world
+    position: jnp.ndarray  # (3,)
+    velocity: jnp.ndarray  # (3,)
+
+    @property
+    def pose(self) -> Rigid3:
+        return Rigid3(self.rotation, self.position)
+
+    @staticmethod
+    def identity() -> "NavState":
+        return NavState(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+            jnp.zeros(3, jnp.float32),
+            jnp.zeros(3, jnp.float32),
+        )
+
+
+def predict(state: NavState, pre: Preintegrated, gravity: float) -> NavState:
+    """Forward prediction (gtsam PreintegratedImuMeasurements::predict):
+    world gravity g = (0, 0, -gravity)."""
+    g = jnp.asarray([0.0, 0.0, -gravity], jnp.float32)
+    dt = pre.dt
+    rot = state.rotation
+    return NavState(
+        rotation=quat_normalize(quat_multiply(rot, pre.delta_q)),
+        position=state.position
+        + state.velocity * dt
+        + 0.5 * g * dt * dt
+        + quat_rotate(rot, pre.delta_p),
+        velocity=state.velocity + g * dt + quat_rotate(rot, pre.delta_v),
+    )
+
+
+def bias_corrected_deltas(
+    pre: Preintegrated, ba: jnp.ndarray, bg: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """First-order bias-corrected (delta_p, delta_q, delta_v)
+    (integration_base.h evaluate())."""
+    dba = ba - pre.ba
+    dbg = bg - pre.bg
+    dp_dba = pre.jacobian[0:3, 9:12]
+    dp_dbg = pre.jacobian[0:3, 12:15]
+    dq_dbg = pre.jacobian[3:6, 12:15]
+    dv_dba = pre.jacobian[6:9, 9:12]
+    dv_dbg = pre.jacobian[6:9, 12:15]
+    corrected_p = pre.delta_p + dp_dba @ dba + dp_dbg @ dbg
+    corrected_v = pre.delta_v + dv_dba @ dba + dv_dbg @ dbg
+    corrected_q = quat_normalize(
+        quat_multiply(pre.delta_q, quat_from_axis_angle(dq_dbg @ dbg))
+    )
+    return corrected_p, corrected_q, corrected_v

@@ -1,0 +1,182 @@
+"""Full tightly-coupled LIO pipeline test: synthetic bubbles world +
+corkscrew trajectory + consistent simulated IMU (BASELINE config #2 — the
+complete LocalTrajectoryBuilder3D equivalent)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.common.config import load_config
+from dliom_tpu.frontend.lio import LioScanInput, lio_step, make_lio_state
+from dliom_tpu.imu import preintegration as pre
+from dliom_tpu.imu.initialization import static_initialize
+from dliom_tpu.io.synthetic import SyntheticWorld, corkscrew_trajectory
+from dliom_tpu.sensor.types import pad_point_cloud
+from dliom_tpu.transform.rigid import (
+    Rigid3,
+    quat_conjugate,
+    quat_inverse_rotate,
+    quat_multiply,
+    quat_slerp,
+    quat_to_axis_angle,
+    quat_angle,
+)
+
+G = 9.80511
+CAPACITY = 16384
+IMU_CAP = 64
+IMU_RATE = 100.0
+
+
+def _config():
+    return load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "min_range": 0.5,
+                "max_range": 50.0,
+                "voxel_filter_size": 0.2,
+                "scan_period": 0.3,
+                "enable_gravity_factor": False,
+                "high_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7, "min_num_points": 200, "max_range": 50.0,
+                },
+                "low_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7, "min_num_points": 200, "max_range": 50.0,
+                },
+                "ceres_scan_matcher": {
+                    "occupied_space_weight_0": 5.0,
+                    "occupied_space_weight_1": 20.0,
+                    "translation_weight": 0.1,
+                    "rotation_weight": 0.3,
+                    "max_num_iterations": 15,
+                },
+                "motion_filter": {
+                    "max_time_seconds": 0.2,
+                    "max_distance_meters": 0.02,
+                    "max_angle_radians": 0.001,
+                },
+                "imu": {
+                    "ceres_pose_noise_t": 0.05,
+                    "ceres_pose_noise_r": 0.05,
+                    "prior_vel_noise": 0.5,
+                    "prior_bias_noise": 0.05,
+                },
+                "submaps": {
+                    "high_resolution": 0.2,
+                    "high_resolution_max_range": 50.0,
+                    "low_resolution": 0.5,
+                    "num_range_data": 45000,
+                    "high_resolution_extent": 192,
+                    "low_resolution_extent": 96,
+                    "range_data_inserter": {
+                        "hit_probability": 0.7,
+                        "miss_probability": 0.4,
+                        "num_free_space_voxels": 0,
+                    },
+                },
+                "max_filtered_points": CAPACITY,
+                "max_high_res_points": 2048,
+                "max_low_res_points": 2048,
+                "max_imu_per_scan": IMU_CAP,
+                "window_size": 6,
+                "gn_iterations": 6,
+            }
+        },
+    ).trajectory_builder
+
+
+def _imu_between(pose_a: Rigid3, pose_b: Rigid3, v_a, v_b, dt_total):
+    """Synthesize consistent IMU samples between two trajectory poses:
+    constant body rate + constant world acceleration over the interval."""
+    n = int(round(dt_total * IMU_RATE))
+    n = max(n, 2)
+    sub = dt_total / n
+    dq = quat_multiply(quat_conjugate(pose_a.rotation), pose_b.rotation)
+    omega = quat_to_axis_angle(dq) / dt_total  # body rate (constant)
+    a_world = (v_b - v_a) / dt_total
+    g_world = jnp.asarray([0.0, 0.0, -G])
+    dts, accs, gyrs = [], [], []
+    for i in range(n):
+        s = (i + 0.5) / n
+        q_t = quat_slerp(pose_a.rotation, pose_b.rotation, jnp.float32(s))
+        a_meas = quat_inverse_rotate(q_t, a_world - g_world)
+        dts.append(sub)
+        accs.append(np.asarray(a_meas))
+        gyrs.append(np.asarray(omega))
+    dts = np.asarray(dts, np.float32)
+    accs = np.asarray(accs, np.float32)
+    gyrs = np.asarray(gyrs, np.float32)
+    pad = IMU_CAP - n
+    return (
+        jnp.asarray(np.pad(dts, (0, pad))),
+        jnp.asarray(np.pad(accs, ((0, pad), (0, 0)))),
+        jnp.asarray(np.pad(gyrs, ((0, pad), (0, 0)))),
+        jnp.asarray(np.arange(IMU_CAP) < n),
+    )
+
+
+def test_lio_corkscrew():
+    cfg = _config()
+    world = SyntheticWorld.create()
+    traj = corkscrew_trajectory()
+
+    # ground-truth velocities by centered finite differences
+    times = np.asarray([t for t, _ in traj])
+    positions = np.stack([np.asarray(p.translation) for _, p in traj])
+    vels = np.zeros_like(positions)
+    vels[1:-1] = (positions[2:] - positions[:-2]) / (
+        times[2:, None] - times[:-2, None]
+    )
+    vels[-1] = (positions[-1] - positions[-2]) / (times[-1] - times[-2])
+
+    # Static initialization from the first resting scans (InitializeStatic):
+    # level IMU measuring +g up, zero rates.
+    n_static = 50
+    accs0 = jnp.tile(jnp.asarray([0.0, 0.0, G]), (n_static, 1))
+    gyrs0 = jnp.zeros((n_static, 3))
+    rot0, ba0, bg0 = static_initialize(accs0, gyrs0, jnp.ones(n_static, bool), G)
+    state = make_lio_state(cfg, pre.NavState(rot0, jnp.zeros(3), jnp.zeros(3)), ba0, bg0)
+
+    jit_step = jax.jit(functools.partial(lio_step, cfg=cfg))
+
+    prev_pose = Rigid3.identity()
+    prev_t = 0.0
+    max_t_err = 0.0
+    max_r_err = 0.0
+    any_failed = False
+    for k, (t, pose) in enumerate(traj):
+        pts, ptimes = world.cast_scan(pose)
+        cloud = pad_point_cloud(pts, ptimes, CAPACITY)
+        dts, accs, gyrs, imask = _imu_between(
+            prev_pose, pose, jnp.asarray(vels[max(k - 1, 0)]), jnp.asarray(vels[k]),
+            t - prev_t if k > 0 else 0.3,
+        )
+        inp = LioScanInput(
+            time=jnp.float32(t), points=cloud.points, times=cloud.times,
+            mask=cloud.mask, imu_dts=dts, imu_acc=accs, imu_gyr=gyrs,
+            imu_mask=imask,
+        )
+        state, res = jit_step(state, inp)
+        t_err = float(
+            jnp.linalg.norm(res.scan.local_pose.translation - pose.translation)
+        )
+        r_err = float(
+            quat_angle(
+                quat_multiply(
+                    quat_conjugate(res.scan.local_pose.rotation), pose.rotation
+                )
+            )
+        )
+        max_t_err = max(max_t_err, t_err)
+        max_r_err = max(max_r_err, r_err)
+        any_failed = any_failed or bool(res.failed)
+        prev_pose, prev_t = pose, t
+
+    assert not any_failed
+    assert max_t_err < 0.1, f"max translation error {max_t_err}"
+    assert max_r_err < 0.1, f"max rotation error {max_r_err}"
+    # velocity estimate should be sane at the end (corkscrew speed ~1.4 m/s)
+    assert float(jnp.linalg.norm(state.nav.velocity)) < 5.0
