@@ -1,0 +1,292 @@
+"""Coarse-to-fine correlative scan matching for loop closure.
+
+TPU-native counterpart of the reference's `FastCorrelativeScanMatcher3D`
+(`cartographer/mapping/internal/3d/scan_matching/fast_correlative_scan_matcher_3d.cc`):
+a multi-resolution search over (x, y, z, yaw) against a precomputation
+pyramid, yaw candidates gated by rotational-histogram score, the winning
+candidate gated by a low-resolution-grid score.
+
+The reference explores candidates with recursive best-first branch-and-bound
+(:429-492). Recursion with data-dependent pruning doesn't vectorize; instead
+each depth expands every surviving candidate into its 8 children and scores
+them all in one batched gather-sum, keeping the top-K ("breadth over
+depth", SURVEY.md §7). Because the pyramid values are admissible upper
+bounds, a child's score never exceeds its parent's; with K comfortably above
+the number of candidates whose bound exceeds the final best score, the
+argmax matches exhaustive BnB.
+
+Scoring at depth d mirrors ScoreCandidates (:384-410): mean pyramid byte of
+the scan's cells at the candidate offset, with cell indices and offsets
+right-shifted by max(0, d - full_resolution_depth + 1) for the
+half-resolution levels (DiscretizeScan :252-295).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dliom_tpu.backend.precomputation import Pyramid, probability_from_byte
+from dliom_tpu.common.config import FastCorrelativeConfig
+from dliom_tpu.mapping.grid import GridSpec, cell_index, interpolated_probability
+from dliom_tpu.ops.rotational_histogram import match_histograms
+from dliom_tpu.transform.rigid import (
+    Rigid3,
+    quat_from_yaw,
+    quat_multiply,
+    quat_normalize,
+)
+
+
+class CorrelativeResult(NamedTuple):
+    score: jnp.ndarray  # () best score (<= min_score -> no match)
+    pose: Rigid3  # node pose in the submap frame
+    rotational_score: jnp.ndarray
+    low_resolution_score: jnp.ndarray
+    found: jnp.ndarray  # bool
+
+
+def _depth_cells(cells: jnp.ndarray, depth: int, full_depth: int, window_start):
+    """Per-depth cell indices (DiscretizeScan): full resolution below
+    full_depth; beyond it, shifted-window halving."""
+    if depth < full_depth:
+        return cells
+    e = depth - full_depth + 1
+    start = jnp.asarray(window_start, jnp.int32)
+    return ((cells + start) >> e) - (start >> e)
+
+
+def match_candidates(
+    pyramid: Pyramid,
+    spec: GridSpec,
+    points: jnp.ndarray,  # (N, 3) high-res cloud in node frame
+    mask: jnp.ndarray,  # (N,)
+    base_pose: Rigid3,  # initial node-in-submap pose (translation part)
+    yaw_angles: jnp.ndarray,  # (A,) candidate yaw offsets about submap z
+    yaw_mask: jnp.ndarray,  # (A,) rotational-score gate
+    cfg: FastCorrelativeConfig,
+    *,
+    beam_width: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Coarse-to-fine search. Returns (scores (K,), offsets (K, 3) int32,
+    scan_idx (K,)) of the top-K depth-0 candidates, sorted descending.
+
+    The candidate pose for (offset, a) is
+    T = translate(resolution * offset) ∘ R_z(yaw_a) ∘ base_pose
+    with the yaw applied about the scan origin (GenerateDiscreteScans
+    :330-345)."""
+    depth = len(pyramid.levels)
+    full_depth = min(cfg.full_resolution_depth, depth)
+    res = spec.resolution
+    half = spec.half
+
+    lin_xy = int(round(cfg.linear_xy_search_window / res))
+    lin_z = int(round(cfg.linear_z_search_window / res))
+    window_start = (-lin_xy, -lin_xy, -lin_z)
+
+    # Discretized scan per yaw candidate: cells of R_z(a) * base_pose * points
+    def scan_cells(a):
+        dq = quat_from_yaw(a)
+        rot = Rigid3(
+            rotation=quat_normalize(quat_multiply(dq, base_pose.rotation)),
+            translation=base_pose.translation,
+        )
+        return cell_index(rot.apply(points), res)
+
+    all_cells = jax.vmap(scan_cells)(yaw_angles)  # (A, N, 3)
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+    # Precompute per-depth cell tables (A, N, 3)
+    cells_per_depth = [
+        _depth_cells(all_cells, d, full_depth, window_start)
+        for d in range(depth)
+    ]
+
+    def score(depth_idx: int, scan_idx, offsets):
+        """Score (K,) candidates: mean pyramid byte over the scan cells."""
+        level = pyramid.levels[depth_idx]
+        e_level = level.shape[0]
+        red = max(0, depth_idx - full_depth + 1)
+        half_level = half >> red if depth_idx >= full_depth else half
+        cells = cells_per_depth[depth_idx][scan_idx]  # (K, N, 3)
+        off = (offsets >> red)[:, None, :]
+        idx = cells + off
+        shifted = idx + half_level
+        ok = jnp.all((shifted >= 0) & (shifted < e_level), axis=-1) & mask[None, :]
+        c = jnp.clip(shifted, 0, e_level - 1)
+        flat = (c[..., 0] * e_level + c[..., 1]) * e_level + c[..., 2]
+        vals = level.reshape(-1)[flat]
+        s = jnp.sum(jnp.where(ok, vals, 0).astype(jnp.float32), axis=-1)
+        return probability_from_byte(s / n_valid)
+
+    # Lowest-resolution candidate lattice (GenerateLowestResolutionCandidates)
+    # — identical for every yaw candidate, so the beam is maintained *per
+    # yaw* ((A, K) shapes): a flat beam lets one yaw family with many
+    # high-bound ties (e.g. floor-dominated scenes) flood out the true
+    # candidate, which recursive BnB never does.
+    step = 1 << (depth - 1)
+    xs = jnp.arange(-lin_xy, lin_xy + 1, step)
+    zs = jnp.arange(-lin_z, lin_z + 1, step)
+    a_count = yaw_angles.shape[0]
+    gx, gy, gz = jnp.meshgrid(xs, xs, zs, indexing="ij")
+    lattice = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1).astype(jnp.int32)
+    c0 = lattice.shape[0]
+    per_yaw = max(8, beam_width // a_count)
+
+    offsets = jnp.broadcast_to(lattice, (a_count, c0, 3))  # (A, C, 3)
+    scan_rows = jnp.broadcast_to(
+        jnp.arange(a_count, dtype=jnp.int32)[:, None], (a_count, c0)
+    )
+    scores = score(
+        depth - 1, scan_rows.reshape(-1), offsets.reshape(-1, 3)
+    ).reshape(a_count, c0)
+    scores = jnp.where(yaw_mask[:, None], scores, -1.0)
+
+    # Descend: expand every kept candidate into its 8 children, score them
+    # all in one batch, keep the per-yaw top-K.
+    for d in range(depth - 2, -1, -1):
+        k = min(per_yaw, scores.shape[1])
+        top_scores, top = jax.vmap(lambda s: jax.lax.top_k(s, k))(scores)
+        offsets = jnp.take_along_axis(offsets, top[..., None], axis=1)
+        halfw = 1 << d
+        children = jnp.asarray(
+            [[0, 0, 0], [halfw, 0, 0], [0, halfw, 0], [halfw, halfw, 0],
+             [0, 0, halfw], [halfw, 0, halfw], [0, halfw, halfw],
+             [halfw, halfw, halfw]],
+            jnp.int32,
+        )
+        child_off = (
+            offsets[:, :, None, :] + children[None, None, :, :]
+        ).reshape(a_count, k * 8, 3)
+        in_win = (
+            (child_off[..., 0] <= lin_xy)
+            & (child_off[..., 1] <= lin_xy)
+            & (child_off[..., 2] <= lin_z)
+        )
+        rows = jnp.broadcast_to(
+            jnp.arange(a_count, dtype=jnp.int32)[:, None], (a_count, k * 8)
+        )
+        child_scores = score(
+            d, rows.reshape(-1), child_off.reshape(-1, 3)
+        ).reshape(a_count, k * 8)
+        parent_ok = jnp.repeat(top_scores > 0.0, 8, axis=1)
+        scores = jnp.where(in_win & parent_ok, child_scores, -1.0)
+        offsets = child_off
+
+    # Flatten to a global top-K for the caller's low-resolution gate walk.
+    k = min(beam_width, scores.size)
+    flat_scores = scores.reshape(-1)
+    flat_off = offsets.reshape(-1, 3)
+    flat_scan = jnp.broadcast_to(
+        jnp.arange(a_count, dtype=jnp.int32)[:, None], scores.shape
+    ).reshape(-1)
+    top_scores, top = jax.lax.top_k(flat_scores, k)
+    return top_scores, flat_off[top], flat_scan[top]
+
+
+def low_resolution_scores(
+    low_values: jnp.ndarray,
+    low_spec: GridSpec,
+    low_points: jnp.ndarray,
+    low_mask: jnp.ndarray,
+    poses: Rigid3,  # batched (K,)
+) -> jnp.ndarray:
+    """Mean interpolated probability of the low-res cloud under each pose
+    (CreateLowResolutionMatcher / low_resolution_matcher.cc)."""
+
+    def one(pose):
+        p = interpolated_probability(low_values, pose.apply(low_points), low_spec)
+        n = jnp.maximum(jnp.sum(low_mask.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(low_mask, p, 0.0)) / n
+
+    return jax.vmap(one)(poses)
+
+
+def match(
+    pyramid: Pyramid,
+    spec: GridSpec,
+    low_values: jnp.ndarray,
+    low_spec: GridSpec,
+    high_points: jnp.ndarray,
+    high_mask: jnp.ndarray,
+    low_points: jnp.ndarray,
+    low_mask: jnp.ndarray,
+    initial_pose: Rigid3,  # node in submap frame
+    histogram: jnp.ndarray,  # node rotational histogram (gravity-aligned)
+    submap_histogram: jnp.ndarray,  # accumulated submap reference histogram
+    submap_histogram_yaw: jnp.ndarray,  # initial yaw of node-in-submap
+    cfg: FastCorrelativeConfig,
+    min_score: float,
+    *,
+    num_angles: int = 0,
+    max_scan_range: float = 60.0,
+    use_rotational_gate: bool = True,
+    beam_width: int = 256,
+) -> CorrelativeResult:
+    """Full search around `initial_pose` (Match / MatchWith3DofInitial).
+
+    With `use_rotational_gate=False` and num_angles=1 this is
+    MatchWith3DofInitial (single discrete scan at the initial yaw,
+    :165-196); otherwise yaw candidates at the angular step of
+    GenerateDiscreteScans (:307-318) are pre-gated by histogram score."""
+    res = spec.resolution
+    if num_angles <= 0:
+        # angular step from the scan extent (GenerateDiscreteScans :307-315)
+        step = (1.0 - 1e-2) * math.acos(
+            max(-1.0, 1.0 - res**2 / (2.0 * max_scan_range**2))
+        )
+        n_side = int(round(cfg.angular_search_window / step))
+        angles = jnp.arange(-n_side, n_side + 1, dtype=jnp.float32) * step
+    elif num_angles == 1:
+        angles = jnp.zeros(1, jnp.float32)  # MatchWith3DofInitial: initial yaw only
+    else:
+        angles = jnp.linspace(
+            -cfg.angular_search_window,
+            cfg.angular_search_window,
+            num_angles,
+            dtype=jnp.float32,
+        )
+    if use_rotational_gate:
+        # node histogram rotated by (initial yaw + candidate angle) vs the
+        # submap's accumulated histogram (RotationalScanMatcher ctor sums
+        # the submap nodes' histograms at their yaws).
+        rot_scores = match_histograms(
+            histogram, submap_histogram, angles + submap_histogram_yaw
+        )
+        yaw_mask = rot_scores >= cfg.min_rotational_score
+    else:
+        rot_scores = jnp.ones_like(angles)
+        yaw_mask = jnp.ones_like(angles, bool)
+
+    scores, offsets, scan_idx = match_candidates(
+        pyramid, spec, high_points, high_mask, initial_pose, angles, yaw_mask,
+        cfg, beam_width=beam_width,
+    )
+
+    # Candidate poses; low-resolution gate in score order (BnB depth-0 walk,
+    # :433-452): the best-scoring candidate that passes wins.
+    def cand_pose(off, si):
+        dq = quat_from_yaw(angles[si])
+        return Rigid3(
+            rotation=quat_normalize(quat_multiply(dq, initial_pose.rotation)),
+            translation=initial_pose.translation + res * off.astype(jnp.float32),
+        )
+
+    poses = jax.vmap(cand_pose)(offsets, scan_idx)
+    low_scores = low_resolution_scores(
+        low_values, low_spec, low_points, low_mask, poses
+    )
+    passes = (low_scores >= cfg.min_low_resolution_score) & (scores > min_score)
+    pick = jnp.argmax(passes)  # first True in descending-score order
+    found = jnp.any(passes)
+    best_pose = jax.tree.map(lambda x: x[pick], poses)
+    return CorrelativeResult(
+        score=jnp.where(found, scores[pick], -jnp.inf),
+        pose=best_pose,
+        rotational_score=rot_scores[scan_idx[pick]],
+        low_resolution_score=low_scores[pick],
+        found=found,
+    )

@@ -1,0 +1,397 @@
+"""Global SLAM: pose graph orchestration.
+
+Counterpart of the reference's `PoseGraph3D` + `ConstraintBuilder3D`
+(`cartographer/mapping/internal/3d/pose_graph_3d.cc`,
+`internal/constraints/constraint_builder_3d.cc`): node/submap bookkeeping,
+INTRA constraints from insertion, INTER (loop) constraints from correlative
+search + GN refinement, and periodic sparse pose adjustment.
+
+Architecture split (SURVEY.md §2.4): the reference runs constraint search on
+a ThreadPool Task DAG with mutex-guarded state; here a host-side Python
+orchestrator owns plain-array bookkeeping and launches three kinds of
+compiled device programs — (de)compression of finished submap grids, the
+correlative matcher + GN refiner, and the PCG pose-graph solve. The loop
+proposal path is the reference's close-submap-with-initial-value search
+(pose_graph_options.proto max_radius_eable_loop_detection /
+num_close_submaps_loop_with_initial_value; the SURF submap-image proposal
+path for high-drift loops is a planned addition): every
+`every_nodes_to_find_constraint`-th node of the finishing submap is matched
+against spatially close older submaps via MatchWith3DofInitial + refinement
+(ComputeConstraint, constraint_builder_3d.cc:202-347).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.backend import fast_correlative as fc
+from dliom_tpu.backend import optimization as opt
+from dliom_tpu.backend.compression import CompressedGrid, compress, decompress
+from dliom_tpu.backend.precomputation import build_pyramid
+from dliom_tpu.common.config import PoseGraphConfig, TrajectoryBuilderConfig
+from dliom_tpu.mapping.submap import grid_specs
+from dliom_tpu.ops.rotational_histogram import rotate_histogram
+from dliom_tpu.ops.scan_matcher import match as gn_match
+from dliom_tpu.transform.rigid import (
+    Rigid3,
+    quat_conjugate,
+    quat_multiply,
+    quat_remove_yaw,
+    quat_yaw,
+)
+
+
+@dataclass
+class NodeRecord:
+    """TrajectoryNode: constant data + local pose (trajectory_node.h)."""
+
+    time: float
+    local_pose: Rigid3  # in the local (frontend) frame
+    gravity_alignment: np.ndarray  # (4,)
+    high_points: jnp.ndarray  # (Nh, 3) in tracking frame
+    high_mask: jnp.ndarray
+    low_points: jnp.ndarray
+    low_mask: jnp.ndarray
+    histogram: jnp.ndarray  # (H,)
+    submap_ids: Tuple[int, ...]  # submaps this node was inserted into
+    global_pose: Rigid3 = None  # optimized
+
+
+@dataclass
+class SubmapRecord:
+    local_pose: Rigid3  # frontend frame
+    global_pose: Rigid3
+    high: Optional[CompressedGrid] = None  # set when finished
+    low: Optional[CompressedGrid] = None
+    histogram: Optional[np.ndarray] = None  # accumulated node histograms
+    node_ids: List[int] = field(default_factory=list)
+    finished: bool = False
+
+
+@dataclass
+class Constraint:
+    submap_id: int
+    node_id: int
+    relative: Rigid3  # node in submap frame
+    translation_weight: float
+    rotation_weight: float
+    tag: str  # "INTRA" | "INTER"
+    score: float = 1.0
+
+
+class PoseGraph:
+    """Host orchestrator (PoseGraph3D API surface)."""
+
+    def __init__(self, cfg: PoseGraphConfig, tb_cfg: TrajectoryBuilderConfig):
+        self.cfg = cfg
+        self.tb_cfg = tb_cfg
+        self.nodes: List[NodeRecord] = []
+        self.submaps: List[SubmapRecord] = []
+        self.constraints: List[Constraint] = []
+        self._nodes_since_optimization = 0
+        self._num_histogram = tb_cfg.rotational_histogram_size
+        self._hi_spec, self._lo_spec = grid_specs(tb_cfg.submaps)
+        self._compress_capacity = 1 << 18
+        self._jit_cache: Dict[str, object] = {}
+
+    # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
+    # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
+
+    def add_submap(self, local_pose: Rigid3) -> int:
+        self.submaps.append(
+            SubmapRecord(
+                local_pose=local_pose,
+                global_pose=local_pose,
+                histogram=np.zeros(self._num_histogram, np.float32),
+            )
+        )
+        return len(self.submaps) - 1
+
+    def finish_submap(self, submap_id: int, high_values, low_values) -> None:
+        """Compress the finished submap's grids for loop closure
+        (the reference keeps the shared_ptr; we keep sparse copies)."""
+        s = self.submaps[submap_id]
+        s.high = compress(high_values, self._hi_spec, self._compress_capacity)
+        s.low = compress(low_values, self._lo_spec, self._compress_capacity // 4)
+        s.finished = True
+
+    def add_node(
+        self,
+        node: NodeRecord,
+        insertion_submap_ids: Tuple[int, ...],
+        newly_finished_submap_id: int = -1,
+        finished_grids=None,
+    ) -> int:
+        """AddNode + ComputeConstraintsForNode (pose_graph_3d.cc:335-399)."""
+        node_id = len(self.nodes)
+        node.submap_ids = tuple(insertion_submap_ids)
+        # global pose seeded through the first insertion submap
+        first = self.submaps[insertion_submap_ids[0]]
+        node.global_pose = first.global_pose.compose(
+            first.local_pose.inverse().compose(node.local_pose)
+        )
+        self.nodes.append(node)
+
+        # INTRA constraints vs each insertion submap (:348-365)
+        for sid in insertion_submap_ids:
+            sub = self.submaps[sid]
+            rel = sub.local_pose.inverse().compose(node.local_pose)
+            self.constraints.append(
+                Constraint(
+                    submap_id=sid,
+                    node_id=node_id,
+                    relative=rel,
+                    translation_weight=self.cfg.matcher_translation_weight,
+                    rotation_weight=self.cfg.matcher_rotation_weight,
+                    tag="INTRA",
+                )
+            )
+            sub.node_ids.append(node_id)
+            # accumulate the submap reference histogram at the node's yaw in
+            # the submap frame (RotationalScanMatcher ctor semantics)
+            yaw = float(
+                quat_yaw(
+                    quat_multiply(
+                        rel.rotation, quat_conjugate(jnp.asarray(node.gravity_alignment))
+                    )
+                )
+            )
+            sub.histogram += np.asarray(
+                rotate_histogram(node.histogram, jnp.float32(yaw))
+            )
+
+        # submap finished -> compress + search loop constraints (:390-399)
+        if newly_finished_submap_id >= 0 and finished_grids is not None:
+            self.finish_submap(newly_finished_submap_id, *finished_grids)
+            self._compute_constraints_for_submap(newly_finished_submap_id)
+
+        self._nodes_since_optimization += 1
+        if (
+            self.cfg.optimize_every_n_nodes > 0
+            and self._nodes_since_optimization >= self.cfg.optimize_every_n_nodes
+        ):
+            self.run_optimization()
+        return node_id
+
+    # ----- loop closure -----
+
+    def _close_submaps(self, submap_id: int) -> List[int]:
+        """Older finished submaps within range (max_radius /
+        num_close_submaps_loop_with_initial_value)."""
+        me = self.submaps[submap_id]
+        out = []
+        for sid, s in enumerate(self.submaps):
+            if sid == submap_id or not s.finished or s.high is None:
+                continue
+            if abs(sid - submap_id) <= 1:
+                continue  # adjacent submaps share nodes (not loops)
+            d = float(
+                jnp.linalg.norm(
+                    s.global_pose.translation - me.global_pose.translation
+                )
+            )
+            if d <= self.cfg.max_radius_enable_loop_detection * max(
+                1.0, self.cfg.num_close_submaps_loop_with_initial_value / 5.0
+            ):
+                out.append((d, sid))
+        out.sort()
+        return [sid for _, sid in out[: self.cfg.num_close_submaps_loop_with_initial_value]]
+
+    def _matcher_fns(self):
+        if "match" in self._jit_cache:
+            return self._jit_cache["match"], self._jit_cache["refine"]
+        fc_cfg = self.cfg.constraint_builder.fast_correlative_scan_matcher
+        loop_cfg = self.cfg.constraint_builder.ceres_scan_matcher
+        hi, lo = self._hi_spec, self._lo_spec
+
+        @jax.jit
+        def decompress_and_pyramid(high_comp, low_comp):
+            g_hi = decompress(high_comp, hi)
+            g_lo = decompress(low_comp, lo)
+            pyr = build_pyramid(
+                g_hi, hi, depth=fc_cfg.branch_and_bound_depth,
+                full_resolution_depth=fc_cfg.full_resolution_depth,
+            )
+            return g_hi, g_lo, pyr
+
+        @functools.partial(jax.jit, static_argnames=("min_score",))
+        def match_fn(
+            pyr, g_lo, hp, hm, lp, lm, initial, hist, submap_hist, yaw0,
+            min_score,
+        ):
+            return fc.match(
+                pyr, hi, g_lo, lo, hp, hm, lp, lm, initial, hist,
+                submap_hist, yaw0, fc_cfg, min_score,
+                num_angles=1, use_rotational_gate=False, beam_width=160,
+            )
+
+        @jax.jit
+        def refine_fn(initial, g_hi, g_lo, hp, hm, lp, lm):
+            return gn_match(
+                initial,
+                clouds=[(hp, hm), (lp, lm)],
+                grids=[g_hi, g_lo],
+                specs=[hi, lo],
+                occupied_space_weights=[
+                    loop_cfg.occupied_space_weight_0,
+                    loop_cfg.occupied_space_weight_1,
+                ],
+                translation_weight=loop_cfg.translation_weight,
+                rotation_weight=loop_cfg.rotation_weight,
+                only_optimize_yaw=loop_cfg.only_optimize_yaw,
+                max_iterations=loop_cfg.max_num_iterations,
+            )
+
+        self._jit_cache["decompress"] = decompress_and_pyramid
+        self._jit_cache["match"] = match_fn
+        self._jit_cache["refine"] = refine_fn
+        return match_fn, refine_fn
+
+    def _compute_constraints_for_submap(self, from_id: int) -> int:
+        """ComputeConstraintsBetweenSubmaps (constraint_builder_3d.cc:162):
+        every `every_nodes_to_find_constraint`-th node of the finishing
+        submap is matched against each close older submap."""
+        added = 0
+        match_fn, refine_fn = self._matcher_fns()
+        decompress_fn = self._jit_cache["decompress"]
+        every = max(1, self.cfg.constraint_builder.every_nodes_to_find_constraint)
+        from_sub = self.submaps[from_id]
+        sampled = from_sub.node_ids[::every]
+        for to_id in self._close_submaps(from_id):
+            to_sub = self.submaps[to_id]
+            g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
+            submap_hist = jnp.asarray(to_sub.histogram)
+            for node_id in sampled:
+                if self._has_constraint(to_id, node_id):
+                    continue
+                node = self.nodes[node_id]
+                # initial guess: current global estimate composition with
+                # yaw-removed gravity alignment (ComputeConstraint :240-259)
+                initial = self._initial_guess(to_sub, node)
+                res = match_fn(
+                    pyr, g_lo, node.high_points, node.high_mask,
+                    node.low_points, node.low_mask, initial,
+                    node.histogram, submap_hist,
+                    jnp.float32(float(quat_yaw(initial.rotation))),
+                    min_score=float(self.cfg.constraint_builder.min_score),
+                )
+                if not bool(res.found):
+                    continue
+                refined = refine_fn(
+                    res.pose, g_hi, g_lo, node.high_points, node.high_mask,
+                    node.low_points, node.low_mask,
+                )
+                self.constraints.append(
+                    Constraint(
+                        submap_id=to_id,
+                        node_id=node_id,
+                        relative=jax.tree.map(np.asarray, refined.pose),
+                        translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
+                        rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
+                        tag="INTER",
+                        score=float(res.score),
+                    )
+                )
+                added += 1
+        return added
+
+    def _initial_guess(self, to_sub: SubmapRecord, node: NodeRecord) -> Rigid3:
+        return to_sub.global_pose.inverse().compose(node.global_pose)
+
+    def _has_constraint(self, submap_id: int, node_id: int) -> bool:
+        return any(
+            c.submap_id == submap_id and c.node_id == node_id
+            for c in self.constraints
+        )
+
+    # ----- optimization (HandleWorkQueue -> RunOptimization,
+    # pose_graph_3d.cc:444-515, 722) -----
+
+    def _build_problem(self) -> opt.PoseGraphData:
+        S = self.cfg.max_submaps
+        N = self.cfg.max_nodes
+        C = self.cfg.max_constraints
+        if len(self.submaps) > S or len(self.nodes) > N or len(self.constraints) > C:
+            raise RuntimeError("pose graph capacity exceeded; raise max_* config")
+        data = opt.make_pose_graph_data(S, N, C)
+        sq = np.zeros((S, 4), np.float32); sq[:, 0] = 1
+        st = np.zeros((S, 3), np.float32)
+        sv = np.zeros(S, bool)
+        for i, s in enumerate(self.submaps):
+            sq[i] = np.asarray(s.global_pose.rotation)
+            st[i] = np.asarray(s.global_pose.translation)
+            sv[i] = True
+        nq = np.zeros((N, 4), np.float32); nq[:, 0] = 1
+        nt = np.zeros((N, 3), np.float32)
+        nv = np.zeros(N, bool)
+        for i, node in enumerate(self.nodes):
+            nq[i] = np.asarray(node.global_pose.rotation)
+            nt[i] = np.asarray(node.global_pose.translation)
+            nv[i] = True
+        cs = np.zeros(C, np.int32); cn = np.zeros(C, np.int32)
+        cq = np.zeros((C, 4), np.float32); cq[:, 0] = 1
+        ct = np.zeros((C, 3), np.float32)
+        ctw = np.zeros(C, np.float32); crw = np.zeros(C, np.float32)
+        cv = np.zeros(C, bool)
+        for i, c in enumerate(self.constraints):
+            cs[i] = c.submap_id; cn[i] = c.node_id
+            cq[i] = np.asarray(c.relative.rotation)
+            ct[i] = np.asarray(c.relative.translation)
+            ctw[i] = c.translation_weight; crw[i] = c.rotation_weight
+            cv[i] = True
+        return data._replace(
+            submap_q=jnp.asarray(sq), submap_t=jnp.asarray(st),
+            submap_valid=jnp.asarray(sv),
+            node_q=jnp.asarray(nq), node_t=jnp.asarray(nt),
+            node_valid=jnp.asarray(nv),
+            c_submap=jnp.asarray(cs), c_node=jnp.asarray(cn),
+            c_q=jnp.asarray(cq), c_t=jnp.asarray(ct),
+            c_trans_weight=jnp.asarray(ctw), c_rot_weight=jnp.asarray(crw),
+            c_valid=jnp.asarray(cv),
+        )
+
+    def run_optimization(self, iterations: Optional[int] = None) -> None:
+        if not self.constraints or len(self.submaps) < 2:
+            self._nodes_since_optimization = 0
+            return
+        iters = iterations or self.cfg.optimization_problem.max_num_iterations
+        if "solve" not in self._jit_cache:
+            self._jit_cache["solve"] = jax.jit(
+                functools.partial(opt.solve, cg_iterations=64),
+                static_argnames=("iterations",),
+            )
+        out = self._jit_cache["solve"](self._build_problem(), iterations=iters)
+        sq = np.asarray(out.submap_q); st = np.asarray(out.submap_t)
+        nq = np.asarray(out.node_q); nt = np.asarray(out.node_t)
+        for i, s in enumerate(self.submaps):
+            s.global_pose = Rigid3(jnp.asarray(sq[i]), jnp.asarray(st[i]))
+        for i, node in enumerate(self.nodes):
+            node.global_pose = Rigid3(jnp.asarray(nq[i]), jnp.asarray(nt[i]))
+        self._nodes_since_optimization = 0
+
+    def run_final_optimization(self) -> None:
+        """RunFinalOptimization (max_num_final_iterations, :722)."""
+        self.run_optimization(
+            iterations=min(self.cfg.max_num_final_iterations, 50)
+        )
+
+    # ----- API parity (PoseGraphInterface) -----
+
+    def node_poses(self) -> List[Rigid3]:
+        return [n.global_pose for n in self.nodes]
+
+    def submap_poses(self) -> List[Rigid3]:
+        return [s.global_pose for s in self.submaps]
+
+    def constraint_list(self) -> List[Constraint]:
+        return list(self.constraints)
+
+    def num_inter_constraints(self) -> int:
+        return sum(1 for c in self.constraints if c.tag == "INTER")

@@ -102,8 +102,8 @@ def rotate_histogram(histogram: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     full = jnp.round(rotate_by - 0.5).astype(jnp.int32)
     frac = rotate_by - full
     idx = jnp.arange(n)
-    src0 = jnp.mod(idx - full, n)
-    src1 = jnp.mod(idx - full - 1, n)
+    src0 = jnp.mod(idx + full, n)
+    src1 = jnp.mod(idx + full + 1, n)
     return (1.0 - frac) * histogram[src0] + frac * histogram[src1]
 
 

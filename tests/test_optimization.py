@@ -1,0 +1,170 @@
+"""Pose-graph optimization tests (optimization_problem_3d_test.cc analog):
+SPA on synthetic constraints converges to ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.backend.optimization import (
+    PoseGraphData,
+    make_pose_graph_data,
+    solve,
+)
+from dliom_tpu.transform.rigid import (
+    Rigid3,
+    quat_conjugate,
+    quat_from_axis_angle,
+    quat_multiply,
+    quat_inverse_rotate,
+    quat_normalize,
+    quat_angle,
+)
+
+
+def _random_pose(rng, scale_t=5.0, scale_r=0.5):
+    aa = rng.normal(0, scale_r, 3).astype(np.float32)
+    return Rigid3(
+        rotation=quat_from_axis_angle(jnp.asarray(aa)),
+        translation=jnp.asarray(rng.normal(0, scale_t, 3).astype(np.float32)),
+    )
+
+
+def _relative(a: Rigid3, b: Rigid3) -> Rigid3:
+    return a.inverse().compose(b)
+
+
+def _build_problem(rng, num_submaps=4, nodes_per_submap=6, perturb=0.3):
+    """Ground-truth submaps along a line; nodes around each; constraints =
+    exact relative poses; initial values perturbed."""
+    S, N = 64, 256
+    C = 1024
+    data = make_pose_graph_data(S, N, C)
+    true_submaps = []
+    true_nodes = []
+    sq, st, sv = [], [], np.zeros(S, bool)
+    nq, nt, nv = [], [], np.zeros(N, bool)
+    cs, cn, cq, ct, ctw, crw, cv = [], [], [], [], [], [], []
+
+    for i in range(num_submaps):
+        pose = Rigid3(
+            rotation=quat_from_axis_angle(
+                jnp.asarray(rng.normal(0, 0.2, 3).astype(np.float32))
+            ),
+            translation=jnp.asarray([4.0 * i, 0.5 * i, 0.0], jnp.float32),
+        )
+        true_submaps.append(pose)
+    node_id = 0
+    for i in range(num_submaps):
+        for j in range(nodes_per_submap):
+            pose = Rigid3(
+                rotation=quat_from_axis_angle(
+                    jnp.asarray(rng.normal(0, 0.3, 3).astype(np.float32))
+                ),
+                translation=true_submaps[i].translation
+                + jnp.asarray(rng.normal(0, 1.5, 3).astype(np.float32)),
+            )
+            true_nodes.append(pose)
+            # INTRA constraint to own submap
+            rel = _relative(true_submaps[i], pose)
+            cs.append(i); cn.append(node_id)
+            cq.append(np.asarray(rel.rotation)); ct.append(np.asarray(rel.translation))
+            ctw.append(1e2); crw.append(1e2); cv.append(True)
+            # INTER constraint to the previous submap (loop-ish)
+            if i > 0:
+                rel2 = _relative(true_submaps[i - 1], pose)
+                cs.append(i - 1); cn.append(node_id)
+                cq.append(np.asarray(rel2.rotation)); ct.append(np.asarray(rel2.translation))
+                ctw.append(1e2); crw.append(1e2); cv.append(True)
+            node_id += 1
+
+    # perturbed initial values (submap 0 exact: it's held fixed)
+    for i, pose in enumerate(true_submaps):
+        p = pose if i == 0 else Rigid3(
+            rotation=quat_normalize(
+                pose.rotation
+                + jnp.asarray(rng.normal(0, perturb * 0.2, 4).astype(np.float32))
+            ),
+            translation=pose.translation
+            + jnp.asarray(rng.normal(0, perturb, 3).astype(np.float32)),
+        )
+        sq.append(np.asarray(p.rotation)); st.append(np.asarray(p.translation))
+        sv[i] = True
+    for i, pose in enumerate(true_nodes):
+        p = Rigid3(
+            rotation=quat_normalize(
+                pose.rotation
+                + jnp.asarray(rng.normal(0, perturb * 0.2, 4).astype(np.float32))
+            ),
+            translation=pose.translation
+            + jnp.asarray(rng.normal(0, perturb, 3).astype(np.float32)),
+        )
+        nq.append(np.asarray(p.rotation)); nt.append(np.asarray(p.translation))
+        nv[i] = True
+
+    def pad(arr, n, width=None):
+        a = np.asarray(arr, np.float32)
+        if width is None:
+            out = np.zeros(n, np.float32)
+            out[: len(a)] = a
+        else:
+            out = np.zeros((n, width), np.float32)
+            if width == 4:
+                out[:, 0] = 1.0
+            out[: len(a)] = a
+        return jnp.asarray(out)
+
+    data = data._replace(
+        submap_q=pad(sq, 64, 4), submap_t=pad(st, 64, 3),
+        submap_valid=jnp.asarray(sv),
+        node_q=pad(nq, 256, 4), node_t=pad(nt, 256, 3),
+        node_valid=jnp.asarray(nv),
+        c_submap=jnp.asarray(np.pad(np.asarray(cs, np.int32), (0, 1024 - len(cs)))),
+        c_node=jnp.asarray(np.pad(np.asarray(cn, np.int32), (0, 1024 - len(cn)))),
+        c_q=pad(cq, 1024, 4), c_t=pad(ct, 1024, 3),
+        c_trans_weight=pad(ctw, 1024), c_rot_weight=pad(crw, 1024),
+        c_valid=jnp.asarray(np.arange(1024) < len(cs)),
+    )
+    return data, true_submaps, true_nodes
+
+
+def test_spa_converges_to_ground_truth():
+    rng = np.random.default_rng(0)
+    data, true_submaps, true_nodes = _build_problem(rng)
+    out = jax.jit(lambda d: solve(d, iterations=8, cg_iterations=48))(data)
+    for i, pose in enumerate(true_submaps):
+        t_err = float(jnp.linalg.norm(out.submap_t[i] - pose.translation))
+        r_err = float(
+            quat_angle(quat_multiply(quat_conjugate(out.submap_q[i]), pose.rotation))
+        )
+        assert t_err < 0.02, (i, t_err)
+        assert r_err < 0.02, (i, r_err)
+    for i, pose in enumerate(true_nodes):
+        t_err = float(jnp.linalg.norm(out.node_t[i] - pose.translation))
+        assert t_err < 0.02, (i, t_err)
+
+
+def test_spa_first_submap_fixed():
+    rng = np.random.default_rng(1)
+    data, true_submaps, _ = _build_problem(rng)
+    out = jax.jit(lambda d: solve(d, iterations=4, cg_iterations=32))(data)
+    np.testing.assert_allclose(
+        np.asarray(out.submap_t[0]), np.asarray(data.submap_t[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.submap_q[0]), np.asarray(data.submap_q[0]), atol=1e-6
+    )
+
+
+def test_spa_pulls_drift_through_loop_constraint():
+    # Chain of submaps with accumulated drift in the initial values; a loop
+    # constraint between the last node and submap 0 repairs the chain.
+    rng = np.random.default_rng(2)
+    data, true_submaps, true_nodes = _build_problem(
+        rng, num_submaps=6, nodes_per_submap=4, perturb=1.0
+    )
+    out = jax.jit(lambda d: solve(d, iterations=12, cg_iterations=64))(data)
+    errs = [
+        float(jnp.linalg.norm(out.submap_t[i] - p.translation))
+        for i, p in enumerate(true_submaps)
+    ]
+    assert max(errs) < 0.05, errs

@@ -1,0 +1,181 @@
+"""Pose graph tests (pose_graph_3d_test.cc / constraint_builder_3d_test.cc
+analogs): bookkeeping, compression round-trip, loop-constraint discovery,
+and drift correction through optimization."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.backend.compression import compress, decompress
+from dliom_tpu.backend.pose_graph import Constraint, NodeRecord, PoseGraph
+from dliom_tpu.common.config import load_config
+from dliom_tpu.mapping import probability as pv
+from dliom_tpu.mapping.grid import GridSpec, cell_index, make_grid, set_cells
+from dliom_tpu.mapping.submap import grid_specs
+from dliom_tpu.ops.rotational_histogram import compute_histogram
+from dliom_tpu.transform.rigid import Rigid3, quat_from_yaw
+
+
+def _cfg():
+    cfg = load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "submaps": {
+                    "high_resolution": 0.2,
+                    "low_resolution": 0.8,
+                    "high_resolution_extent": 128,
+                    "low_resolution_extent": 64,
+                },
+            },
+            "pose_graph": {
+                "optimize_every_n_nodes": 0,  # manual
+                "max_submaps": 16,
+                "max_nodes": 128,
+                "max_constraints": 512,
+                "max_radius_enable_loop_detection": 10.0,
+                "num_close_submaps_loop_with_initial_value": 5,
+                "constraint_builder": {
+                    "min_score": 0.4,
+                    "every_nodes_to_find_constraint": 1,
+                    "fast_correlative_scan_matcher": {
+                        "branch_and_bound_depth": 6,
+                        "full_resolution_depth": 3,
+                        "min_low_resolution_score": 0.35,
+                        "linear_xy_search_window": 3.0,
+                        "linear_z_search_window": 1.5,
+                    },
+                },
+            },
+        },
+    )
+    return cfg
+
+
+def _world_cloud(rng, n=1200):
+    wall_a = np.stack(
+        [np.full(n // 3, 8.0), rng.uniform(-6, 6, n // 3), rng.uniform(-2, 2, n // 3)], -1
+    )
+    wall_b = np.stack(
+        [rng.uniform(-6, 6, n // 3), np.full(n // 3, -7.0), rng.uniform(-2, 2, n // 3)], -1
+    )
+    floor = np.stack(
+        [rng.uniform(-6, 6, n - 2 * (n // 3)), rng.uniform(-6, 6, n - 2 * (n // 3)),
+         np.full(n - 2 * (n // 3), -2.0)], -1
+    )
+    return np.concatenate([wall_a, wall_b, floor]).astype(np.float32)
+
+
+def test_compression_roundtrip():
+    spec = GridSpec(resolution=0.5, extent=32)
+    rng = np.random.default_rng(0)
+    g = make_grid(spec)
+    cells = jnp.asarray(rng.integers(-14, 14, size=(200, 3)), jnp.int32)
+    vals = jnp.asarray(rng.integers(1, 32768, size=(200,)), jnp.int32)
+    g = set_cells(g, cells, vals, spec)
+    comp = compress(g, spec, capacity=4096)
+    back = decompress(comp, spec)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+    # over-capacity keeps the highest-probability cells
+    comp_small = compress(g, spec, capacity=64)
+    back_small = np.asarray(decompress(comp_small, spec))
+    kept = np.sort(back_small[back_small > 0])
+    all_sorted = np.sort(np.asarray(g)[np.asarray(g) > 0])
+    np.testing.assert_array_equal(kept, all_sorted[-len(kept):])
+
+
+def _make_node(cfg, points, local_pose, gravity_q=None):
+    pts = jnp.asarray(points)
+    mask = jnp.ones(pts.shape[0], bool)
+    return NodeRecord(
+        time=0.0,
+        local_pose=local_pose,
+        gravity_alignment=np.asarray([1.0, 0, 0, 0], np.float32)
+        if gravity_q is None
+        else gravity_q,
+        high_points=pts,
+        high_mask=mask,
+        low_points=pts,
+        low_mask=mask,
+        histogram=compute_histogram(pts, mask, cfg.trajectory_builder.rotational_histogram_size),
+        submap_ids=(),
+    )
+
+
+def test_intra_constraints_and_global_poses():
+    cfg = _cfg()
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    rng = np.random.default_rng(1)
+    points = _world_cloud(rng, 300)
+    s0 = pg.add_submap(Rigid3.identity())
+    node = _make_node(cfg, points, Rigid3.translation_only(jnp.asarray([1.0, 0.0, 0.0])))
+    nid = pg.add_node(node, (s0,))
+    assert nid == 0
+    assert len(pg.constraints) == 1 and pg.constraints[0].tag == "INTRA"
+    np.testing.assert_allclose(
+        np.asarray(pg.nodes[0].global_pose.translation), [1.0, 0.0, 0.0], atol=1e-6
+    )
+
+
+def test_loop_closure_finds_and_corrects_drift():
+    cfg = _cfg()
+    tb = cfg.trajectory_builder
+    pg = PoseGraph(cfg.pose_graph, tb)
+    hi, lo = grid_specs(tb.submaps)
+    rng = np.random.default_rng(2)
+    points = _world_cloud(rng)
+    pts = jnp.asarray(points)
+    vals = jnp.full((points.shape[0],), pv.probability_to_value(jnp.float32(0.9)))
+
+    # Submap 0 at the origin containing the world structure.
+    s0 = pg.add_submap(Rigid3.identity())
+    g_hi0 = set_cells(make_grid(hi), cell_index(pts, hi.resolution), vals, hi)
+    g_lo0 = set_cells(make_grid(lo), cell_index(pts, lo.resolution), vals, lo)
+    n0 = pg.add_node(_make_node(cfg, points, Rigid3.identity()), (s0,))
+    pg.finish_submap(s0, g_hi0, g_lo0)
+
+    # Submap 1 elsewhere (no loop candidates: adjacent to both).
+    s1 = pg.add_submap(Rigid3.translation_only(jnp.asarray([4.0, 0.0, 0.0])))
+    pg.add_node(
+        _make_node(cfg, points, Rigid3.translation_only(jnp.asarray([4.0, 0.0, 0.0]))),
+        (s1,),
+    )
+
+    # Submap 2: the robot returns to the SAME place, but accumulated local
+    # drift of ~0.8 m: its LOCAL pose says (0.8, -0.5, 0.2) while the true
+    # pose is the origin. The node's cloud is the original world cloud.
+    drift = jnp.asarray([0.8, -0.5, 0.2])
+    s2 = pg.add_submap(Rigid3.translation_only(drift))
+    node2 = _make_node(cfg, points, Rigid3.translation_only(drift))
+    # finishing submap 2 triggers loop search of its nodes vs submap 0
+    g_hi2 = set_cells(
+        make_grid(hi), cell_index(pts + drift[None, :], hi.resolution), vals, hi
+    )
+    g_lo2 = set_cells(
+        make_grid(lo), cell_index(pts + drift[None, :], lo.resolution), vals, lo
+    )
+    pg.add_node(
+        node2, (s2,), newly_finished_submap_id=s2, finished_grids=(g_hi2, g_lo2)
+    )
+
+    inter = [c for c in pg.constraints if c.tag == "INTER"]
+    assert len(inter) >= 1, "loop constraint not found"
+    c = inter[0]
+    assert c.submap_id == s0
+    # the matched relative pose puts the node at the TRUE location (origin)
+    # recovery to within ~1 high-res cell per axis
+    np.testing.assert_allclose(
+        np.asarray(c.relative.translation), [0.0, 0.0, 0.0], atol=0.3
+    )
+
+    # Optimization pulls the drifted node toward the truth.
+    before = float(jnp.linalg.norm(pg.nodes[2].global_pose.translation))
+    pg.run_final_optimization()
+    after = float(jnp.linalg.norm(pg.nodes[2].global_pose.translation))
+    assert after < 0.45 * before, (before, after)
+    # first submap stays fixed
+    np.testing.assert_allclose(
+        np.asarray(pg.submap_poses()[0].translation), 0.0, atol=1e-6
+    )
