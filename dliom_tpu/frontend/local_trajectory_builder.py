@@ -32,6 +32,7 @@ from dliom_tpu.common.config import TrajectoryBuilderConfig
 from dliom_tpu.mapping import motion_filter as mf
 from dliom_tpu.mapping.submap import (
     ActiveSubmaps,
+    apply_pending_spawn,
     grid_specs,
     insert_range_data_into_submaps,
     make_active_submaps,
@@ -67,6 +68,13 @@ class ScanResult(NamedTuple):
     matcher_cost: jnp.ndarray
     num_hits: jnp.ndarray  # valid accumulated returns
     histogram: jnp.ndarray  # rotational scan matcher histogram
+    # TrajectoryNode::Data for the pose graph (InsertionResult)
+    high_points: jnp.ndarray  # (Kh, 3) matched high-res cloud, tracking frame
+    high_mask: jnp.ndarray
+    low_points: jnp.ndarray  # (Kl, 3)
+    low_mask: jnp.ndarray
+    insertion_submap_ids: jnp.ndarray  # (2,) ids inserted into, -1 = none
+    gravity_alignment: jnp.ndarray  # (4,)
 
 
 def make_initial_state(cfg: TrajectoryBuilderConfig) -> FrontendState:
@@ -90,6 +98,11 @@ def step(
     local_trajectory_builder_3d.cc:555-557) runs between matching and
     insertion; `aux` is returned alongside the ScanResult."""
     hi_spec, lo_spec = grid_specs(cfg.submaps)
+    # Execute any spawn deferred from the previous step (the finishing
+    # submap's grids were kept readable through the step boundary).
+    state = state._replace(
+        submaps=apply_pending_spawn(state.submaps, cfg.submaps)
+    )
     prev_pose = state.pose
     prediction = prev_pose.compose(scan.relative_prediction)
 
@@ -224,6 +237,10 @@ def step(
         motion_filter=new_mf,
         scan_index=state.scan_index + 1,
     )
+    nc = new_submaps.num_created
+    insertion_ids = jnp.stack(
+        [jnp.where(nc >= 2, nc - 2, -1), nc - 1]
+    ).astype(jnp.int32)
     result_out = ScanResult(
         time=scan.time,
         local_pose=opt_pose,
@@ -232,6 +249,12 @@ def step(
         matcher_cost=result.cost,
         num_hits=jnp.sum(filtered.mask.astype(jnp.int32)),
         histogram=hist,
+        high_points=high.points,
+        high_mask=high.mask,
+        low_points=low.points,
+        low_mask=low.mask,
+        insertion_submap_ids=insertion_ids,
+        gravity_alignment=gravity_alignment,
     )
     if fuse_fn is None:
         return new_state, result_out

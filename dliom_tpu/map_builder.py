@@ -1,0 +1,241 @@
+"""Top-level mapping API.
+
+Counterpart of the reference's `MapBuilder` + `GlobalTrajectoryBuilder` +
+`CollatedTrajectoryBuilder` stack (`cartographer/mapping/map_builder.cc:73-169`,
+`internal/global_trajectory_builder.cc`): owns the frontend (LIO step), the
+pose graph, and the sensor-ingest state machine, and routes per-scan results
+from local to global SLAM.
+
+Sensor ingestion: IMU samples buffer host-side between scans (the reference's
+Collator merges time-ordered streams; a single-trajectory builder only needs
+the IMU bridge per scan). The first `frames_for_static_initialization` scans
+feed the static initializer (InitializeStatic,
+local_trajectory_builder_3d.cc:203-229); afterwards every scan runs the
+compiled LIO step, and results flow to PoseGraph.add_node with finished
+submap grids captured from the device before the deferred spawn recycles
+their slot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.backend.pose_graph import NodeRecord, PoseGraph
+from dliom_tpu.common.config import EngineConfig
+from dliom_tpu.frontend.lio import (
+    LioResult,
+    LioScanInput,
+    LioState,
+    lio_step,
+    make_lio_state,
+)
+from dliom_tpu.imu import preintegration as pre
+from dliom_tpu.imu.initialization import static_initialize
+from dliom_tpu.mapping.submap import back_slot, matching_slot, slot_pose
+from dliom_tpu.sensor.types import pad_point_cloud
+from dliom_tpu.transform.rigid import Rigid3
+
+
+class MapBuilder:
+    """Single-trajectory online mapping (MapBuilderInterface surface)."""
+
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        tb = config.trajectory_builder
+        self.tb = tb
+        self.pose_graph = PoseGraph(config.pose_graph, tb)
+        self._lio: Optional[LioState] = None
+        self._initialized = False
+        self._init_acc: List[np.ndarray] = []
+        self._init_gyr: List[np.ndarray] = []
+        self._init_frames = 0
+        self._imu_times: List[float] = []
+        self._imu_acc: List[np.ndarray] = []
+        self._imu_gyr: List[np.ndarray] = []
+        self._last_imu_time: Optional[float] = None
+        self._jit_step = jax.jit(functools.partial(lio_step, cfg=tb))
+        self._results: List[dict] = []
+        # frontend submap id -> pose graph submap id (0 maps to 0)
+        self._known_submaps = 0
+
+    # ----- sensor ingest -----
+
+    def add_imu_data(self, time: float, linear_acceleration, angular_velocity):
+        """SensorBridge::HandleImuMessage -> AddImuData."""
+        acc = np.asarray(linear_acceleration, np.float32)
+        gyr = np.asarray(angular_velocity, np.float32)
+        if not self._initialized:
+            self._init_acc.append(acc)
+            self._init_gyr.append(gyr)
+        self._imu_times.append(float(time))
+        self._imu_acc.append(acc)
+        self._imu_gyr.append(gyr)
+
+    def _imu_bridge(self, scan_time: float):
+        """Consume buffered samples up to scan_time into a fixed-capacity
+        batch (dts from consecutive stamps; first dt from the previous
+        scan's last sample, AddImuData :183-186)."""
+        cap = self.tb.max_imu_per_scan
+        take = 0
+        while take < len(self._imu_times) and self._imu_times[take] <= scan_time:
+            take += 1
+        times = self._imu_times[:take]
+        accs = self._imu_acc[:take]
+        gyrs = self._imu_gyr[:take]
+        del self._imu_times[:take], self._imu_acc[:take], self._imu_gyr[:take]
+        dts = []
+        last = self._last_imu_time
+        for t in times:
+            dts.append((t - last) if last is not None else 1.0 / 500.0)
+            last = t
+        if times:
+            self._last_imu_time = times[-1]
+        n = min(len(times), cap)
+        out_dt = np.zeros(cap, np.float32)
+        out_a = np.zeros((cap, 3), np.float32)
+        out_g = np.zeros((cap, 3), np.float32)
+        if n:
+            # keep the most recent samples if over capacity
+            out_dt[:n] = np.asarray(dts[-n:], np.float32)
+            out_a[:n] = np.asarray(accs[-n:], np.float32)
+            out_g[:n] = np.asarray(gyrs[-n:], np.float32)
+        mask = np.arange(cap) < n
+        return (
+            jnp.asarray(out_dt),
+            jnp.asarray(out_a),
+            jnp.asarray(out_g),
+            jnp.asarray(mask),
+        )
+
+    def add_range_data(
+        self, time: float, points: np.ndarray, point_times: Optional[np.ndarray] = None
+    ) -> Optional[dict]:
+        """SensorBridge::HandlePointCloud2Message -> AddRangeData. Returns a
+        MatchingResult dict once initialized, else None."""
+        if not self._initialized:
+            self._init_frames += 1
+            if self._init_frames > self.tb.frames_for_static_initialization:
+                self._initialize_static()
+            else:
+                return None
+            if not self._initialized:
+                return None
+
+        cloud = pad_point_cloud(points, point_times, self.tb.max_raw_points // 8)
+        dts, accs, gyrs, imask = self._imu_bridge(time)
+        inp = LioScanInput(
+            time=jnp.float32(time),
+            points=cloud.points,
+            times=cloud.times,
+            mask=cloud.mask,
+            imu_dts=dts,
+            imu_acc=accs,
+            imu_gyr=gyrs,
+            imu_mask=imask,
+        )
+        self._lio, res = self._jit_step(self._lio, inp)
+        self._forward_to_pose_graph(time, res)
+        out = {
+            "time": time,
+            "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),
+            "velocity": np.asarray(res.velocity),
+            "failed": bool(res.failed),
+            "inserted": bool(res.scan.inserted),
+        }
+        self._results.append(out)
+        return out
+
+    # ----- initialization -----
+
+    def _initialize_static(self):
+        """InitializeStatic + InitializeIMU (:203-229, :332-357)."""
+        if not self._init_acc:
+            return
+        accs = jnp.asarray(np.stack(self._init_acc))
+        gyrs = jnp.asarray(np.stack(self._init_gyr))
+        mask = jnp.ones(accs.shape[0], bool)
+        rot, ba, bg = static_initialize(accs, gyrs, mask, self.tb.imu.gravity)
+        nav = pre.NavState(rot, jnp.zeros(3), jnp.zeros(3))
+        self._lio = make_lio_state(self.tb, nav, ba, bg)
+        self._initialized = True
+        self._init_acc.clear()
+        self._init_gyr.clear()
+
+    # ----- local -> global routing (GlobalTrajectoryBuilder::AddSensorData,
+    # global_trajectory_builder.cc:56-97) -----
+
+    def _sync_submaps(self, res: LioResult):
+        """Mirror frontend submap spawns into the pose graph."""
+        submaps = self._lio.frontend.submaps
+        num_created = int(submaps.num_created)
+        pending = bool(submaps.pending_spawn)
+        while self._known_submaps < num_created:
+            sid = self._known_submaps
+            slot = sid % 2
+            pose = Rigid3(
+                jnp.asarray(np.asarray(submaps.pose_rotation[slot])),
+                jnp.asarray(np.asarray(submaps.pose_translation[slot])),
+            )
+            self.pose_graph.add_submap(pose)
+            self._known_submaps += 1
+        if pending and self._known_submaps == num_created:
+            # the next step will spawn submap num_created with the pending pose
+            pose = Rigid3(
+                jnp.asarray(np.asarray(submaps.pending_rotation)),
+                jnp.asarray(np.asarray(submaps.pending_translation)),
+            )
+            self.pose_graph.add_submap(pose)
+            self._known_submaps += 1
+
+    def _forward_to_pose_graph(self, time: float, res: LioResult):
+        if not bool(res.scan.inserted):
+            return
+        self._sync_submaps(res)
+        ids = tuple(
+            int(i) for i in np.asarray(res.scan.insertion_submap_ids) if int(i) >= 0
+        )
+        node = NodeRecord(
+            time=time,
+            local_pose=jax.tree.map(jnp.asarray, res.scan.local_pose),
+            gravity_alignment=np.asarray(res.scan.gravity_alignment),
+            high_points=res.scan.high_points,
+            high_mask=res.scan.high_mask,
+            low_points=res.scan.low_points,
+            low_mask=res.scan.low_mask,
+            histogram=res.scan.histogram,
+            submap_ids=ids,
+        )
+        finished = int(res.scan.finished_submap)
+        grids = None
+        if finished >= 0:
+            # the finishing submap's grids are intact until the next step
+            slot = finished % 2
+            submaps = self._lio.frontend.submaps
+            grids = (submaps.high_values[slot], submaps.low_values[slot])
+        self.pose_graph.add_node(
+            node, ids, newly_finished_submap_id=finished, finished_grids=grids
+        )
+
+    # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
+
+    def finish_trajectory(self):
+        self.pose_graph.run_final_optimization()
+
+    # ----- queries -----
+
+    def local_trajectory(self) -> List[dict]:
+        return list(self._results)
+
+    def optimized_node_poses(self) -> List[Tuple[float, Rigid3]]:
+        return [
+            (n.time, n.global_pose) for n in self.pose_graph.nodes
+        ]
+
+    @property
+    def initialized(self) -> bool:
+        return self._initialized

@@ -44,6 +44,12 @@ class ActiveSubmaps(NamedTuple):
     pose_translation: jnp.ndarray  # (2, 3)
     num_range_data: jnp.ndarray  # (2,) int32
     num_created: jnp.ndarray  # () int32
+    # Spawn is deferred to the start of the NEXT step so the finishing
+    # submap's grids stay readable for backend capture (identical lifecycle
+    # timing: the new submap's first inserted scan is unchanged).
+    pending_spawn: jnp.ndarray  # () bool
+    pending_rotation: jnp.ndarray  # (4,)
+    pending_translation: jnp.ndarray  # (3,)
 
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
@@ -65,6 +71,9 @@ def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
         pose_translation=jnp.zeros((2, 3), jnp.float32),
         num_range_data=jnp.zeros(2, jnp.int32),
         num_created=jnp.int32(1),
+        pending_spawn=jnp.bool_(False),
+        pending_rotation=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        pending_translation=jnp.zeros(3, jnp.float32),
     )
 
 
@@ -143,29 +152,52 @@ def insert_range_data_into_submaps(
         high_values=new_high, low_values=new_low, num_range_data=new_counts
     )
 
-    # Spawn when the back submap reaches num_range_data (submap_3d.cc:310-315)
+    # Mark a pending spawn when the back submap reaches num_range_data
+    # (submap_3d.cc:310-315); the spawn itself executes at the start of the
+    # next step (apply_pending_spawn) so the finishing submap's grids remain
+    # readable until then. `finished` is the id of the submap that will be
+    # dropped by that spawn.
     bslot = back_slot(state)
-    spawn = enabled & (state.num_range_data[bslot] >= cfg.num_range_data)
+    spawn = enabled & (state.num_range_data[bslot] >= cfg.num_range_data) & (
+        ~state.pending_spawn
+    )
     finished = jnp.where(
         spawn & (state.num_created >= 2), state.num_created - 2, -1
     )
+    state = state._replace(
+        pending_spawn=state.pending_spawn | spawn,
+        pending_rotation=jnp.where(
+            spawn, gravity_alignment, state.pending_rotation
+        ),
+        pending_translation=jnp.where(
+            spawn, origin_in_local, state.pending_translation
+        ),
+    )
+    return state, finished
+
+
+def apply_pending_spawn(state: ActiveSubmaps, cfg: SubmapsConfig) -> ActiveSubmaps:
+    """Execute a deferred AddSubmap (submap_3d.cc:318-326): reset the
+    finished submap's slot for the new submap. Call at the start of a step,
+    before matching."""
+    hi, lo = grid_specs(cfg)
 
     def do_spawn(s: ActiveSubmaps) -> ActiveSubmaps:
         new_slot = s.num_created % 2
-        return ActiveSubmaps(
+        return s._replace(
             high_values=s.high_values.at[new_slot].set(
                 jnp.zeros(hi.num_cells, GRID_DTYPE)
             ),
             low_values=s.low_values.at[new_slot].set(
                 jnp.zeros(lo.num_cells, GRID_DTYPE)
             ),
-            pose_rotation=s.pose_rotation.at[new_slot].set(gravity_alignment),
+            pose_rotation=s.pose_rotation.at[new_slot].set(s.pending_rotation),
             pose_translation=s.pose_translation.at[new_slot].set(
-                origin_in_local
+                s.pending_translation
             ),
             num_range_data=s.num_range_data.at[new_slot].set(0),
             num_created=s.num_created + 1,
+            pending_spawn=jnp.bool_(False),
         )
 
-    state = jax.lax.cond(spawn, do_spawn, lambda s: s, state)
-    return state, finished
+    return jax.lax.cond(state.pending_spawn, do_spawn, lambda s: s, state)

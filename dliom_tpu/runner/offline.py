@@ -1,0 +1,228 @@
+"""Offline deterministic replay runner (CLI).
+
+Counterpart of the reference's `cartographer_offline_node`
+(`cartographer_ros/offline_node.cc`): feed a recorded sequence through the
+full pipeline at maximum speed, run final optimization, export the
+trajectory CSV (`WriteTrajectoryForDLIO`) and a state checkpoint, and report
+accuracy vs ground truth when available.
+
+Dataset format (the "bag" analog): a directory of .npz files or one .npz with
+
+  scans/<k>/points (N, 3) float32, scans/<k>/times (N,), scans/<k>/stamp ()
+  imu/times (M,), imu/acc (M, 3), imu/gyr (M, 3)
+  gt/times (K,), gt/positions (K, 3)            [optional ground truth]
+
+plus a `synthetic` mode that generates the corkscrew bubbles world on the
+fly (the canonical fidelity sequence). Usage:
+
+  python -m dliom_tpu.runner.offline --dataset synthetic --preset basic \
+      --output-csv traj.csv --output-state state.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time as wall
+
+import numpy as np
+
+from dliom_tpu.common.config import load_config
+from dliom_tpu.evaluation.ate import ate_rmse, write_trajectory_csv
+from dliom_tpu.map_builder import MapBuilder
+
+
+def _synthetic_dataset(num_static: int = 8, imu_rate: float = 100.0):
+    """Generate the corkscrew bubbles sequence with consistent IMU."""
+    import jax.numpy as jnp
+
+    from dliom_tpu.io.synthetic import SyntheticWorld, corkscrew_trajectory
+    from dliom_tpu.transform.rigid import (
+        Rigid3,
+        quat_conjugate,
+        quat_multiply,
+        quat_slerp,
+        quat_inverse_rotate,
+        quat_to_axis_angle,
+    )
+
+    g_norm = 9.80511
+    world = SyntheticWorld.create()
+    traj = corkscrew_trajectory()
+    times = np.asarray([t for t, _ in traj])
+    positions = np.stack([np.asarray(p.translation) for _, p in traj])
+    vels = np.zeros_like(positions)
+    vels[1:-1] = (positions[2:] - positions[:-2]) / (times[2:, None] - times[:-2, None])
+    vels[-1] = (positions[-1] - positions[-2]) / (times[-1] - times[-2])
+
+    imu = []
+    # static samples before the first scan (for the static initializer)
+    for i in range(int(1.5 * imu_rate)):
+        imu.append((0.01 * i - 1.5 + times[0], np.array([0, 0, g_norm], np.float32),
+                    np.zeros(3, np.float32)))
+    scans = []
+    prev_pose, prev_t = Rigid3.identity(), times[0] - 0.3
+    g_world = jnp.asarray([0.0, 0.0, -g_norm])
+    for k, (t, pose) in enumerate(traj):
+        dt_total = t - prev_t
+        n = max(2, int(round(dt_total * imu_rate)))
+        sub = dt_total / n
+        dq = quat_multiply(quat_conjugate(prev_pose.rotation), pose.rotation)
+        omega = np.asarray(quat_to_axis_angle(dq)) / dt_total
+        a_world = (vels[k] - vels[max(k - 1, 0)]) / dt_total
+        for i in range(n):
+            s = (i + 0.5) / n
+            q_t = quat_slerp(prev_pose.rotation, pose.rotation, jnp.float32(s))
+            a_meas = np.asarray(
+                quat_inverse_rotate(q_t, jnp.asarray(a_world) - g_world)
+            )
+            imu.append((prev_t + (i + 1) * sub, a_meas.astype(np.float32),
+                        omega.astype(np.float32)))
+        pts, ptimes = world.cast_scan(pose)
+        scans.append((t, pts, ptimes))
+        prev_pose, prev_t = pose, t
+    gt = (times, positions)
+    return scans, imu, gt
+
+
+def _load_npz_dataset(path: str):
+    z = np.load(path, allow_pickle=False)
+    num_scans = int(z["num_scans"]) if "num_scans" in z else None
+    scans = []
+    k = 0
+    while True:
+        key = f"scans/{k}/points"
+        if key not in z:
+            break
+        stamp = float(z[f"scans/{k}/stamp"])
+        pts = z[key]
+        tms = z.get(f"scans/{k}/times", np.zeros(len(pts), np.float32))
+        scans.append((stamp, pts, tms))
+        k += 1
+    imu = [
+        (float(t), a.astype(np.float32), g.astype(np.float32))
+        for t, a, g in zip(z["imu/times"], z["imu/acc"], z["imu/gyr"])
+    ]
+    gt = None
+    if "gt/times" in z:
+        gt = (z["gt/times"], z["gt/positions"])
+    return scans, imu, gt
+
+
+def run(args) -> dict:
+    cfg = load_config(args.preset, json.loads(args.config_overrides or "{}"))
+    if args.dataset == "synthetic":
+        cfg = cfg.override(
+            {
+                "trajectory_builder": {
+                    "min_range": 0.5, "max_range": 50.0, "voxel_filter_size": 0.2,
+                    "scan_period": 0.3, "enable_gravity_factor": False,
+                    "frames_for_static_initialization": 4,
+                    "high_resolution_adaptive_voxel_filter": {
+                        "max_length": 0.7, "min_num_points": 200, "max_range": 50.0},
+                    "low_resolution_adaptive_voxel_filter": {
+                        "max_length": 0.7, "min_num_points": 200, "max_range": 50.0},
+                    "ceres_scan_matcher": {
+                        "occupied_space_weight_0": 5.0, "occupied_space_weight_1": 20.0,
+                        "translation_weight": 0.1, "rotation_weight": 0.3,
+                        "max_num_iterations": 15},
+                    "motion_filter": {"max_time_seconds": 0.2,
+                                      "max_distance_meters": 0.02,
+                                      "max_angle_radians": 0.001},
+                    "imu": {"ceres_pose_noise_t": 0.05, "ceres_pose_noise_r": 0.05,
+                            "prior_vel_noise": 0.5, "prior_bias_noise": 0.05},
+                    "submaps": {
+                        "high_resolution": 0.2, "high_resolution_max_range": 50.0,
+                        "low_resolution": 0.5, "num_range_data": 6,
+                        "high_resolution_extent": 192, "low_resolution_extent": 96,
+                        "range_data_inserter": {"hit_probability": 0.7,
+                                                "miss_probability": 0.4,
+                                                "num_free_space_voxels": 0}},
+                    "max_filtered_points": 16384,
+                    "max_high_res_points": 2048, "max_low_res_points": 2048,
+                    "window_size": 6, "gn_iterations": 6,
+                }
+            }
+        )
+        scans, imu, gt = _synthetic_dataset()
+    else:
+        scans, imu, gt = _load_npz_dataset(args.dataset)
+
+    builder = MapBuilder(cfg)
+    imu_idx = 0
+    t0 = wall.perf_counter()
+    n_results = 0
+    for stamp, points, ptimes in scans:
+        while imu_idx < len(imu) and imu[imu_idx][0] <= stamp:
+            t, a, g = imu[imu_idx]
+            builder.add_imu_data(t, a, g)
+            imu_idx += 1
+        res = builder.add_range_data(stamp, points, ptimes)
+        if res is not None:
+            n_results += 1
+            if args.verbose:
+                p = res["local_pose"].translation
+                print(
+                    f"t={stamp:8.2f} p=({p[0]:+7.2f},{p[1]:+7.2f},{p[2]:+7.2f})"
+                    f" inserted={res['inserted']}",
+                    file=sys.stderr,
+                )
+    builder.finish_trajectory()
+    elapsed = wall.perf_counter() - t0
+
+    nodes = builder.optimized_node_poses()
+    report = {
+        "num_scans": len(scans),
+        "num_matched": n_results,
+        "num_nodes": len(nodes),
+        "num_submaps": len(builder.pose_graph.submaps),
+        "num_constraints": len(builder.pose_graph.constraints),
+        "num_loop_constraints": builder.pose_graph.num_inter_constraints(),
+        "wall_seconds": round(elapsed, 2),
+        "scans_per_sec": round(len(scans) / max(elapsed, 1e-9), 2),
+    }
+    if nodes and args.output_csv:
+        write_trajectory_csv(
+            args.output_csv, [t for t, _ in nodes], [p for _, p in nodes]
+        )
+        report["trajectory_csv"] = args.output_csv
+    if args.output_state:
+        from dliom_tpu.io.serialization import save_state
+
+        save_state(args.output_state, builder.pose_graph, args.preset)
+        report["state_file"] = args.output_state
+    if gt is not None and nodes:
+        gt_t, gt_p = gt
+        est_t = np.asarray([t for t, _ in nodes])
+        est_p = np.stack([np.asarray(p.translation) for _, p in nodes])
+        ok = (est_t >= gt_t[0]) & (est_t <= gt_t[-1])
+        if ok.sum() >= 3:
+            gt_interp = np.stack(
+                [np.interp(est_t[ok], gt_t, gt_p[:, k]) for k in range(3)], -1
+            )
+            report["ate_rmse_m"] = round(ate_rmse(est_p[ok], gt_interp, align=False), 4)
+            report["ate_rmse_aligned_m"] = round(
+                ate_rmse(est_p[ok], gt_interp, align=True), 4
+            )
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="synthetic",
+                    help="'synthetic' or path to a .npz dataset")
+    ap.add_argument("--preset", default="basic")
+    ap.add_argument("--config-overrides", default=None,
+                    help="JSON dict of config overrides")
+    ap.add_argument("--output-csv", default=None)
+    ap.add_argument("--output-state", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    report = run(args)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""MapBuilder integration (the map_builder.cc API surface): sensor ingest ->
+initialization -> LIO -> pose graph routing; serialization round-trip."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dliom_tpu.common.config import load_config
+from dliom_tpu.evaluation.ate import ate_rmse, read_trajectory_csv, write_trajectory_csv
+from dliom_tpu.io.serialization import load_state, save_state
+from dliom_tpu.io.synthetic import SyntheticWorld
+from dliom_tpu.map_builder import MapBuilder
+from dliom_tpu.transform.rigid import Rigid3
+
+G = 9.80511
+
+
+def _config(num_range_data=4):
+    return load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "min_range": 0.5, "max_range": 50.0, "voxel_filter_size": 0.2,
+                "scan_period": 0.3, "enable_gravity_factor": False,
+                "frames_for_static_initialization": 3,
+                "high_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7, "min_num_points": 150, "max_range": 50.0},
+                "low_resolution_adaptive_voxel_filter": {
+                    "max_length": 0.7, "min_num_points": 150, "max_range": 50.0},
+                "ceres_scan_matcher": {
+                    "occupied_space_weight_0": 5.0, "occupied_space_weight_1": 20.0,
+                    "translation_weight": 0.1, "rotation_weight": 0.3,
+                    "max_num_iterations": 10},
+                "motion_filter": {"max_time_seconds": 0.1,
+                                  "max_distance_meters": 0.0,
+                                  "max_angle_radians": 0.0},
+                "imu": {"prior_vel_noise": 0.5, "prior_bias_noise": 0.05},
+                "submaps": {
+                    "high_resolution": 0.2, "high_resolution_max_range": 50.0,
+                    "low_resolution": 0.5, "num_range_data": num_range_data,
+                    "high_resolution_extent": 160, "low_resolution_extent": 80,
+                    "range_data_inserter": {"hit_probability": 0.7,
+                                            "miss_probability": 0.4,
+                                            "num_free_space_voxels": 0}},
+                "max_filtered_points": 4096,
+                "max_high_res_points": 1024, "max_low_res_points": 1024,
+                "max_imu_per_scan": 64,
+                "window_size": 4, "gn_iterations": 4,
+            },
+            "pose_graph": {
+                "optimize_every_n_nodes": 0,
+                "max_submaps": 16, "max_nodes": 64, "max_constraints": 256,
+            },
+        },
+    )
+
+
+def _feed_static_imu(builder, t0, n=40, dt=0.01):
+    for i in range(n):
+        builder.add_imu_data(t0 + i * dt, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+    return t0 + n * dt
+
+
+def test_map_builder_end_to_end_and_serialization():
+    cfg = _config()
+    builder = MapBuilder(cfg)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+
+    t = 0.0
+    poses = []
+    # static phase: initializer needs frames_for_static_initialization scans
+    k = 0
+    scan_idx = 0
+    positions = [np.array([0.05 * i, 0.0, 0.0]) for i in range(10)]
+    while scan_idx < 10:
+        t = _feed_static_imu(builder, t, n=30)
+        pose = (
+            Rigid3.identity()
+            if not builder.initialized
+            else Rigid3.translation_only(jnp.asarray(positions[scan_idx], jnp.float32))
+        )
+        pts, ptimes = world.cast_scan(pose)
+        res = builder.add_range_data(t, pts, ptimes)
+        if builder.initialized:
+            poses.append((t, pose, res))
+            scan_idx += 1
+        else:
+            positions[0] = np.zeros(3)  # still initializing
+            k += 1
+            assert k < 10, "initializer never triggered"
+
+    assert builder.initialized
+    assert len(builder.pose_graph.nodes) >= 8
+    assert len(builder.pose_graph.submaps) >= 2
+    # finished submaps got compressed grids
+    finished = [s for s in builder.pose_graph.submaps if s.finished]
+    assert finished and all(s.high is not None for s in finished)
+    # INTRA constraints reference valid ids
+    for c in builder.pose_graph.constraints:
+        assert 0 <= c.submap_id < len(builder.pose_graph.submaps)
+        assert 0 <= c.node_id < len(builder.pose_graph.nodes)
+
+    builder.finish_trajectory()
+    nodes = builder.optimized_node_poses()
+    # trajectory tracks the slow x-motion within a few cm
+    errs = []
+    for (t_exp, pose_exp, _), (t_got, pose_got) in zip(poses, nodes):
+        errs.append(
+            float(jnp.linalg.norm(pose_got.translation - pose_exp.translation))
+        )
+    assert max(errs) < 0.1, errs
+
+    # serialization round-trip
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "state.npz")
+        save_state(path, builder.pose_graph)
+        pg2 = load_state(path, cfg)
+        assert len(pg2.nodes) == len(builder.pose_graph.nodes)
+        assert len(pg2.submaps) == len(builder.pose_graph.submaps)
+        assert len(pg2.constraints) == len(builder.pose_graph.constraints)
+        np.testing.assert_allclose(
+            np.asarray(pg2.nodes[0].global_pose.translation),
+            np.asarray(builder.pose_graph.nodes[0].global_pose.translation),
+            atol=1e-6,
+        )
+        # the restored graph re-optimizes without error
+        pg2.run_optimization(iterations=2)
+
+        # CSV export/import round-trip
+        csv = os.path.join(d, "traj.csv")
+        write_trajectory_csv(csv, [t for t, _ in nodes], [p for _, p in nodes])
+        times, pos = read_trajectory_csv(csv)
+        assert len(times) == len(nodes)
+        np.testing.assert_allclose(
+            pos[0], np.asarray(nodes[0][1].translation), atol=1e-5
+        )
+
+
+def test_ate_metrics():
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(50, 3))
+    # a rotated+shifted copy has zero aligned ATE
+    from dliom_tpu.evaluation.ate import umeyama_alignment
+
+    theta = 0.3
+    r = np.array(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]]
+    )
+    est = gt @ r.T + np.array([1.0, -2.0, 0.5])
+    assert ate_rmse(est, gt, align=True) < 1e-6
+    assert ate_rmse(est, gt, align=False) > 1.0
