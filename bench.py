@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Benchmark: frontend scans/sec on one chip (BASELINE config #1/#2 shape).
+"""Benchmark: full tightly-coupled LIO scans/sec on one chip (BASELINE
+config #2: IMU preintegration + deskew + voxel filters + GN scan match +
+window fusion + grid insertion).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -14,23 +16,32 @@ import functools
 import json
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+# Pay the backend's one-time host-transfer handshake before anything timed
+# (first D2H through the TPU relay can take minutes).
+import jax
+import jax.numpy as jnp
+
+np.asarray(jnp.zeros(1))
+
 from dliom_tpu.common.config import load_config
-from dliom_tpu.frontend.local_trajectory_builder import (
-    ScanInput,
-    make_initial_state,
-    step,
+from dliom_tpu.frontend.lio import (
+    LioScanInput,
+    lio_step,
+    make_jit_lio_step,
+    make_lio_state,
 )
+from dliom_tpu.imu import preintegration as pre
 from dliom_tpu.io.synthetic import SyntheticWorld, corkscrew_trajectory
 from dliom_tpu.sensor.types import pad_point_cloud
 from dliom_tpu.transform.rigid import Rigid3
 
-CAPACITY = 32768  # raw points per scan fed to the step (VIRAL-like density)
+CAPACITY = 32768  # raw points per scan (VIRAL-like density)
+IMU_CAP = 64
 WARMUP = 5
 MEASURE = 40
+G = 9.80511
 
 
 def build_config():
@@ -40,6 +51,7 @@ def build_config():
             "trajectory_builder": {
                 "scan_period": 0.1,
                 "voxel_filter_size": 0.3,
+                "enable_gravity_factor": False,
                 "submaps": {
                     # VIRAL-style: 0.1 m high res; extents sized to the
                     # synthetic 30 m world
@@ -53,57 +65,70 @@ def build_config():
                 "max_filtered_points": 8192,
                 "max_high_res_points": 1024,
                 "max_low_res_points": 1024,
+                "max_imu_per_scan": IMU_CAP,
+                "window_size": 6,
+                "gn_iterations": 4,
+                # Ceres stops early on tolerance; with warm IMU-predicted
+                # starts it typically converges in <8 iterations.
+                "ceres_scan_matcher": {"max_num_iterations": 8},
             }
         },
     ).trajectory_builder
 
 
 def main():
-    # Pay the backend's one-time host-transfer handshake before anything
-    # timed (first D2H through the TPU relay can take minutes).
-    np.asarray(jnp.zeros(1))
-
     cfg = build_config()
     world = SyntheticWorld.create()
     traj = corkscrew_trajectory()
 
-    # Pre-generate a cycle of scans on host (host data gen is not benched).
+    # Pre-generate a cycle of scans + IMU bridges on host.
     scans = []
     prev = Rigid3.identity()
-    for i, (t, pose) in enumerate(traj[: WARMUP + 5]):
+    rng = np.random.default_rng(0)
+    for i, (t, pose) in enumerate(traj[:10]):
         pts, times = world.cast_scan(pose)
         cloud = pad_point_cloud(pts, times, CAPACITY)
-        rel = prev.inverse().compose(pose)
+        n_imu = 40  # 400 Hz IMU at 10 Hz scans
+        dts = np.full(IMU_CAP, 0.0025, np.float32)
+        accs = np.tile(np.array([0, 0, G], np.float32), (IMU_CAP, 1))
+        accs += rng.normal(0, 0.01, accs.shape).astype(np.float32)
+        gyrs = rng.normal(0, 0.002, (IMU_CAP, 3)).astype(np.float32)
+        mask = np.arange(IMU_CAP) < n_imu
         scans.append(
-            ScanInput(
+            LioScanInput(
                 time=jnp.float32(t),
                 points=cloud.points,
                 times=cloud.times,
                 mask=cloud.mask,
-                relative_prediction=rel,
+                imu_dts=jnp.asarray(dts),
+                imu_acc=jnp.asarray(accs),
+                imu_gyr=jnp.asarray(gyrs),
+                imu_mask=jnp.asarray(mask),
             )
         )
         prev = pose
 
-    state = make_initial_state(cfg)
-    jit_step = jax.jit(functools.partial(step, cfg=cfg), donate_argnums=0)
+    state = make_lio_state(
+        cfg, pre.NavState.identity(), jnp.zeros(3), jnp.zeros(3)
+    )
+    jit_step, split, join = make_jit_lio_step(cfg)
+    grids, rest = split(state)
 
-    # Warmup/compile.
     for i in range(WARMUP):
-        state, result = jit_step(state, scans[i % len(scans)])
-    jax.block_until_ready(result.local_pose.translation)
+        grids, rest, result = jit_step(grids, rest, scans[i % len(scans)])
+    jax.block_until_ready(result.scan.local_pose.translation)
 
     t0 = time.perf_counter()
     for i in range(MEASURE):
-        state, result = jit_step(state, scans[i % len(scans)])
-    jax.block_until_ready(result.local_pose.translation)
+        grids, rest, result = jit_step(grids, rest, scans[i % len(scans)])
+    jax.block_until_ready(result.scan.local_pose.translation)
     dt = time.perf_counter() - t0
 
     scans_per_sec = MEASURE / dt
     print(
         json.dumps(
             {
-                "metric": "frontend_scans_per_sec",
+                "metric": "lio_scans_per_sec",
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / 30.0, 2),

@@ -214,3 +214,45 @@ def lio_step(
         failed=failed,
         gravity_valid=grav_ok,
     )
+
+
+def make_jit_lio_step(cfg: TrajectoryBuilderConfig):
+    """Compiled LIO step with the submap grid banks donated (in-place HBM
+    updates) and the rest of the state copied.
+
+    Donating the whole LioState trips a TPU-backend aliasing fault in the
+    current runtime (opaque InvalidArgument; grids-only donation is stable
+    and covers ~99% of the state bytes). Returns (fn, split, join):
+      grids, rest = split(state);  grids, rest, res = fn(grids, rest, inp);
+      state = join(grids, rest).
+    """
+
+    def split(state: LioState):
+        sm = state.frontend.submaps
+        grids = (sm.high_values, sm.low_values)
+        rest = state._replace(
+            frontend=state.frontend._replace(
+                submaps=sm._replace(
+                    high_values=jnp.zeros((0,), sm.high_values.dtype),
+                    low_values=jnp.zeros((0,), sm.low_values.dtype),
+                )
+            )
+        )
+        return grids, rest
+
+    def join(grids, rest: LioState) -> LioState:
+        return rest._replace(
+            frontend=rest.frontend._replace(
+                submaps=rest.frontend.submaps._replace(
+                    high_values=grids[0], low_values=grids[1]
+                )
+            )
+        )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fn(grids, rest, inp):
+        st, res = lio_step(join(grids, rest), inp, cfg)
+        g2, rest2 = split(st)
+        return g2, rest2, res
+
+    return fn, split, join

@@ -153,7 +153,7 @@ def _midpoint_step(pre: Preintegrated, dt, acc1, gyr1, noise) -> Preintegrated:
     )
 
 
-def integrate(
+def integrate_sequential(
     pre: Preintegrated,
     dts: jnp.ndarray,  # (M,)
     accs: jnp.ndarray,  # (M, 3)
@@ -161,7 +161,8 @@ def integrate(
     mask: jnp.ndarray,  # (M,)
     noise: jnp.ndarray,  # (18, 18)
 ) -> Preintegrated:
-    """Integrate a masked batch of samples (propagate, :266-292)."""
+    """Reference-shaped sequential integration (propagate, :266-292).
+    Kept as the ground truth for the batched path below."""
 
     def body(p, x):
         dt, acc, gyr, ok = x
@@ -171,6 +172,135 @@ def integrate(
 
     out, _ = jax.lax.scan(body, pre, (dts, accs, gyrs, mask))
     return out
+
+
+def integrate(
+    pre: Preintegrated,
+    dts: jnp.ndarray,  # (M,)
+    accs: jnp.ndarray,  # (M, 3)
+    gyrs: jnp.ndarray,  # (M, 3)
+    mask: jnp.ndarray,  # (M,) must be a PREFIX mask (valid samples first)
+    noise: jnp.ndarray,  # (18, 18)
+) -> Preintegrated:
+    """Batched integration, numerically identical to the sequential path.
+
+    TPU-native restructuring: the only truly sequential part of midpoint
+    preintegration is the tiny quaternion chain; everything heavy is
+    reformulated batch-first —
+      1. lax.scan over the quaternion increments only (cheap vector ops);
+      2. position/velocity deltas as cumulative sums of batched terms;
+      3. the 15x15 error-state chain J_n = F_n ... F_1 and the covariance
+         recurrence P_k = F P F^T + V N V^T as an `associative_scan` over
+         the affine maps (F, Q) — log2(M) rounds of batched matmuls on the
+         MXU instead of M serial 15x15 products.
+    """
+    m = dts.shape[0]
+    okf = mask.astype(jnp.float32)[:, None]
+    dt = jnp.where(mask, dts, 0.0)
+    ba, bg = pre.ba, pre.bg
+
+    # previous-sample pairs (prefix-masked stream)
+    acc_prev = jnp.concatenate([pre.acc0[None], accs[:-1]], axis=0)
+    gyr_prev = jnp.concatenate([pre.gyr0[None], gyrs[:-1]], axis=0)
+
+    # 1. quaternion chain (sequential but tiny)
+    un_gyr = 0.5 * (gyr_prev + gyrs) - bg
+    dq_steps = quat_from_axis_angle(un_gyr * dt[:, None])
+
+    def qbody(q, x):
+        dq_step, ok = x
+        q_new = quat_normalize(quat_multiply(q, dq_step))
+        q_new = jnp.where(ok, q_new, q)
+        return q_new, q_new
+
+    q_final, q_all = jax.lax.scan(qbody, pre.delta_q, (dq_steps, mask))
+    q_prev = jnp.concatenate([pre.delta_q[None], q_all[:-1]], axis=0)
+
+    # 2. batched translation/velocity chains
+    un_acc_0 = quat_rotate(q_prev, acc_prev - ba)
+    un_acc_1 = quat_rotate(q_all, accs - ba)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1) * okf
+    dv_steps = un_acc * dt[:, None]
+    v_all = pre.delta_v + jnp.cumsum(dv_steps, axis=0)
+    v_prev = jnp.concatenate([pre.delta_v[None], v_all[:-1]], axis=0)
+    dp_steps = v_prev * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None]
+    p_final = pre.delta_p + jnp.sum(dp_steps, axis=0)
+    v_final = v_all[-1]
+
+    # 3. batched F/V construction + associative affine composition
+    r0 = quat_to_rotation_matrix(q_prev)
+    r1 = quat_to_rotation_matrix(q_all)
+    rwx = jax.vmap(so3_hat)(un_gyr)
+    ra0 = jax.vmap(so3_hat)(acc_prev - ba)
+    ra1 = jax.vmap(so3_hat)(accs - ba)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    dtc = dt[:, None, None]
+
+    f = jnp.zeros((m, 15, 15), jnp.float32)
+    f = f.at[:, 0:3, 0:3].set(eye3)
+    f = f.at[:, 0:3, 3:6].set(
+        -0.25 * r0 @ ra0 * dtc * dtc
+        + -0.25 * r1 @ ra1 @ (eye3 - rwx * dtc) * dtc * dtc
+    )
+    f = f.at[:, 0:3, 6:9].set(eye3 * dtc)
+    f = f.at[:, 0:3, 9:12].set(-0.25 * (r0 + r1) * dtc * dtc)
+    f = f.at[:, 0:3, 12:15].set(0.25 * r1 @ ra1 * dtc * dtc * dtc)
+    f = f.at[:, 3:6, 3:6].set(eye3 - rwx * dtc)
+    f = f.at[:, 3:6, 12:15].set(-eye3 * dtc)
+    f = f.at[:, 6:9, 3:6].set(
+        -0.5 * r0 @ ra0 * dtc + -0.5 * r1 @ ra1 @ (eye3 - rwx * dtc) * dtc
+    )
+    f = f.at[:, 6:9, 6:9].set(eye3)
+    f = f.at[:, 6:9, 9:12].set(-0.5 * (r0 + r1) * dtc)
+    f = f.at[:, 6:9, 12:15].set(0.5 * r1 @ ra1 * dtc * dtc)
+    f = f.at[:, 9:12, 9:12].set(eye3)
+    f = f.at[:, 12:15, 12:15].set(eye3)
+
+    v = jnp.zeros((m, 15, 18), jnp.float32)
+    v = v.at[:, 0:3, 0:3].set(0.25 * r0 * dtc * dtc)
+    v03 = -0.125 * r1 @ ra1 * dtc * dtc * dtc
+    v = v.at[:, 0:3, 3:6].set(v03)
+    v = v.at[:, 0:3, 6:9].set(0.25 * r1 * dtc * dtc)
+    v = v.at[:, 0:3, 9:12].set(v03)
+    v = v.at[:, 3:6, 3:6].set(0.5 * eye3 * dtc)
+    v = v.at[:, 3:6, 9:12].set(0.5 * eye3 * dtc)
+    v = v.at[:, 6:9, 0:3].set(0.5 * r0 * dtc)
+    v63 = -0.25 * r1 @ ra1 * dtc * dtc
+    v = v.at[:, 6:9, 3:6].set(v63)
+    v = v.at[:, 6:9, 6:9].set(0.5 * r1 * dtc)
+    v = v.at[:, 6:9, 9:12].set(v63)
+    v = v.at[:, 9:12, 12:15].set(eye3 * dtc)
+    v = v.at[:, 12:15, 15:18].set(eye3 * dtc)
+
+    q_noise = v @ noise @ jnp.swapaxes(v, 1, 2)
+    # masked steps compose as the identity map
+    eye15 = jnp.eye(15, dtype=jnp.float32)
+    f = jnp.where(mask[:, None, None], f, eye15)
+    q_noise = jnp.where(mask[:, None, None], q_noise, 0.0)
+
+    def combine(a, b):
+        fa, qa = a
+        fb, qb = b
+        return fb @ fa, fb @ qa @ jnp.swapaxes(fb, -1, -2) + qb
+
+    f_cum, q_cum = jax.lax.associative_scan(combine, (f, q_noise), axis=0)
+    f_total = f_cum[-1]
+    q_total = q_cum[-1]
+
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    last = jnp.maximum(n_valid - 1, 0)
+    has = n_valid > 0
+    return pre._replace(
+        delta_p=p_final,
+        delta_q=q_final,
+        delta_v=v_final,
+        jacobian=f_total @ pre.jacobian,
+        covariance=f_total @ pre.covariance @ f_total.T + q_total,
+        dt=pre.dt + jnp.sum(dt),
+        acc0=jnp.where(has, accs[last], pre.acc0),
+        gyr0=jnp.where(has, gyrs[last], pre.gyr0),
+        count=pre.count + n_valid,
+    )
 
 
 class NavState(NamedTuple):

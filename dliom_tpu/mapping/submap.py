@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from dliom_tpu.common.config import SubmapsConfig
 from dliom_tpu.mapping.grid import GRID_DTYPE, GridSpec
-from dliom_tpu.ops.grid_update import insert_range_data
+from dliom_tpu.ops.grid_update import insert_range_data, insert_range_data_dual
 from dliom_tpu.transform.rigid import Rigid3
 
 
@@ -108,45 +108,42 @@ def insert_range_data_into_submaps(
     """
     hi, lo = grid_specs(cfg)
 
-    def insert_slot(values, spec, slot, gate, max_range=None):
-        # The gate folds into the point mask: a disabled insert degenerates
-        # to an all-dropped scatter with no grid traffic.
-        pose = slot_pose(state, slot)
-        inv = pose.inverse()
-        pts = inv.apply(returns_in_local)
-        org = inv.apply(origin_in_local)
-        mask = returns_mask & gate
-        if max_range is not None:
-            mask = mask & (jnp.linalg.norm(pts - org, axis=-1) <= max_range)
-        return insert_range_data(
-            values,
-            org,
-            pts,
-            mask,
-            spec=spec,
-            hit_probability=cfg.range_data_inserter.hit_probability,
-            miss_probability=cfg.range_data_inserter.miss_probability,
-            num_free_space_voxels=cfg.range_data_inserter.num_free_space_voxels,
-            slot=slot,
-        )
-
-    new_high = state.high_values
-    new_low = state.low_values
-    new_counts = state.num_range_data
-    for slot in range(2):
-        # slot holds a live submap iff its id (>= num_created-2) maps here
-        slot_active = jnp.where(
-            state.num_created >= 2,
-            True,
-            slot == (state.num_created - 1) % 2,
-        )
-        use = slot_active & enabled
-        # FilterRangeDataByMaxRange applies in the submap frame
-        new_high = insert_slot(
-            new_high, hi, slot, use, cfg.high_resolution_max_range
-        )
-        new_low = insert_slot(new_low, lo, slot, use)
-        new_counts = new_counts.at[slot].add(use.astype(jnp.int32))
+    # Per-slot transformed clouds + gates (slot 0 and 1 stacked).
+    poses = Rigid3(state.pose_rotation, state.pose_translation)
+    inv = poses.inverse()
+    pts2 = jax.vmap(lambda r, t, p: Rigid3(r, t).apply(p), in_axes=(0, 0, None))(
+        inv.rotation, inv.translation, returns_in_local
+    )  # (2, N, 3)
+    org2 = jax.vmap(lambda r, t: Rigid3(r, t).apply(origin_in_local))(
+        inv.rotation, inv.translation
+    )  # (2, 3)
+    slot_ids = jnp.arange(2)
+    slot_active = jnp.where(
+        state.num_created >= 2,
+        jnp.ones(2, bool),
+        slot_ids == (state.num_created - 1) % 2,
+    )
+    use = slot_active & enabled  # (2,)
+    masks2 = returns_mask[None, :] & use[:, None]
+    # FilterRangeDataByMaxRange applies in the submap frame (high grid only)
+    hi_masks = masks2 & (
+        jnp.linalg.norm(pts2 - org2[:, None, :], axis=-1)
+        <= cfg.high_resolution_max_range
+    )
+    ins = cfg.range_data_inserter
+    new_high = insert_range_data_dual(
+        state.high_values, org2, pts2, hi_masks, spec=hi,
+        hit_probability=ins.hit_probability,
+        miss_probability=ins.miss_probability,
+        num_free_space_voxels=ins.num_free_space_voxels,
+    )
+    new_low = insert_range_data_dual(
+        state.low_values, org2, pts2, masks2, spec=lo,
+        hit_probability=ins.hit_probability,
+        miss_probability=ins.miss_probability,
+        num_free_space_voxels=ins.num_free_space_voxels,
+    )
+    new_counts = state.num_range_data + use.astype(jnp.int32)
 
     state = state._replace(
         high_values=new_high, low_values=new_low, num_range_data=new_counts

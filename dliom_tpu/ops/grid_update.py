@@ -136,3 +136,76 @@ def insert_range_data(
         updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
     )
     return out.reshape(bank_shape)
+
+
+def insert_range_data_dual(
+    values: jnp.ndarray,  # (2, num_cells) bank
+    origins: jnp.ndarray,  # (2, 3) per-slot origin in the slot's frame
+    hits: jnp.ndarray,  # (2, N, 3) per-slot hit points in the slot's frame
+    masks: jnp.ndarray,  # (2, N)
+    *,
+    spec: GridSpec,
+    hit_probability: float = 0.55,
+    miss_probability: float = 0.49,
+    num_free_space_voxels: int = 2,
+) -> jnp.ndarray:
+    """Insert one scan into BOTH submap slots with a single sort + gather +
+    scatter over the combined record set (ActiveSubmaps3D inserts every scan
+    into both active submaps, submap_3d.cc:303-309; fusing the two halves
+    the per-op overhead of the latency-bound scatter path)."""
+    hit_odds = hit_probability / (1.0 - hit_probability)
+    miss_odds = miss_probability / (1.0 - miss_probability)
+    k = int(num_free_space_voxels)
+    res = spec.resolution
+    sentinel = spec.num_cells
+    num_flat = 2 * spec.num_cells
+
+    hit_cells = cell_index(hits, res)  # (2, N, 3)
+    origin_cell = cell_index(origins, res)[:, None, :]  # (2, 1, 3)
+    delta = hit_cells - origin_cell
+    num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (2, N)
+
+    base = (jnp.arange(2, dtype=jnp.int32) * spec.num_cells)[:, None]
+
+    def linify(cells, ok_extra):
+        lin, ok = linear_index(cells, spec)
+        return jnp.where(ok & ok_extra, base + lin, num_flat), ok & ok_extra
+
+    hit_lin, hit_ok = linear_index(hit_cells, spec)
+    hit_valid = masks & hit_ok
+    lins = [jnp.where(hit_valid, base + hit_lin, num_flat).reshape(-1)]
+    misses = [jnp.zeros(hits.shape[0] * hits.shape[1], jnp.int32)]
+    n = num_samples[..., None]
+    safe_n = jnp.maximum(n, 1)
+    for j in range(1, k + 1):
+        pos = n - j
+        cells = origin_cell + _trunc_div(delta * pos, safe_n)
+        lin, ok = linear_index(cells, spec)
+        valid = masks & ok & (num_samples >= j)
+        lins.append(jnp.where(valid, base + lin, num_flat).reshape(-1))
+        misses.append(jnp.ones(hits.shape[0] * hits.shape[1], jnp.int32))
+    all_lin = jnp.concatenate(lins)
+    is_miss = jnp.concatenate(misses)
+
+    key = all_lin * 2 + is_miss
+    s_key, s_lin = jax.lax.sort([key, all_lin], num_keys=1)
+    s_miss = s_key & 1
+    m = s_lin.shape[0]
+    first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
+    head_pos = jax.lax.cummax(jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0))
+    head_is_miss = s_miss[head_pos]
+
+    flat = values.reshape(-1)
+    gather_idx = jnp.clip(s_lin, 0, num_flat - 1)
+    current = flat.at[gather_idx].get(mode="clip", indices_are_sorted=True).astype(
+        jnp.int32
+    )
+    updated = jnp.where(
+        head_is_miss == 1,
+        pv.apply_odds(current, miss_odds),
+        pv.apply_odds(current, hit_odds),
+    )
+    out = flat.at[s_lin].set(
+        updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
+    )
+    return out.reshape(values.shape)

@@ -292,3 +292,32 @@ def test_failure_detection():
     state = wo.make_window(4, pre.NavState.identity(), jnp.zeros(3), jnp.zeros(3), cfg)
     bad = state._replace(v=state.v.at[0].set(jnp.asarray([40.0, 0.0, 0.0])))
     assert bool(wo.failure_detected(bad))
+
+
+def test_batched_integrate_matches_sequential():
+    # The associative-scan path must be numerically equivalent to the
+    # reference-shaped sequential scan.
+    rng = np.random.default_rng(9)
+    n = 48
+    accs = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32) + np.array([0, 0, G], np.float32))
+    gyrs = jnp.asarray(rng.normal(0, 0.3, (n, 3)).astype(np.float32))
+    dts = jnp.asarray(rng.uniform(0.002, 0.004, n).astype(np.float32))
+    mask = jnp.arange(n) < 40  # prefix mask
+    cfg = ImuConfig()
+    noise = pre.noise_matrix(cfg)
+    ba = jnp.asarray([0.01, -0.02, 0.005])
+    bg = jnp.asarray([0.002, 0.001, -0.003])
+    p0 = pre.make_preintegrated(ba, bg, accs[0] * 0.9, gyrs[0] * 0.9)
+    a = pre.integrate_sequential(p0, dts, accs, gyrs, mask, noise)
+    b = pre.integrate(p0, dts, accs, gyrs, mask, noise)
+    np.testing.assert_allclose(np.asarray(b.delta_p), np.asarray(a.delta_p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.delta_v), np.asarray(a.delta_v), atol=1e-4)
+    assert abs(float(jnp.sum(a.delta_q * b.delta_q))) > 1.0 - 1e-6
+    np.testing.assert_allclose(np.asarray(b.jacobian), np.asarray(a.jacobian), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(b.covariance), np.asarray(a.covariance),
+        atol=2e-3 * float(jnp.max(jnp.abs(a.covariance))),
+    )
+    np.testing.assert_allclose(float(b.dt), float(a.dt), rtol=1e-6)
+    assert int(b.count) == int(a.count)
+    np.testing.assert_allclose(np.asarray(b.acc0), np.asarray(a.acc0), atol=1e-6)
