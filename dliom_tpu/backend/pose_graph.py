@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -89,7 +90,17 @@ class Constraint:
 class PoseGraph:
     """Host orchestrator (PoseGraph3D API surface)."""
 
-    def __init__(self, cfg: PoseGraphConfig, tb_cfg: TrajectoryBuilderConfig):
+    def __init__(
+        self,
+        cfg: PoseGraphConfig,
+        tb_cfg: TrajectoryBuilderConfig,
+        pool=None,
+        metrics=None,
+    ):
+        """`pool`: optional native TaskThreadPool — loop-constraint searches
+        then run as background tasks (the reference's ThreadPool Task DAG,
+        constraint_builder_3d.cc:130-159) and optimization waits for them
+        (WaitForAllComputations, pose_graph_3d.cc:517-533)."""
         self.cfg = cfg
         self.tb_cfg = tb_cfg
         self.nodes: List[NodeRecord] = []
@@ -100,6 +111,9 @@ class PoseGraph:
         self._hi_spec, self._lo_spec = grid_specs(tb_cfg.submaps)
         self._compress_capacity = 1 << 18
         self._jit_cache: Dict[str, object] = {}
+        self._pool = pool
+        self._mutex = threading.Lock()
+        self._metrics = metrics  # dict from metrics.register_all_metrics
 
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
@@ -170,7 +184,15 @@ class PoseGraph:
         # submap finished -> compress + search loop constraints (:390-399)
         if newly_finished_submap_id >= 0 and finished_grids is not None:
             self.finish_submap(newly_finished_submap_id, *finished_grids)
-            self._compute_constraints_for_submap(newly_finished_submap_id)
+            if self._pool is not None:
+                sid = newly_finished_submap_id
+                self._pool.add_task(
+                    lambda: self._compute_constraints_for_submap(sid)
+                )
+                if self._metrics:
+                    self._metrics["queue_length"].add().increment()
+            else:
+                self._compute_constraints_for_submap(newly_finished_submap_id)
 
         self._nodes_since_optimization += 1
         if (
@@ -275,6 +297,8 @@ class PoseGraph:
                 # initial guess: current global estimate composition with
                 # yaw-removed gravity alignment (ComputeConstraint :240-259)
                 initial = self._initial_guess(to_sub, node)
+                if self._metrics:
+                    self._metrics["constraints_searched"].add().increment()
                 res = match_fn(
                     pyr, g_lo, node.high_points, node.high_mask,
                     node.low_points, node.low_mask, initial,
@@ -288,28 +312,37 @@ class PoseGraph:
                     res.pose, g_hi, g_lo, node.high_points, node.high_mask,
                     node.low_points, node.low_mask,
                 )
-                self.constraints.append(
-                    Constraint(
-                        submap_id=to_id,
-                        node_id=node_id,
-                        relative=jax.tree.map(np.asarray, refined.pose),
-                        translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
-                        rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
-                        tag="INTER",
-                        score=float(res.score),
+                with self._mutex:
+                    self.constraints.append(
+                        Constraint(
+                            submap_id=to_id,
+                            node_id=node_id,
+                            relative=jax.tree.map(np.asarray, refined.pose),
+                            translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
+                            rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
+                            tag="INTER",
+                            score=float(res.score),
+                        )
                     )
-                )
+                if self._metrics:
+                    self._metrics["constraints_found"].add().increment()
+                    self._metrics["constraint_scores"].add().observe(
+                        float(res.score)
+                    )
                 added += 1
+        if self._metrics:
+            self._metrics["queue_length"].add().decrement()
         return added
 
     def _initial_guess(self, to_sub: SubmapRecord, node: NodeRecord) -> Rigid3:
         return to_sub.global_pose.inverse().compose(node.global_pose)
 
     def _has_constraint(self, submap_id: int, node_id: int) -> bool:
-        return any(
-            c.submap_id == submap_id and c.node_id == node_id
-            for c in self.constraints
-        )
+        with self._mutex:
+            return any(
+                c.submap_id == submap_id and c.node_id == node_id
+                for c in self.constraints
+            )
 
     # ----- optimization (HandleWorkQueue -> RunOptimization,
     # pose_graph_3d.cc:444-515, 722) -----
@@ -357,7 +390,13 @@ class PoseGraph:
             c_valid=jnp.asarray(cv),
         )
 
+    def wait_for_all_computations(self) -> None:
+        """WaitForAllComputations (pose_graph_3d.cc:517-533)."""
+        if self._pool is not None:
+            self._pool.wait_all()
+
     def run_optimization(self, iterations: Optional[int] = None) -> None:
+        self.wait_for_all_computations()
         if not self.constraints or len(self.submaps) < 2:
             self._nodes_since_optimization = 0
             return

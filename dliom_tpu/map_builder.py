@@ -27,6 +27,8 @@ import numpy as np
 
 from dliom_tpu.backend.pose_graph import NodeRecord, PoseGraph
 from dliom_tpu.common.config import EngineConfig
+from dliom_tpu.metrics import global_registry, register_all_metrics
+from dliom_tpu.sensor.range_synchronizer import RangeDataSynchronizer
 from dliom_tpu.frontend.lio import (
     LioResult,
     LioScanInput,
@@ -44,11 +46,33 @@ from dliom_tpu.transform.rigid import Rigid3
 class MapBuilder:
     """Single-trajectory online mapping (MapBuilderInterface surface)."""
 
-    def __init__(self, config: EngineConfig):
+    def __init__(
+        self,
+        config: EngineConfig,
+        range_sensor_ids: Optional[List[str]] = None,
+        use_background_threads: bool = False,
+    ):
+        """`range_sensor_ids`: one entry per LiDAR (the first is the primary
+        the others merge into, RangeDataSynchronizer). With
+        `use_background_threads`, loop-constraint search runs on the native
+        task pool (MAP_BUILDER.num_background_threads)."""
         self.config = config
         tb = config.trajectory_builder
         self.tb = tb
-        self.pose_graph = PoseGraph(config.pose_graph, tb)
+        self._metrics = register_all_metrics(global_registry())
+        pool = None
+        if use_background_threads:
+            from dliom_tpu.native import TaskThreadPool
+
+            pool = TaskThreadPool(config.map_builder.num_background_threads)
+        self._pool = pool
+        self.pose_graph = PoseGraph(
+            config.pose_graph, tb, pool=pool, metrics=self._metrics
+        )
+        ids = range_sensor_ids or [
+            f"points{i}" for i in range(max(1, config.num_point_clouds))
+        ]
+        self._synchronizer = RangeDataSynchronizer(ids, tb.scan_period)
         self._lio: Optional[LioState] = None
         self._initialized = False
         self._init_acc: List[np.ndarray] = []
@@ -113,10 +137,23 @@ class MapBuilder:
         )
 
     def add_range_data(
-        self, time: float, points: np.ndarray, point_times: Optional[np.ndarray] = None
+        self,
+        time: float,
+        points: np.ndarray,
+        point_times: Optional[np.ndarray] = None,
+        sensor_id: Optional[str] = None,
     ) -> Optional[dict]:
-        """SensorBridge::HandlePointCloud2Message -> AddRangeData. Returns a
-        MatchingResult dict once initialized, else None."""
+        """SensorBridge::HandlePointCloud2Message -> AddRangeData. Secondary
+        LiDARs buffer into the synchronizer; the primary triggers a step with
+        the merged cloud. Returns a MatchingResult dict once initialized."""
+        sensor_id = sensor_id or self._synchronizer.primary
+        merged = self._synchronizer.add_range_data(
+            sensor_id, time, points, point_times,
+            synthesize_times=self.tb.manual_deskew_stamps,
+        )
+        if merged is None:
+            return None
+        time, points, point_times = merged
         if not self._initialized:
             self._init_frames += 1
             if self._init_frames > self.tb.frames_for_static_initialization:
@@ -138,8 +175,15 @@ class MapBuilder:
             imu_gyr=gyrs,
             imu_mask=imask,
         )
+        import time as _wall
+
+        t0 = _wall.perf_counter()
         self._lio, res = self._jit_step(self._lio, inp)
         self._forward_to_pose_graph(time, res)
+        self._metrics["local_slam_latency"].add().set(_wall.perf_counter() - t0)
+        self._metrics["scan_matcher_cost"].add().observe(
+            float(res.scan.matcher_cost)
+        )
         out = {
             "time": time,
             "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),
@@ -225,6 +269,13 @@ class MapBuilder:
 
     def finish_trajectory(self):
         self.pose_graph.run_final_optimization()
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def metrics_text(self) -> str:
+        """Prometheus-style metrics dump (cloud/metrics/prometheus analog)."""
+        return global_registry().dump_text()
 
     # ----- queries -----
 

@@ -1,0 +1,141 @@
+"""Multi-sequence batched mapping + mesh sharding tests (BASELINE config #5;
+the TPU-native analog of the reference's gRPC multi-robot scale-out,
+SURVEY.md §2.4). Runs on the 8-virtual-device CPU mesh from conftest."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dliom_tpu.common.config import load_config
+from dliom_tpu.frontend.local_trajectory_builder import ScanInput
+from dliom_tpu.io.synthetic import SyntheticWorld
+from dliom_tpu.parallel.batch import (
+    batched_step,
+    make_batched_state,
+    make_mesh,
+    shard_over_mesh,
+    sharded_step,
+)
+from dliom_tpu.sensor.types import pad_point_cloud
+from dliom_tpu.transform.rigid import Rigid3
+
+
+def _cfg():
+    return load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "min_range": 0.5, "max_range": 50.0, "voxel_filter_size": 0.2,
+                "scan_period": 0.3,
+                "ceres_scan_matcher": {"max_num_iterations": 6},
+                "motion_filter": {"max_time_seconds": 0.0,
+                                  "max_distance_meters": 0.0,
+                                  "max_angle_radians": 0.0},
+                "submaps": {
+                    "high_resolution": 0.25, "high_resolution_max_range": 50.0,
+                    "low_resolution": 0.8, "num_range_data": 100,
+                    "high_resolution_extent": 96, "low_resolution_extent": 48,
+                },
+                "max_filtered_points": 1024,
+                "max_high_res_points": 512, "max_low_res_points": 512,
+            }
+        },
+    ).trajectory_builder
+
+
+def _scan_batch(cfg, batch, offsets):
+    """One scan per sequence, each sequence in its own world offset."""
+    world = SyntheticWorld.create(num_beams=4, num_azimuths=100)
+    pts_list, times_list = [], []
+    for b in range(batch):
+        pts, times = world.cast_scan(
+            Rigid3.translation_only(jnp.asarray(offsets[b], jnp.float32))
+        )
+        cloud = pad_point_cloud(pts, times, cfg.max_filtered_points)
+        pts_list.append(cloud.points)
+        times_list.append(cloud.times)
+    n = cfg.max_filtered_points
+    return ScanInput(
+        time=jnp.full((batch,), 0.3, jnp.float32),
+        points=jnp.stack(pts_list),
+        times=jnp.stack(times_list),
+        mask=jnp.ones((batch, n), bool),
+        relative_prediction=Rigid3(
+            jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (batch, 1)),
+            jnp.zeros((batch, 3), jnp.float32),
+        ),
+    )
+
+
+def test_batched_multi_sequence_step():
+    cfg = _cfg()
+    batch = 4
+    offsets = [np.array([0.05 * b, -0.02 * b, 0.0]) for b in range(batch)]
+    state = make_batched_state(cfg, batch)
+    scan = _scan_batch(cfg, batch, offsets)
+    vstep = jax.jit(batched_step(cfg))
+    state, result = vstep(state, scan)
+    # every sequence produced an independent pose and inserted into its
+    # own grids
+    assert result.local_pose.translation.shape == (batch, 3)
+    assert bool(jnp.all(result.inserted))
+    occupied = jnp.sum(
+        (state.submaps.high_values > 0).reshape(batch, -1), axis=1
+    )
+    assert bool(jnp.all(occupied > 100))
+    # sequences are independent: different worlds -> different grids
+    assert not bool(
+        jnp.array_equal(state.submaps.high_values[0], state.submaps.high_values[1])
+    )
+
+
+def test_sharded_multi_sequence_step_over_mesh():
+    cfg = _cfg()
+    devices = jax.devices("cpu")
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devices[:8]), ("seq",))
+    batch = 8
+    offsets = [np.array([0.05 * b, 0.0, 0.0]) for b in range(batch)]
+    state = make_batched_state(cfg, batch)
+    state = shard_over_mesh(state, mesh)
+    scan = shard_over_mesh(_scan_batch(cfg, batch, offsets), mesh)
+    run = sharded_step(cfg, mesh)
+    state, result = run(state, scan)
+    jax.block_until_ready(result.local_pose.translation)
+    assert result.local_pose.translation.shape == (batch, 3)
+    # the grid bank stays sharded over the mesh (one sequence per device)
+    shardings = state.submaps.high_values.sharding
+    assert isinstance(shardings, NamedSharding)
+    assert shardings.spec[0] == "seq"
+
+
+def test_sharded_spa_constraints():
+    """Pose-graph solve with constraint arrays laid out over the mesh:
+    the matrix-free Hv products reduce across shards (psum over ICI on
+    real hardware)."""
+    import tests.test_optimization as topt
+
+    rng = np.random.default_rng(3)
+    data, true_submaps, _ = topt._build_problem(rng)
+    devices = jax.devices("cpu")[:8]
+    mesh = Mesh(np.array(devices), ("c",))
+    # shard constraints; replicate poses
+    def shard_constraints(x, name):
+        if name.startswith("c_"):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("c", *([None] * (x.ndim - 1))))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    data = type(data)(
+        **{k: shard_constraints(v, k) for k, v in data._asdict().items()}
+    )
+    from dliom_tpu.backend.optimization import solve
+
+    out = jax.jit(lambda d: solve(d, iterations=6, cg_iterations=48))(data)
+    for i, pose in enumerate(true_submaps):
+        err = float(jnp.linalg.norm(out.submap_t[i] - pose.translation))
+        assert err < 0.05, (i, err)
