@@ -53,6 +53,10 @@ class PoseGraphData(NamedTuple):
     c_trans_weight: jnp.ndarray  # (C,)
     c_rot_weight: jnp.ndarray  # (C,)
     c_valid: jnp.ndarray  # (C,)
+    # frozen poses stay fixed during optimization (FreezeTrajectory /
+    # pure localization, map_builder.cc:220-234)
+    submap_fixed: jnp.ndarray  # (S,)
+    node_fixed: jnp.ndarray  # (N,)
 
 
 def make_pose_graph_data(max_submaps: int, max_nodes: int, max_constraints: int) -> PoseGraphData:
@@ -73,6 +77,8 @@ def make_pose_graph_data(max_submaps: int, max_nodes: int, max_constraints: int)
         c_trans_weight=jnp.zeros(max_constraints, jnp.float32),
         c_rot_weight=jnp.zeros(max_constraints, jnp.float32),
         c_valid=jnp.zeros(max_constraints, bool),
+        submap_fixed=jnp.zeros(max_submaps, bool),
+        node_fixed=jnp.zeros(max_nodes, bool),
     )
 
 
@@ -114,11 +120,11 @@ def solve(
     s = data.submap_q.shape[0]
     n = data.node_q.shape[0]
 
-    free_submap = data.submap_valid
+    free_submap = data.submap_valid & ~data.submap_fixed
     if fix_first_submap:
         free_submap = free_submap & (jnp.arange(s) != 0)
     submap_mask = free_submap[:, None].astype(jnp.float32)
-    node_mask = data.node_valid[:, None].astype(jnp.float32)
+    node_mask = (data.node_valid & ~data.node_fixed)[:, None].astype(jnp.float32)
 
     def gn_step(d: PoseGraphData, _):
         def res_flat(deltas):

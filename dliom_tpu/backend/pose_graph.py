@@ -36,6 +36,12 @@ from dliom_tpu.backend import fast_correlative as fc
 from dliom_tpu.backend import optimization as opt
 from dliom_tpu.backend.compression import CompressedGrid, compress, decompress
 from dliom_tpu.backend.precomputation import build_pyramid
+from dliom_tpu.backend.submap_projection import (
+    SubmapImage,
+    project_to_image,
+    propose_2d_transform,
+    proposal_to_initial_guess,
+)
 from dliom_tpu.common.config import PoseGraphConfig, TrajectoryBuilderConfig
 from dliom_tpu.mapping.submap import grid_specs
 from dliom_tpu.ops.rotational_histogram import rotate_histogram
@@ -63,6 +69,7 @@ class NodeRecord:
     histogram: jnp.ndarray  # (H,)
     submap_ids: Tuple[int, ...]  # submaps this node was inserted into
     global_pose: Rigid3 = None  # optimized
+    frozen: bool = False  # loaded-state node (pure localization)
 
 
 @dataclass
@@ -74,6 +81,9 @@ class SubmapRecord:
     histogram: Optional[np.ndarray] = None  # accumulated node histograms
     node_ids: List[int] = field(default_factory=list)
     finished: bool = False
+    image: Optional[SubmapImage] = None  # top-down projection (C10)
+    frozen: bool = False  # loaded-state submap (pure localization)
+    trimmed: bool = False  # heavy data dropped by a trimmer
 
 
 @dataclass
@@ -134,6 +144,14 @@ class PoseGraph:
         s = self.submaps[submap_id]
         s.high = compress(high_values, self._hi_spec, self._compress_capacity)
         s.low = compress(low_values, self._lo_spec, self._compress_capacity // 4)
+        if self.cfg.constraint_builder.use_image_proposals:
+            s.image = jax.tree.map(
+                np.asarray,
+                project_to_image(
+                    high_values, self._hi_spec,
+                    self.cfg.constraint_builder.image_proposal_size,
+                ),
+            )
         s.finished = True
 
     def add_node(
@@ -210,7 +228,7 @@ class PoseGraph:
         me = self.submaps[submap_id]
         out = []
         for sid, s in enumerate(self.submaps):
-            if sid == submap_id or not s.finished or s.high is None:
+            if sid == submap_id or not s.finished or s.high is None or s.trimmed:
                 continue
             if abs(sid - submap_id) <= 1:
                 continue  # adjacent submaps share nodes (not loops)
@@ -286,7 +304,14 @@ class PoseGraph:
         every = max(1, self.cfg.constraint_builder.every_nodes_to_find_constraint)
         from_sub = self.submaps[from_id]
         sampled = from_sub.node_ids[::every]
-        for to_id in self._close_submaps(from_id):
+        # image-based proposals for far (high-drift) submaps: the SURF path
+        # substitute (ExtractFeaturesForSubmap); stored as {to_id: proposal}
+        image_proposals = self._image_proposals(from_id)
+        candidates = list(self._close_submaps(from_id))
+        for to_id in image_proposals:
+            if to_id not in candidates:
+                candidates.append(to_id)
+        for to_id in candidates:
             to_sub = self.submaps[to_id]
             g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
             submap_hist = jnp.asarray(to_sub.histogram)
@@ -294,9 +319,19 @@ class PoseGraph:
                 if self._has_constraint(to_id, node_id):
                     continue
                 node = self.nodes[node_id]
-                # initial guess: current global estimate composition with
-                # yaw-removed gravity alignment (ComputeConstraint :240-259)
-                initial = self._initial_guess(to_sub, node)
+                if to_id in image_proposals:
+                    # initial from the 2D image proposal (ComputeConstraint's
+                    # submap_to_submap_2D composition :240-259)
+                    node_in_from = from_sub.local_pose.inverse().compose(
+                        node.local_pose
+                    )
+                    initial = proposal_to_initial_guess(
+                        image_proposals[to_id], to_sub.global_pose,
+                        from_sub.global_pose, node_in_from,
+                    )
+                else:
+                    # initial from the current global estimates
+                    initial = self._initial_guess(to_sub, node)
                 if self._metrics:
                     self._metrics["constraints_searched"].add().increment()
                 res = match_fn(
@@ -337,6 +372,47 @@ class PoseGraph:
     def _initial_guess(self, to_sub: SubmapRecord, node: NodeRecord) -> Rigid3:
         return to_sub.global_pose.inverse().compose(node.global_pose)
 
+    def _image_proposals(self, from_id: int):
+        """FFT-correlation submap-to-submap proposals vs older finished
+        submaps (the SURF/FLANN/RANSAC substitute, C10). Returns
+        {to_id: Proposal} for proposals above the score gate."""
+        cb = self.cfg.constraint_builder
+        if not cb.use_image_proposals:
+            return {}
+        from_sub = self.submaps[from_id]
+        if from_sub.image is None:
+            return {}
+        out = {}
+        candidates = [
+            sid
+            for sid, s in enumerate(self.submaps)
+            if s.finished and s.image is not None and sid < from_id - 1
+        ]
+        candidates = candidates[-cb.max_image_proposal_candidates:]
+        if not candidates:
+            return {}
+        if "propose" not in self._jit_cache:
+            self._jit_cache["propose"] = jax.jit(
+                functools.partial(
+                    propose_2d_transform, num_yaw=cb.image_proposal_num_yaw
+                )
+            )
+        propose = self._jit_cache["propose"]
+        for to_id in candidates:
+            prop = propose(
+                SubmapImage(
+                    jnp.asarray(self.submaps[to_id].image.image),
+                    self.submaps[to_id].image.meters_per_pixel,
+                ),
+                SubmapImage(
+                    jnp.asarray(from_sub.image.image),
+                    from_sub.image.meters_per_pixel,
+                ),
+            )
+            if float(prop.score) >= cb.image_proposal_min_score:
+                out[to_id] = jax.tree.map(np.asarray, prop)
+        return out
+
     def _has_constraint(self, submap_id: int, node_id: int) -> bool:
         with self._mutex:
             return any(
@@ -368,6 +444,12 @@ class PoseGraph:
             nq[i] = np.asarray(node.global_pose.rotation)
             nt[i] = np.asarray(node.global_pose.translation)
             nv[i] = True
+        sfx = np.zeros(S, bool)
+        for i, sub in enumerate(self.submaps):
+            sfx[i] = sub.frozen
+        nfx = np.zeros(N, bool)
+        for i, node in enumerate(self.nodes):
+            nfx[i] = node.frozen
         cs = np.zeros(C, np.int32); cn = np.zeros(C, np.int32)
         cq = np.zeros((C, 4), np.float32); cq[:, 0] = 1
         ct = np.zeros((C, 3), np.float32)
@@ -388,6 +470,7 @@ class PoseGraph:
             c_q=jnp.asarray(cq), c_t=jnp.asarray(ct),
             c_trans_weight=jnp.asarray(ctw), c_rot_weight=jnp.asarray(crw),
             c_valid=jnp.asarray(cv),
+            submap_fixed=jnp.asarray(sfx), node_fixed=jnp.asarray(nfx),
         )
 
     def wait_for_all_computations(self) -> None:
@@ -434,3 +517,24 @@ class PoseGraph:
 
     def num_inter_constraints(self) -> int:
         return sum(1 for c in self.constraints if c.tag == "INTER")
+
+    # ----- trimming (PoseGraphTrimmer / PureLocalizationTrimmer,
+    # mapping/pose_graph_trimmer.{h,cc}) -----
+
+    def trim_to_last_submaps(self, keep: int) -> int:
+        """PureLocalizationTrimmer: keep the newest `keep` unfrozen submaps'
+        heavy data; older ones drop grids/images and leave loop search.
+        Poses and constraints stay (the optimized trajectory is retained).
+        Returns the number of submaps trimmed this call."""
+        unfrozen = [s for s in self.submaps if not s.frozen]
+        trimmed = 0
+        if len(unfrozen) <= keep:
+            return 0
+        for s in unfrozen[:-keep]:
+            if not s.trimmed and s.finished:
+                s.high = None
+                s.low = None
+                s.image = None
+                s.trimmed = True
+                trimmed += 1
+        return trimmed

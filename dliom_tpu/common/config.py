@@ -195,6 +195,14 @@ class ConstraintBuilderConfig:
     good_match_ratio_of_distance: float = 0.5
     ransac_thresh_of_2d_transform_estimate: float = 3.0
     scale_estimated_tolerance: float = 0.1
+    # --- TPU image-proposal substitute for the SURF path (C10): dense FFT
+    # correlation over candidate yaws; min normalized-correlation score plays
+    # the role of minimum_good_match_num/RANSAC gates ---
+    use_image_proposals: bool = True
+    image_proposal_min_score: float = 0.35
+    image_proposal_num_yaw: int = 24
+    image_proposal_size: int = 128
+    max_image_proposal_candidates: int = 8
     fast_correlative_scan_matcher: FastCorrelativeConfig = field(
         default_factory=FastCorrelativeConfig
     )

@@ -1,0 +1,122 @@
+"""Map product export (assets writer).
+
+Counterpart of the reference's points-processor pipeline
+(`cartographer_ros/assets_writer.{h,cc}` + `cartographer/io/points_processor`
+ply/pcd/xray/probability-grid writers): post-hoc generation of map products
+from an optimized pose graph —
+
+  * `write_ply` / `write_pcd`: the aggregate point cloud (node clouds under
+    optimized poses — the full-map cloud the reference's viewer republishes,
+    node.cc:313-354);
+  * `write_xray_pgm`: a top-down intensity projection (xray writer analog;
+    PGM because the image is dependency-free);
+  * `write_probability_grid_npz`: the stitched occupied cells of finished
+    submaps with global poses.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from dliom_tpu.backend.compression import decompress
+from dliom_tpu.backend.pose_graph import PoseGraph
+from dliom_tpu.mapping import probability as pv
+
+
+def aggregate_point_cloud(pose_graph: PoseGraph, use_low: bool = False) -> np.ndarray:
+    """Node clouds transformed by optimized global poses -> (N, 3)."""
+    import jax
+
+    pts = []
+    for n in pose_graph.nodes:
+        cloud = n.low_points if use_low else n.high_points
+        mask = np.asarray(n.low_mask if use_low else n.high_mask)
+        world = np.asarray(n.global_pose.apply(cloud))
+        pts.append(world[mask])
+    if not pts:
+        return np.zeros((0, 3), np.float32)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def write_ply(path: str, points: np.ndarray) -> None:
+    """Binary little-endian PLY (io/ply_writing_points_processor analog)."""
+    points = np.asarray(points, np.float32)
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(points)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        f.write(header.encode())
+        f.write(points.astype("<f4").tobytes())
+
+
+def write_pcd(path: str, points: np.ndarray) -> None:
+    """Binary PCD v0.7 (io/pcd_writing_points_processor analog)."""
+    points = np.asarray(points, np.float32)
+    with open(path, "wb") as f:
+        header = (
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+            "COUNT 1 1 1\n"
+            f"WIDTH {len(points)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {len(points)}\nDATA binary\n"
+        )
+        f.write(header.encode())
+        f.write(points.astype("<f4").tobytes())
+
+
+def write_xray_pgm(
+    path: str, points: np.ndarray, resolution: float = 0.2
+) -> None:
+    """Top-down point-count projection as a PGM image (xray writer analog)."""
+    if len(points) == 0:
+        with open(path, "wb") as f:
+            f.write(b"P5\n1 1\n255\n\x00")
+        return
+    xy = np.asarray(points)[:, :2]
+    mins = xy.min(axis=0)
+    cells = np.floor((xy - mins) / resolution).astype(np.int64)
+    w, h = cells.max(axis=0) + 1
+    img = np.zeros((int(w), int(h)), np.float64)
+    np.add.at(img, (cells[:, 0], cells[:, 1]), 1.0)
+    img = np.log1p(img)
+    img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        f.write(img.tobytes())
+
+
+def write_probability_grid_npz(path: str, pose_graph: PoseGraph) -> None:
+    """Stitched occupied cells of finished submaps in world coordinates."""
+    import jax.numpy as jnp
+
+    all_pts, all_p = [], []
+    spec = pose_graph._hi_spec
+    for s in pose_graph.submaps:
+        if not s.finished or s.high is None:
+            continue
+        idx = np.asarray(s.high.indices)
+        val = np.asarray(s.high.values)
+        keep = val > 0
+        idx, val = idx[keep], val[keep]
+        e = spec.extent
+        cz = idx % e
+        cy = (idx // e) % e
+        cx = idx // (e * e)
+        cells = np.stack([cx, cy, cz], -1) - spec.half
+        local = cells.astype(np.float32) * spec.resolution
+        world = np.asarray(s.global_pose.apply(jnp.asarray(local)))
+        all_pts.append(world)
+        all_p.append(
+            np.asarray(pv.value_to_probability(jnp.asarray(val.astype(np.int32))))
+        )
+    pts = np.concatenate(all_pts) if all_pts else np.zeros((0, 3), np.float32)
+    probs = np.concatenate(all_p) if all_p else np.zeros((0,), np.float32)
+    np.savez_compressed(
+        path, points=pts, probabilities=probs, resolution=spec.resolution
+    )

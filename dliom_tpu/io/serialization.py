@@ -119,6 +119,7 @@ def load_state(
                 jnp.asarray(z[f"submap/{i}/low_val"]),
                 jnp.asarray(z[f"submap/{i}/low_count"]),
             )
+        rec.frozen = frozen
         pg.submaps.append(rec)
     for i in range(meta["num_nodes"]):
         pg.nodes.append(
@@ -133,6 +134,7 @@ def load_state(
                 low_mask=jnp.asarray(z[f"node/{i}/low_mask"]),
                 histogram=jnp.asarray(z[f"node/{i}/histogram"]),
                 submap_ids=tuple(z[f"node/{i}/submap_ids"]),
+                frozen=frozen,
             )
         )
     n_c = meta["num_constraints"]

@@ -84,8 +84,11 @@ class MapBuilder:
         self._last_imu_time: Optional[float] = None
         self._jit_step = jax.jit(functools.partial(lio_step, cfg=tb))
         self._results: List[dict] = []
-        # frontend submap id -> pose graph submap id (0 maps to 0)
+        # frontend submap id -> pose graph submap id (0 maps to 0 unless a
+        # state was loaded first; then live ids append after the loaded ones)
         self._known_submaps = 0
+        self._loaded_offset = 0
+        self._pure_localization = False
 
     # ----- sensor ingest -----
 
@@ -261,9 +264,15 @@ class MapBuilder:
             slot = finished % 2
             submaps = self._lio.frontend.submaps
             grids = (submaps.high_values[slot], submaps.low_values[slot])
+        off = self._loaded_offset
         self.pose_graph.add_node(
-            node, ids, newly_finished_submap_id=finished, finished_grids=grids
+            node,
+            tuple(i + off for i in ids),
+            newly_finished_submap_id=(finished + off) if finished >= 0 else -1,
+            finished_grids=grids,
         )
+        if self._pure_localization:
+            self.pose_graph.trim_to_last_submaps(3)
 
     # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
 
@@ -290,3 +299,28 @@ class MapBuilder:
     @property
     def initialized(self) -> bool:
         return self._initialized
+
+
+def map_builder_from_state(
+    path: str,
+    config: EngineConfig,
+    pure_localization: bool = True,
+    **kwargs,
+) -> "MapBuilder":
+    """Resume or localize against a saved map (MapBuilder::LoadState,
+    map_builder.cc:209-367). With `pure_localization`, loaded submaps and
+    nodes are frozen (their poses never move) and the live trajectory is
+    trimmed to the reference's 3 newest submaps
+    (PureLocalizationTrimmer, map_builder.cc:147-151)."""
+    from dliom_tpu.io.serialization import load_state
+
+    builder = MapBuilder(config, **kwargs)
+    loaded = load_state(path, config, frozen=pure_localization)
+    pg = builder.pose_graph
+    pg.submaps = loaded.submaps
+    pg.nodes = loaded.nodes
+    pg.constraints = loaded.constraints
+    builder._known_submaps = 0  # live submaps append after the loaded ones
+    builder._loaded_offset = len(pg.submaps)
+    builder._pure_localization = pure_localization
+    return builder

@@ -192,6 +192,20 @@ def run(args) -> dict:
 
         save_state(args.output_state, builder.pose_graph, args.preset)
         report["state_file"] = args.output_state
+    if args.output_ply or args.output_xray:
+        from dliom_tpu.io.assets_writer import (
+            aggregate_point_cloud,
+            write_ply,
+            write_xray_pgm,
+        )
+
+        cloud = aggregate_point_cloud(builder.pose_graph)
+        if args.output_ply:
+            write_ply(args.output_ply, cloud)
+            report["ply_file"] = args.output_ply
+        if args.output_xray:
+            write_xray_pgm(args.output_xray, cloud)
+            report["xray_file"] = args.output_xray
     if gt is not None and nodes:
         gt_t, gt_p = gt
         est_t = np.asarray([t for t, _ in nodes])
@@ -217,6 +231,10 @@ def main(argv=None):
                     help="JSON dict of config overrides")
     ap.add_argument("--output-csv", default=None)
     ap.add_argument("--output-state", default=None)
+    ap.add_argument("--output-ply", default=None,
+                    help="export the aggregate map point cloud (assets writer)")
+    ap.add_argument("--output-xray", default=None,
+                    help="export a top-down xray PGM image")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     report = run(args)

@@ -179,3 +179,54 @@ def test_loop_closure_finds_and_corrects_drift():
     np.testing.assert_allclose(
         np.asarray(pg.submap_poses()[0].translation), 0.0, atol=1e-6
     )
+
+
+def test_image_proposal_recovers_high_drift_loop():
+    """Drift far beyond max_radius_enable_loop_detection: the proximity path
+    cannot propose the pair, but the submap-image correlation (the SURF-path
+    substitute, C10) seeds a valid initial guess."""
+    cfg = _cfg()
+    import dataclasses as dc
+
+    pgc = dc.replace(
+        cfg.pose_graph,
+        max_radius_enable_loop_detection=2.0,  # proximity gate too small
+        num_close_submaps_loop_with_initial_value=1,
+    )
+    tb = cfg.trajectory_builder
+    pg = PoseGraph(pgc, tb)
+    hi, lo = grid_specs(tb.submaps)
+    rng = np.random.default_rng(4)
+    points = _world_cloud(rng)
+    pts = jnp.asarray(points)
+    vals = jnp.full((points.shape[0],), pv.probability_to_value(jnp.float32(0.9)))
+
+    s0 = pg.add_submap(Rigid3.identity())
+    g_hi0 = set_cells(make_grid(hi), cell_index(pts, hi.resolution), vals, hi)
+    g_lo0 = set_cells(make_grid(lo), cell_index(pts, lo.resolution), vals, lo)
+    pg.add_node(_make_node(cfg, points, Rigid3.identity()), (s0,))
+    pg.finish_submap(s0, g_hi0, g_lo0)
+
+    s1 = pg.add_submap(Rigid3.translation_only(jnp.asarray([5.0, 0.0, 0.0])))
+    pg.add_node(
+        _make_node(cfg, points, Rigid3.translation_only(jnp.asarray([5.0, 0.0, 0.0]))),
+        (s1,),
+    )
+    pg.finish_submap(s1, g_hi0, g_lo0)
+
+    # Revisit the origin with 8 m of accumulated drift (>> 2 m gate, and
+    # outside the 3 m correlative search window without a proposal). Within
+    # the submap the drift cancels (content is mapped with believed poses),
+    # so submap 2's grid content equals submap 0's.
+    drift = jnp.asarray([6.0, -5.0, 0.1])
+    s2 = pg.add_submap(Rigid3.translation_only(drift))
+    node2 = _make_node(cfg, points, Rigid3.translation_only(drift))
+    pg.add_node(
+        node2, (s2,), newly_finished_submap_id=s2, finished_grids=(g_hi0, g_lo0)
+    )
+
+    inter = [c for c in pg.constraints if c.tag == "INTER" and c.submap_id == s0]
+    assert inter, "image proposal did not produce the high-drift loop"
+    np.testing.assert_allclose(
+        np.asarray(inter[0].relative.translation), [0.0, 0.0, 0.0], atol=0.4
+    )
