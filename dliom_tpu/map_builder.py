@@ -37,6 +37,7 @@ from dliom_tpu.frontend.lio import (
     make_lio_state,
 )
 from dliom_tpu.imu import preintegration as pre
+from dliom_tpu.imu.dynamic_initializer import DynamicInitializer
 from dliom_tpu.imu.initialization import static_initialize
 from dliom_tpu.mapping.submap import back_slot, matching_slot, slot_pose
 from dliom_tpu.sensor.types import pad_point_cloud
@@ -73,6 +74,9 @@ class MapBuilder:
             f"points{i}" for i in range(max(1, config.num_point_clouds))
         ]
         self._synchronizer = RangeDataSynchronizer(ids, tb.scan_period)
+        self._dyn_init = (
+            DynamicInitializer(tb) if tb.enable_ndt_initialization else None
+        )
         self._lio: Optional[LioState] = None
         self._initialized = False
         self._init_acc: List[np.ndarray] = []
@@ -99,6 +103,8 @@ class MapBuilder:
         if not self._initialized:
             self._init_acc.append(acc)
             self._init_gyr.append(gyr)
+            if self._dyn_init is not None:
+                self._dyn_init.add_imu(float(time), acc, gyr)
         self._imu_times.append(float(time))
         self._imu_acc.append(acc)
         self._imu_gyr.append(gyr)
@@ -158,6 +164,20 @@ class MapBuilder:
             return None
         time, points, point_times = merged
         if not self._initialized:
+            if self._dyn_init is not None:
+                # dynamic (in-motion) initialization (InitilizeByNDT)
+                result = self._dyn_init.add_scan(time, points)
+                if result is None:
+                    return None
+                self._lio = make_lio_state(
+                    self.tb, result.nav, result.ba, result.bg
+                )
+                self._initialized = True
+                self._init_acc.clear()
+                self._init_gyr.clear()
+                # flush stale IMU so the bridge starts at this scan
+                self._imu_bridge(time)
+                return None
             self._init_frames += 1
             if self._init_frames > self.tb.frames_for_static_initialization:
                 self._initialize_static()
