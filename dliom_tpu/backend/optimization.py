@@ -57,9 +57,32 @@ class PoseGraphData(NamedTuple):
     # pure localization, map_builder.cc:220-234)
     submap_fixed: jnp.ndarray  # (S,)
     node_fixed: jnp.ndarray  # (N,)
+    # fixed-frame (GPS/navsat) position observations per node
+    # (optimization_problem_3d.cc:491-548; the fixed-frame origin's
+    # translation is solved jointly as a 3-vector)
+    ff_node: jnp.ndarray  # (F,) int32
+    ff_t: jnp.ndarray  # (F, 3) measured position in the fixed frame
+    ff_weight: jnp.ndarray  # (F,)
+    ff_valid: jnp.ndarray  # (F,)
+    # landmark observations: landmark l seen from node n at relative pose
+    # (landmark_cost_function_3d.h; single-node observation model)
+    lm_node: jnp.ndarray  # (L,) int32
+    lm_id: jnp.ndarray  # (L,) int32 landmark index
+    lm_rel_t: jnp.ndarray  # (L, 3) landmark position in the node frame
+    lm_weight: jnp.ndarray  # (L,)
+    lm_valid: jnp.ndarray  # (L,)
+    lm_positions: jnp.ndarray  # (K, 3) landmark world positions (variables)
+    lm_pos_valid: jnp.ndarray  # (K,)
 
 
-def make_pose_graph_data(max_submaps: int, max_nodes: int, max_constraints: int) -> PoseGraphData:
+def make_pose_graph_data(
+    max_submaps: int,
+    max_nodes: int,
+    max_constraints: int,
+    max_fixed_frame: int = 256,
+    max_landmark_obs: int = 256,
+    max_landmarks: int = 64,
+) -> PoseGraphData:
     qi = jnp.zeros((max_submaps, 4), jnp.float32).at[:, 0].set(1.0)
     qn = jnp.zeros((max_nodes, 4), jnp.float32).at[:, 0].set(1.0)
     qc = jnp.zeros((max_constraints, 4), jnp.float32).at[:, 0].set(1.0)
@@ -79,12 +102,29 @@ def make_pose_graph_data(max_submaps: int, max_nodes: int, max_constraints: int)
         c_valid=jnp.zeros(max_constraints, bool),
         submap_fixed=jnp.zeros(max_submaps, bool),
         node_fixed=jnp.zeros(max_nodes, bool),
+        ff_node=jnp.zeros(max_fixed_frame, jnp.int32),
+        ff_t=jnp.zeros((max_fixed_frame, 3), jnp.float32),
+        ff_weight=jnp.zeros(max_fixed_frame, jnp.float32),
+        ff_valid=jnp.zeros(max_fixed_frame, bool),
+        lm_node=jnp.zeros(max_landmark_obs, jnp.int32),
+        lm_id=jnp.zeros(max_landmark_obs, jnp.int32),
+        lm_rel_t=jnp.zeros((max_landmark_obs, 3), jnp.float32),
+        lm_weight=jnp.zeros(max_landmark_obs, jnp.float32),
+        lm_valid=jnp.zeros(max_landmark_obs, bool),
+        lm_positions=jnp.zeros((max_landmarks, 3), jnp.float32),
+        lm_pos_valid=jnp.zeros(max_landmarks, bool),
     )
 
 
-def _residuals(data: PoseGraphData, d_submap: jnp.ndarray, d_node: jnp.ndarray):
-    """(C, 6) weighted SPA residuals at perturbed poses; delta layout per
-    pose: [dt (3), dtheta (3)], left-multiplicative rotation."""
+def _residuals(
+    data: PoseGraphData,
+    d_submap: jnp.ndarray,
+    d_node: jnp.ndarray,
+    d_extra: jnp.ndarray,
+):
+    """Weighted residuals at perturbed poses; delta layout per pose:
+    [dt (3), dtheta (3)], left-multiplicative rotation. `d_extra` holds
+    [fixed-frame-origin dt (3); landmark position deltas (K, 3)]."""
     sq = quat_normalize(
         quat_multiply(quat_from_axis_angle(d_submap[:, 3:6]), data.submap_q)
     )
@@ -106,7 +146,21 @@ def _residuals(data: PoseGraphData, d_submap: jnp.ndarray, d_node: jnp.ndarray):
     dq = jnp.where(dq[:, 0:1] < 0, -dq, dq)
     e_r = 2.0 * dq[:, 1:4] * data.c_rot_weight[:, None]
     r = jnp.concatenate([e_t, e_r], axis=-1)
-    return jnp.where(data.c_valid[:, None], r, 0.0)
+    r = jnp.where(data.c_valid[:, None], r, 0.0).reshape(-1)
+
+    # fixed-frame (GPS) residuals: node position vs measurement + solved
+    # fixed-frame origin translation
+    ff_origin = d_extra[0:3]
+    ff_nt = nt[data.ff_node]
+    r_ff = (ff_nt - (data.ff_t + ff_origin)) * data.ff_weight[:, None]
+    r_ff = jnp.where(data.ff_valid[:, None], r_ff, 0.0).reshape(-1)
+
+    # landmark residuals: world landmark vs node-frame observation
+    lm_pos = data.lm_positions + d_extra[3:].reshape(-1, 3)
+    pred = nt[data.lm_node] + quat_rotate(nq[data.lm_node], data.lm_rel_t)
+    r_lm = (pred - lm_pos[data.lm_id]) * data.lm_weight[:, None]
+    r_lm = jnp.where(data.lm_valid[:, None], r_lm, 0.0).reshape(-1)
+    return jnp.concatenate([r, r_ff, r_lm])
 
 
 def solve(
@@ -126,12 +180,25 @@ def solve(
     submap_mask = free_submap[:, None].astype(jnp.float32)
     node_mask = (data.node_valid & ~data.node_fixed)[:, None].astype(jnp.float32)
 
+    k_lm = data.lm_positions.shape[0]
+    extra_dim = 3 + 3 * k_lm
+    has_ff = data.ff_valid.any()
+    lm_free = jnp.concatenate(
+        [jnp.repeat(has_ff, 3), jnp.repeat(data.lm_pos_valid, 3)]
+    ).astype(jnp.float32)
+
     def gn_step(d: PoseGraphData, _):
         def res_flat(deltas):
-            ds, dn = deltas
-            return _residuals(d, ds * submap_mask, dn * node_mask).reshape(-1)
+            ds, dn, de = deltas
+            return _residuals(
+                d, ds * submap_mask, dn * node_mask, de * lm_free
+            ).reshape(-1)
 
-        zero = (jnp.zeros((s, 6), jnp.float32), jnp.zeros((n, 6), jnp.float32))
+        zero = (
+            jnp.zeros((s, 6), jnp.float32),
+            jnp.zeros((n, 6), jnp.float32),
+            jnp.zeros(extra_dim, jnp.float32),
+        )
         r0, jvp_fn = jax.linearize(res_flat, zero)
         _, vjp_fn = jax.vjp(res_flat, zero)
 
@@ -140,6 +207,7 @@ def solve(
             return out
 
         (grad,) = vjp_fn(r0)
+        n_rows = r0.shape[0]
 
         # Exact Jacobi preconditioner diag(J^T J): one jvp per tangent dim k
         # with e_k set on EVERY pose at once. Each constraint row depends on
@@ -147,13 +215,16 @@ def solve(
         # all submaps (nodes zeroed) gives, per row, precisely the Jacobian
         # entry of that row's own submap — squared row norms scatter-add into
         # the true diagonal.
+        n_spa_rows = d.c_valid.shape[0] * 6
+
         def col_sq():
             cols = []
             for k in range(6):
                 vs = jnp.zeros((s, 6)).at[:, k].set(1.0) * submap_mask
                 vn = jnp.zeros((n, 6)).at[:, k].set(1.0) * node_mask
-                js = jvp_fn((vs, jnp.zeros((n, 6))))
-                jn = jvp_fn((jnp.zeros((s, 6)), vn))
+                ze = jnp.zeros(extra_dim)
+                js = jvp_fn((vs, jnp.zeros((n, 6)), ze))[:n_spa_rows]
+                jn = jvp_fn((jnp.zeros((s, 6)), vn, ze))[:n_spa_rows]
                 # accumulate per-pose squared column norms
                 rs = (js.reshape(-1, 6) ** 2).sum(-1)
                 rn = (jn.reshape(-1, 6) ** 2).sum(-1)
@@ -173,19 +244,20 @@ def solve(
         precond = (
             1.0 / jnp.maximum(diag_s, 1e-6),
             1.0 / jnp.maximum(diag_n, 1e-6),
+            jnp.ones(extra_dim),
         )
 
         def pc(v):
-            return (v[0] * precond[0], v[1] * precond[1])
+            return tuple(vi * pi for vi, pi in zip(v, precond))
 
         def dot(a, b):
-            return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+            return sum(jnp.sum(ai * bi) for ai, bi in zip(a, b))
 
         def axpy(alpha, x, y):
-            return (y[0] + alpha * x[0], y[1] + alpha * x[1])
+            return tuple(yi + alpha * xi for xi, yi in zip(x, y))
 
-        b = (-grad[0], -grad[1])
-        x = (jnp.zeros((s, 6)), jnp.zeros((n, 6)))
+        b = tuple(-g for g in grad)
+        x = (jnp.zeros((s, 6)), jnp.zeros((n, 6)), jnp.zeros(extra_dim))
         r = b
         z = pc(r)
         p = z
@@ -194,14 +266,14 @@ def solve(
         def cg_body(carry, _):
             x, r, p, rz = carry
             hp = hv(p)
-            hp = (hp[0] + 1e-8 * p[0], hp[1] + 1e-8 * p[1])
+            hp = tuple(h + 1e-8 * pi for h, pi in zip(hp, p))
             alpha = rz / jnp.maximum(dot(p, hp), 1e-12)
             x = axpy(alpha, p, x)
             r = axpy(-alpha, hp, r)
             z = pc(r)
             rz_new = dot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-12)
-            p = (z[0] + beta * p[0], z[1] + beta * p[1])
+            p = tuple(zi + beta * pi for zi, pi in zip(z, p))
             return (x, r, p, rz_new), None
 
         (x, _, _, _), _ = jax.lax.scan(
@@ -209,6 +281,7 @@ def solve(
         )
         ds = x[0] * submap_mask
         dn = x[1] * node_mask
+        de = x[2] * lm_free
 
         new = d._replace(
             submap_q=quat_normalize(
@@ -219,6 +292,9 @@ def solve(
                 quat_multiply(quat_from_axis_angle(dn[:, 3:6]), d.node_q)
             ),
             node_t=d.node_t + dn[:, 0:3],
+            # landmark positions persist; the fixed-frame origin delta is
+            # exactly linear and re-solved each iteration (marginalized)
+            lm_positions=d.lm_positions + de[3:].reshape(-1, 3),
         )
         return new, jnp.sum(r0 * r0)
 

@@ -124,6 +124,11 @@ class PoseGraph:
         self._pool = pool
         self._mutex = threading.Lock()
         self._metrics = metrics  # dict from metrics.register_all_metrics
+        # auxiliary observations (OptimizationProblem3D retains GPS/landmark
+        # costs, optimization_problem_3d.cc:491-548)
+        self.fixed_frame_observations: List[Tuple[int, np.ndarray, float]] = []
+        self.landmark_observations: List[Tuple[int, int, np.ndarray, float]] = []
+        self._landmark_ids: Dict[str, int] = {}
 
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
@@ -219,6 +224,35 @@ class PoseGraph:
         ):
             self.run_optimization()
         return node_id
+
+    def add_fixed_frame_pose(
+        self, node_id: int, position, weight: Optional[float] = None
+    ) -> None:
+        """GPS/navsat observation of a node's position in the fixed frame
+        (AddFixedFramePoseData)."""
+        w = weight or self.cfg.optimization_problem.fixed_frame_pose_translation_weight
+        self.fixed_frame_observations.append(
+            (node_id, np.asarray(position, np.float32), float(w))
+        )
+
+    def add_landmark_observation(
+        self, node_id: int, landmark_id: str, position_in_tracking, weight: float = 1e2
+    ) -> None:
+        """Landmark seen from a node at a relative position
+        (AddLandmarkData; single-node observation model)."""
+        if landmark_id not in self._landmark_ids:
+            self._landmark_ids[landmark_id] = len(self._landmark_ids)
+        lid = self._landmark_ids[landmark_id]
+        self.landmark_observations.append(
+            (node_id, lid, np.asarray(position_in_tracking, np.float32), float(weight))
+        )
+
+    def landmark_poses(self) -> Dict[str, np.ndarray]:
+        out = {}
+        if getattr(self, "_last_landmark_positions", None) is not None:
+            for name, lid in self._landmark_ids.items():
+                out[name] = self._last_landmark_positions[lid]
+        return out
 
     # ----- loop closure -----
 
@@ -461,6 +495,25 @@ class PoseGraph:
             ct[i] = np.asarray(c.relative.translation)
             ctw[i] = c.translation_weight; crw[i] = c.rotation_weight
             cv[i] = True
+        F = data.ff_node.shape[0]
+        ffn = np.zeros(F, np.int32); fft = np.zeros((F, 3), np.float32)
+        ffw = np.zeros(F, np.float32); ffv = np.zeros(F, bool)
+        for i, (nid, pos, w) in enumerate(self.fixed_frame_observations[:F]):
+            ffn[i], fft[i], ffw[i], ffv[i] = nid, pos, w, True
+        L = data.lm_node.shape[0]
+        lmn = np.zeros(L, np.int32); lmi = np.zeros(L, np.int32)
+        lmr = np.zeros((L, 3), np.float32); lmw = np.zeros(L, np.float32)
+        lmv = np.zeros(L, bool)
+        K = data.lm_positions.shape[0]
+        lmp = np.zeros((K, 3), np.float32)
+        lmpv = np.zeros(K, bool)
+        for i, (nid, lid, rel, w) in enumerate(self.landmark_observations[:L]):
+            lmn[i], lmi[i], lmr[i], lmw[i], lmv[i] = nid, lid, rel, w, True
+            if lid < K and not lmpv[lid]:
+                # initialize the landmark at its first observation's estimate
+                node = self.nodes[nid]
+                lmp[lid] = np.asarray(node.global_pose.apply(jnp.asarray(rel)))
+                lmpv[lid] = True
         return data._replace(
             submap_q=jnp.asarray(sq), submap_t=jnp.asarray(st),
             submap_valid=jnp.asarray(sv),
@@ -471,6 +524,12 @@ class PoseGraph:
             c_trans_weight=jnp.asarray(ctw), c_rot_weight=jnp.asarray(crw),
             c_valid=jnp.asarray(cv),
             submap_fixed=jnp.asarray(sfx), node_fixed=jnp.asarray(nfx),
+            ff_node=jnp.asarray(ffn), ff_t=jnp.asarray(fft),
+            ff_weight=jnp.asarray(ffw), ff_valid=jnp.asarray(ffv),
+            lm_node=jnp.asarray(lmn), lm_id=jnp.asarray(lmi),
+            lm_rel_t=jnp.asarray(lmr), lm_weight=jnp.asarray(lmw),
+            lm_valid=jnp.asarray(lmv),
+            lm_positions=jnp.asarray(lmp), lm_pos_valid=jnp.asarray(lmpv),
         )
 
     def wait_for_all_computations(self) -> None:
@@ -490,6 +549,7 @@ class PoseGraph:
                 static_argnames=("iterations",),
             )
         out = self._jit_cache["solve"](self._build_problem(), iterations=iters)
+        self._last_landmark_positions = np.asarray(out.lm_positions)
         sq = np.asarray(out.submap_q); st = np.asarray(out.submap_t)
         nq = np.asarray(out.node_q); nt = np.asarray(out.node_t)
         for i, s in enumerate(self.submaps):

@@ -52,11 +52,16 @@ class MapBuilder:
         config: EngineConfig,
         range_sensor_ids: Optional[List[str]] = None,
         use_background_threads: bool = False,
+        use_native_collator: bool = False,
     ):
         """`range_sensor_ids`: one entry per LiDAR (the first is the primary
         the others merge into, RangeDataSynchronizer). With
         `use_background_threads`, loop-constraint search runs on the native
-        task pool (MAP_BUILDER.num_background_threads)."""
+        task pool (MAP_BUILDER.num_background_threads). With
+        `use_native_collator`, sensor ingest routes through the native
+        OrderedMultiQueue (sensor::Collator, collated_trajectory_builder.cc),
+        so out-of-order arrival across sensors is merged to one
+        time-ordered stream before dispatch."""
         self.config = config
         tb = config.trajectory_builder
         self.tb = tb
@@ -93,11 +98,42 @@ class MapBuilder:
         self._known_submaps = 0
         self._loaded_offset = 0
         self._pure_localization = False
+        self._ff_buffer: List[Tuple[float, np.ndarray]] = []
+        self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
+        self._collator = None
+        if use_native_collator:
+            from dliom_tpu.native import OrderedMultiQueue
+
+            self._collator = OrderedMultiQueue(["imu"] + list(ids))
 
     # ----- sensor ingest -----
 
+    def _drain_collator(self) -> Optional[dict]:
+        """Dispatch merged time-ordered items (OrderedMultiQueue::Dispatch).
+        Returns the last range-data matching result, if any."""
+        out = None
+        for queue, t, payload in self._collator.dispatch():
+            if queue == "imu":
+                acc, gyr = payload
+                self._handle_imu_data(t, acc, gyr)
+            else:
+                points, point_times = payload
+                res = self._handle_range_data(t, points, point_times, queue)
+                if res is not None:
+                    out = res
+        return out
+
     def add_imu_data(self, time: float, linear_acceleration, angular_velocity):
         """SensorBridge::HandleImuMessage -> AddImuData."""
+        if self._collator is not None:
+            self._collator.add(
+                "imu", float(time), (linear_acceleration, angular_velocity)
+            )
+            self._drain_collator()
+            return
+        self._handle_imu_data(time, linear_acceleration, angular_velocity)
+
+    def _handle_imu_data(self, time: float, linear_acceleration, angular_velocity):
         acc = np.asarray(linear_acceleration, np.float32)
         gyr = np.asarray(angular_velocity, np.float32)
         if not self._initialized:
@@ -146,6 +182,22 @@ class MapBuilder:
         )
 
     def add_range_data(
+        self,
+        time: float,
+        points: np.ndarray,
+        point_times: Optional[np.ndarray] = None,
+        sensor_id: Optional[str] = None,
+    ) -> Optional[dict]:
+        if self._collator is not None:
+            self._collator.add(
+                sensor_id or self._synchronizer.primary,
+                float(time),
+                (points, point_times),
+            )
+            return self._drain_collator()
+        return self._handle_range_data(time, points, point_times, sensor_id)
+
+    def _handle_range_data(
         self,
         time: float,
         points: np.ndarray,
@@ -259,6 +311,41 @@ class MapBuilder:
             self.pose_graph.add_submap(pose)
             self._known_submaps += 1
 
+    def add_fixed_frame_pose_data(self, time: float, position):
+        """GPS/navsat ingest (SensorBridge::HandleNavSatFixMessage ->
+        AddFixedFramePoseData). Samples buffer until a node near their stamp
+        exists; the position is linearly interpolated at node time."""
+        self._ff_buffer.append((float(time), np.asarray(position, np.float32)))
+
+    def add_landmark_data(self, time: float, landmark_id: str, position_in_tracking):
+        """Landmark ingest (SensorBridge::HandleLandmarkMessage). The
+        observation attaches to the node nearest its stamp."""
+        self._lm_buffer.append(
+            (float(time), str(landmark_id), np.asarray(position_in_tracking, np.float32))
+        )
+
+    def _attach_aux_observations(self, node_id: int, node_time: float):
+        # fixed-frame: interpolate buffered samples at the node's stamp
+        if self._ff_buffer:
+            ts = [t for t, _ in self._ff_buffer]
+            if ts[0] <= node_time <= ts[-1] or abs(ts[-1] - node_time) < 0.5:
+                ps = np.stack([p for _, p in self._ff_buffer])
+                pos = np.stack(
+                    [np.interp(node_time, ts, ps[:, k]) for k in range(3)]
+                ).astype(np.float32)
+                self.pose_graph.add_fixed_frame_pose(node_id, pos)
+            # drop samples older than the node (keep one for bracketing)
+            while len(self._ff_buffer) > 1 and self._ff_buffer[1][0] <= node_time:
+                self._ff_buffer.pop(0)
+        # landmarks: attach observations stamped at/before this node
+        keep = []
+        for t, lid, rel in self._lm_buffer:
+            if t <= node_time + 0.5 * self.tb.scan_period:
+                self.pose_graph.add_landmark_observation(node_id, lid, rel)
+            else:
+                keep.append((t, lid, rel))
+        self._lm_buffer = keep
+
     def _forward_to_pose_graph(self, time: float, res: LioResult):
         if not bool(res.scan.inserted):
             return
@@ -291,12 +378,18 @@ class MapBuilder:
             newly_finished_submap_id=(finished + off) if finished >= 0 else -1,
             finished_grids=grids,
         )
+        self._attach_aux_observations(len(self.pose_graph.nodes) - 1, time)
         if self._pure_localization:
             self.pose_graph.trim_to_last_submaps(3)
 
     # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
 
     def finish_trajectory(self):
+        if self._collator is not None:
+            # FinishTrajectory flushes remaining queued data in time order
+            for name in ["imu"] + list(self._synchronizer.sensor_ids):
+                self._collator.finish_queue(name)
+            self._drain_collator()
         self.pose_graph.run_final_optimization()
         if self._pool is not None:
             self._pool.close()

@@ -36,6 +36,10 @@ class RangeDataSynchronizer:
     def primary(self) -> str:
         return self._primary
 
+    @property
+    def sensor_ids(self) -> List[str]:
+        return list(self._ids)
+
     def stamp_range_data(
         self, points: np.ndarray, times: Optional[np.ndarray]
     ) -> np.ndarray:

@@ -152,3 +152,48 @@ def test_ate_metrics():
     est = gt @ r.T + np.array([1.0, -2.0, 0.5])
     assert ate_rmse(est, gt, align=True) < 1e-6
     assert ate_rmse(est, gt, align=False) > 1.0
+
+
+def test_collated_ingest_and_gps_landmarks():
+    """Native-collator ingest: range data arriving BEFORE the IMU that
+    precedes it is re-merged into time order (sensor::Collator /
+    OrderedMultiQueue), and GPS/landmark ingest attaches to nodes."""
+    cfg = _config()
+    builder = MapBuilder(cfg, use_native_collator=True)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+
+    t = 0.0
+    scan_idx = 0
+    k = 0
+    positions = [np.array([0.05 * i, 0.0, 0.0]) for i in range(8)]
+    while scan_idx < 8:
+        pose = (
+            Rigid3.identity()
+            if not builder.initialized
+            else Rigid3.translation_only(jnp.asarray(positions[scan_idx], jnp.float32))
+        )
+        pts, ptimes = world.cast_scan(pose)
+        t_scan = t + 30 * 0.01
+        # out of order: the scan is enqueued BEFORE the IMU leading up to it
+        builder.add_range_data(t_scan, pts, ptimes)
+        t = _feed_static_imu(builder, t, n=31)
+        builder.add_fixed_frame_pose_data(
+            t_scan, np.asarray(positions[min(scan_idx, 7)], np.float32)
+        )
+        builder.add_landmark_data(
+            t_scan, "beacon", np.array([1.0, 1.0, 1.0], np.float32)
+        )
+        if builder.initialized:
+            scan_idx += 1
+        else:
+            k += 1
+            assert k < 10, "initializer never triggered"
+
+    assert builder.initialized
+    assert len(builder.pose_graph.nodes) >= 6
+    # GPS + landmark observations were attached to nodes
+    assert len(builder.pose_graph.fixed_frame_observations) >= 4
+    assert len(builder.pose_graph.landmark_observations) >= 4
+    assert builder._collator.num_dropped == 0
+    builder.finish_trajectory()
+    assert "beacon" in builder.pose_graph.landmark_poses()

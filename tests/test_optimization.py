@@ -168,3 +168,62 @@ def test_spa_pulls_drift_through_loop_constraint():
         for i, p in enumerate(true_submaps)
     ]
     assert max(errs) < 0.05, errs
+
+
+def test_fixed_frame_anchors_drifted_chain():
+    """GPS-style fixed-frame observations pull a drifted chain back
+    (optimization_problem_3d.cc fixed-frame cost)."""
+    rng = np.random.default_rng(5)
+    data, true_submaps, true_nodes = _build_problem(
+        rng, num_submaps=5, nodes_per_submap=3, perturb=1.2
+    )
+    # fixed-frame (GPS) position for every node at its TRUE position
+    F = data.ff_node.shape[0]
+    ffn = np.zeros(F, np.int32)
+    fft = np.zeros((F, 3), np.float32)
+    ffw = np.zeros(F, np.float32)
+    ffv = np.zeros(F, bool)
+    for i, pose in enumerate(true_nodes):
+        ffn[i] = i
+        fft[i] = np.asarray(pose.translation)
+        ffw[i] = 50.0
+        ffv[i] = True
+    data = data._replace(
+        ff_node=jnp.asarray(ffn), ff_t=jnp.asarray(fft),
+        ff_weight=jnp.asarray(ffw), ff_valid=jnp.asarray(ffv),
+    )
+    out = jax.jit(lambda d: solve(d, iterations=10, cg_iterations=64))(data)
+    errs = [
+        float(jnp.linalg.norm(out.node_t[i] - p.translation))
+        for i, p in enumerate(true_nodes)
+    ]
+    assert max(errs) < 0.05, max(errs)
+
+
+def test_landmark_positions_estimated():
+    rng = np.random.default_rng(6)
+    data, true_submaps, true_nodes = _build_problem(rng, perturb=0.0)
+    true_lm = np.array([3.0, -2.0, 1.0], np.float32)
+    L = data.lm_node.shape[0]
+    lmn = np.zeros(L, np.int32); lmi = np.zeros(L, np.int32)
+    lmr = np.zeros((L, 3), np.float32); lmw = np.zeros(L, np.float32)
+    lmv = np.zeros(L, bool)
+    from dliom_tpu.transform.rigid import quat_inverse_rotate
+
+    for i, pose in enumerate(true_nodes[:8]):
+        rel = quat_inverse_rotate(
+            pose.rotation, jnp.asarray(true_lm) - pose.translation
+        )
+        lmn[i], lmi[i], lmr[i], lmw[i], lmv[i] = i, 0, np.asarray(rel), 10.0, True
+    K = data.lm_positions.shape[0]
+    lmp = np.zeros((K, 3), np.float32)
+    lmp[0] = true_lm + np.array([0.5, -0.3, 0.2])  # perturbed initial
+    lmpv = np.zeros(K, bool); lmpv[0] = True
+    data = data._replace(
+        lm_node=jnp.asarray(lmn), lm_id=jnp.asarray(lmi),
+        lm_rel_t=jnp.asarray(lmr), lm_weight=jnp.asarray(lmw),
+        lm_valid=jnp.asarray(lmv),
+        lm_positions=jnp.asarray(lmp), lm_pos_valid=jnp.asarray(lmpv),
+    )
+    out = jax.jit(lambda d: solve(d, iterations=6, cg_iterations=48))(data)
+    np.testing.assert_allclose(np.asarray(out.lm_positions[0]), true_lm, atol=0.05)

@@ -230,3 +230,47 @@ def test_image_proposal_recovers_high_drift_loop():
     np.testing.assert_allclose(
         np.asarray(inter[0].relative.translation), [0.0, 0.0, 0.0], atol=0.4
     )
+
+def test_gps_fixed_frame_corrects_drift_via_pose_graph_api():
+    """add_fixed_frame_pose + optimization pulls a drifted chain toward
+    the GPS positions (PoseGraph::AddFixedFramePoseData analog)."""
+    cfg = _cfg()
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    rng = np.random.default_rng(7)
+    points = _world_cloud(rng, 300)
+    true_xs = [0.0, 2.0, 4.0, 6.0]
+    drift = np.array([0.0, 0.3, 0.6, 0.9], np.float32)  # growing drift
+    for k, x in enumerate(true_xs):
+        s = pg.add_submap(
+            Rigid3.translation_only(jnp.asarray([x + drift[k], 0.0, 0.0]))
+        )
+        nid = pg.add_node(
+            _make_node(
+                cfg, points,
+                Rigid3.translation_only(jnp.asarray([x + drift[k], 0.0, 0.0])),
+            ),
+            (s,),
+        )
+        pg.add_fixed_frame_pose(nid, np.asarray([x, 0.0, 0.0]), weight=100.0)
+    pg.run_optimization(iterations=10)
+    for k, x in enumerate(true_xs):
+        got = float(pg.nodes[k].global_pose.translation[0])
+        assert abs(got - x) < 0.1, (k, got, x)
+
+
+def test_landmark_observations_via_pose_graph_api():
+    cfg = _cfg()
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    rng = np.random.default_rng(8)
+    points = _world_cloud(rng, 300)
+    true_lm = np.array([1.0, 2.0, 0.5], np.float32)
+    for k in range(3):
+        pose = Rigid3.translation_only(jnp.asarray([2.0 * k, 0.0, 0.0]))
+        s = pg.add_submap(pose)
+        nid = pg.add_node(_make_node(cfg, points, pose), (s,))
+        pg.add_landmark_observation(
+            nid, "lm0", true_lm - np.asarray(pose.translation), weight=10.0
+        )
+    pg.run_optimization(iterations=6)
+    got = pg.landmark_poses()["lm0"]
+    np.testing.assert_allclose(got, true_lm, atol=0.05)
