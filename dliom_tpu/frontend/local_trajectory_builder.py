@@ -174,9 +174,10 @@ def step(
         initial_in_submap,
         clouds=[(high.points, high.mask), (low.points, low.mask)],
         grids=[
-            state.submaps.high_values[mslot],
-            state.submaps.low_values[mslot],
+            state.submaps.high_values,
+            state.submaps.low_values,
         ],
+        grid_bases=[mslot * hi_spec.num_cells, mslot * lo_spec.num_cells],
         specs=[hi_spec, lo_spec],
         occupied_space_weights=[
             cfg.ceres_scan_matcher.occupied_space_weight_0,

@@ -370,7 +370,12 @@ class MapBuilder:
             # the finishing submap's grids are intact until the next step
             slot = finished % 2
             submaps = self._lio.frontend.submaps
-            grids = (submaps.high_values[slot], submaps.low_values[slot])
+            hi_c = submaps.high_values.shape[0] // 2
+            lo_c = submaps.low_values.shape[0] // 2
+            grids = (
+                submaps.high_values[slot * hi_c : (slot + 1) * hi_c],
+                submaps.low_values[slot * lo_c : (slot + 1) * lo_c],
+            )
         off = self._loaded_offset
         self.pose_graph.add_node(
             node,

@@ -76,17 +76,24 @@ def linear_index(cells: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.n
     return lin, in_bounds
 
 
-def lookup_value(values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
-    """Cell value(s) at signed cell indices; unknown (0) out of bounds."""
+def lookup_value(
+    values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec, base=0
+) -> jnp.ndarray:
+    """Cell value(s) at signed cell indices; unknown (0) out of bounds.
+
+    `base` offsets into a flat multi-submap bank (slot * num_cells) — banks
+    stay 1D because XLA scatters/gathers into reshaped or dynamically sliced
+    views of a donated buffer fall off the in-place fast path (a full-bank
+    copy per op, measured ~7x slower on TPU)."""
     lin, ok = linear_index(cells, spec)
-    v = values[lin].astype(jnp.int32)
+    v = values[base + lin].astype(jnp.int32)
     return jnp.where(ok, v, 0)
 
 
 def lookup_probability(
-    values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec
+    values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec, base=0
 ) -> jnp.ndarray:
-    return pv.value_to_probability(lookup_value(values, cells, spec))
+    return pv.value_to_probability(lookup_value(values, cells, spec, base))
 
 
 def set_cells(
@@ -99,7 +106,7 @@ def set_cells(
 
 
 def interpolated_probability(
-    values: jnp.ndarray, points: jnp.ndarray, spec: GridSpec
+    values: jnp.ndarray, points: jnp.ndarray, spec: GridSpec, base=0
 ) -> jnp.ndarray:
     """Smoothed trilinear probability at point(s) (..., 3) in the grid frame.
 
@@ -127,7 +134,7 @@ def interpolated_probability(
             for dz in (0, 1):
                 wz = s[..., 2] if dz else (1.0 - s[..., 2])
                 corner = lower + jnp.asarray([dx, dy, dz], jnp.int32)
-                q = lookup_probability(values, corner, spec)
+                q = lookup_probability(values, corner, spec, base)
                 out = out + q * (wx * wy * wz)
     return out
 

@@ -38,8 +38,8 @@ class ActiveSubmaps(NamedTuple):
     num_created-2 (front/matching, finished on next spawn) and num_created-1
     (back) once num_created >= 2."""
 
-    high_values: jnp.ndarray  # (2, high_extent^3) int16
-    low_values: jnp.ndarray  # (2, low_extent^3) int16
+    high_values: jnp.ndarray  # (2 * high_extent^3,) int16 flat bank
+    low_values: jnp.ndarray  # (2 * low_extent^3,) int16 flat bank
     pose_rotation: jnp.ndarray  # (2, 4) local_pose quaternion per slot
     pose_translation: jnp.ndarray  # (2, 3)
     num_range_data: jnp.ndarray  # (2,) int32
@@ -65,8 +65,8 @@ def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
     hi, lo = grid_specs(cfg)
     q = jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0)
     return ActiveSubmaps(
-        high_values=jnp.zeros((2, hi.num_cells), GRID_DTYPE),
-        low_values=jnp.zeros((2, lo.num_cells), GRID_DTYPE),
+        high_values=jnp.zeros(2 * hi.num_cells, GRID_DTYPE),
+        low_values=jnp.zeros(2 * lo.num_cells, GRID_DTYPE),
         pose_rotation=q,
         pose_translation=jnp.zeros((2, 3), jnp.float32),
         num_range_data=jnp.zeros(2, jnp.int32),
@@ -182,11 +182,15 @@ def apply_pending_spawn(state: ActiveSubmaps, cfg: SubmapsConfig) -> ActiveSubma
     def do_spawn(s: ActiveSubmaps) -> ActiveSubmaps:
         new_slot = s.num_created % 2
         return s._replace(
-            high_values=s.high_values.at[new_slot].set(
-                jnp.zeros(hi.num_cells, GRID_DTYPE)
+            high_values=jax.lax.dynamic_update_slice(
+                s.high_values,
+                jnp.zeros(hi.num_cells, GRID_DTYPE),
+                (new_slot * hi.num_cells,),
             ),
-            low_values=s.low_values.at[new_slot].set(
-                jnp.zeros(lo.num_cells, GRID_DTYPE)
+            low_values=jax.lax.dynamic_update_slice(
+                s.low_values,
+                jnp.zeros(lo.num_cells, GRID_DTYPE),
+                (new_slot * lo.num_cells,),
             ),
             pose_rotation=s.pose_rotation.at[new_slot].set(s.pending_rotation),
             pose_translation=s.pose_translation.at[new_slot].set(

@@ -50,23 +50,19 @@ def insert_range_data(
     """Insert one range-data batch; returns the updated grid.
 
     Args:
-      values: flat (extent^3,) int16 grid, or a multi-submap bank of shape
-        (num_slots, extent^3) — `slot` selects which slot to update. The
-        update is a pure scatter: disabled/invalid records drop out via
+      values: FLAT (num_slots * extent^3,) int16 grid bank — `slot` selects
+        the offset slot * extent^3. Banks must stay 1D: XLA scatters into a
+        reshaped/dynamically-sliced view of a donated buffer leave the
+        in-place fast path and copy the whole bank (~7x slower, measured).
+        The update is a pure scatter: disabled/invalid records drop out via
         out-of-bounds indices, so a no-op insert costs no grid traffic.
       origin: (3,) sensor origin in the grid frame.
       hits: (N, 3) hit points in the grid frame (padded).
       hits_mask: (N,) validity of each hit (AND this with any enable gate).
     """
-    bank_shape = values.shape
-    if values.ndim == 2:
-        flat = values.reshape(-1)
-        base = jnp.asarray(slot, jnp.int32) * spec.num_cells
-        num_flat = bank_shape[0] * spec.num_cells
-    else:
-        flat = values
-        base = jnp.int32(0)
-        num_flat = spec.num_cells
+    flat = values
+    base = jnp.asarray(slot, jnp.int32) * spec.num_cells
+    num_flat = values.shape[0]
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
@@ -132,14 +128,13 @@ def insert_range_data(
         pv.apply_odds(current, hit_odds),
     )
     scatter_idx = jnp.where(s_lin < sentinel, base + s_lin, num_flat)
-    out = flat.at[scatter_idx].set(
+    return flat.at[scatter_idx].set(
         updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
     )
-    return out.reshape(bank_shape)
 
 
 def insert_range_data_dual(
-    values: jnp.ndarray,  # (2, num_cells) bank
+    values: jnp.ndarray,  # (2 * num_cells,) FLAT bank (slot k at k*num_cells)
     origins: jnp.ndarray,  # (2, 3) per-slot origin in the slot's frame
     hits: jnp.ndarray,  # (2, N, 3) per-slot hit points in the slot's frame
     masks: jnp.ndarray,  # (2, N)
@@ -152,7 +147,10 @@ def insert_range_data_dual(
     """Insert one scan into BOTH submap slots with a single sort + gather +
     scatter over the combined record set (ActiveSubmaps3D inserts every scan
     into both active submaps, submap_3d.cc:303-309; fusing the two halves
-    the per-op overhead of the latency-bound scatter path)."""
+    the per-op overhead of the latency-bound scatter path).
+
+    `values` is a FLAT (2 * num_cells,) bank — see insert_range_data for why
+    banks must not be 2D."""
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
@@ -195,9 +193,8 @@ def insert_range_data_dual(
     head_pos = jax.lax.cummax(jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0))
     head_is_miss = s_miss[head_pos]
 
-    flat = values.reshape(-1)
     gather_idx = jnp.clip(s_lin, 0, num_flat - 1)
-    current = flat.at[gather_idx].get(mode="clip", indices_are_sorted=True).astype(
+    current = values.at[gather_idx].get(mode="clip", indices_are_sorted=True).astype(
         jnp.int32
     )
     updated = jnp.where(
@@ -205,7 +202,6 @@ def insert_range_data_dual(
         pv.apply_odds(current, miss_odds),
         pv.apply_odds(current, hit_odds),
     )
-    out = flat.at[s_lin].set(
+    return values.at[s_lin].set(
         updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
     )
-    return out.reshape(values.shape)

@@ -55,12 +55,15 @@ def _residuals(
     target_rotation: jnp.ndarray,
     translation_weight: float,
     rotation_weight: float,
+    bases,
 ) -> jnp.ndarray:
     parts = []
-    for (points, mask), values, spec, w in zip(clouds, grids, specs, weights):
+    for (points, mask), values, spec, w, base in zip(
+        clouds, grids, specs, weights, bases
+    ):
         n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
         world = pose.apply(points)
-        prob = interpolated_probability(values, world, spec)
+        prob = interpolated_probability(values, world, spec, base)
         r = (w / jnp.sqrt(n)) * (1.0 - prob)
         parts.append(jnp.where(mask, r, 0.0))
     parts.append(translation_weight * (pose.translation - target_translation))
@@ -98,13 +101,19 @@ def match(
     only_optimize_yaw: bool = False,
     max_iterations: int = 12,
     initial_lambda: float = 1e-4,
+    grid_bases: Sequence | None = None,
 ) -> ScanMatcherResult:
     """Refine `initial_pose` so the clouds (tracking frame) match the grids
     (submap frame). Mirrors CeresScanMatcher3D::Match: the translation prior
     pulls toward `target_translation` (the IMU-predicted position), the
-    rotation prior toward the initial rotation."""
+    rotation prior toward the initial rotation.
+
+    `grid_bases`: per-grid flat offset into a multi-submap bank (slot *
+    num_cells); grids stay 1D so gathers hit the fast path."""
     if target_translation is None:
         target_translation = initial_pose.translation
+    if grid_bases is None:
+        grid_bases = [0] * len(grids)
     target_rotation = initial_pose.rotation
     ndelta = 4 if only_optimize_yaw else 6
 
@@ -119,6 +128,7 @@ def match(
             target_rotation,
             translation_weight,
             rotation_weight,
+            grid_bases,
         )
 
     zero = jnp.zeros(ndelta, jnp.float32)
