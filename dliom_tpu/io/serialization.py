@@ -21,6 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from dliom_tpu.backend.compression import CompressedGrid
+from dliom_tpu.sensor import compressed_point_cloud as cpc
+
+
+def _load_cloud(z, prefix):
+    """Decompress a stored node cloud back to (capacity, 3) + mask."""
+    c = cpc.CompressedPointCloud(
+        block_origins=z[f"{prefix}_origins"],
+        block_counts=z[f"{prefix}_counts"],
+        packed=z[f"{prefix}_packed"],
+        num_points=int(z[f"{prefix}_packed"].shape[0]),
+    )
+    pts = cpc.decompress(c)
+    cap = int(z[f"{prefix}_capacity"])
+    out = np.zeros((cap, 3), np.float32)
+    n = min(len(pts), cap)
+    out[:n] = pts[:n]
+    mask = np.arange(cap) < n
+    return out, mask
 from dliom_tpu.backend.pose_graph import Constraint, NodeRecord, PoseGraph, SubmapRecord
 from dliom_tpu.common.config import EngineConfig, load_config
 from dliom_tpu.transform.rigid import Rigid3
@@ -67,10 +85,18 @@ def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -
         data[f"node/{i}/local_pose"] = _pose_arr(n.local_pose)
         data[f"node/{i}/global_pose"] = _pose_arr(n.global_pose)
         data[f"node/{i}/gravity"] = np.asarray(n.gravity_alignment)
-        data[f"node/{i}/high"] = np.asarray(n.high_points)
-        data[f"node/{i}/high_mask"] = np.asarray(n.high_mask)
-        data[f"node/{i}/low"] = np.asarray(n.low_points)
-        data[f"node/{i}/low_mask"] = np.asarray(n.low_mask)
+        # node clouds stored bit-packed (sensor::CompressedPointCloud,
+        # serialization.proto TrajectoryNodeData) at ~1/3 the raw size
+        for tag, pts, mask in (
+            ("high", n.high_points, n.high_mask),
+            ("low", n.low_points, n.low_mask),
+        ):
+            valid = np.asarray(pts)[np.asarray(mask)]
+            c = cpc.compress(valid)
+            data[f"node/{i}/{tag}_origins"] = c.block_origins
+            data[f"node/{i}/{tag}_counts"] = c.block_counts
+            data[f"node/{i}/{tag}_packed"] = c.packed
+            data[f"node/{i}/{tag}_capacity"] = np.int32(np.asarray(pts).shape[0])
         data[f"node/{i}/histogram"] = np.asarray(n.histogram)
         data[f"node/{i}/submap_ids"] = np.asarray(n.submap_ids, np.int32)
 
@@ -128,10 +154,10 @@ def load_state(
                 local_pose=_arr_pose(z[f"node/{i}/local_pose"]),
                 global_pose=_arr_pose(z[f"node/{i}/global_pose"]),
                 gravity_alignment=z[f"node/{i}/gravity"],
-                high_points=jnp.asarray(z[f"node/{i}/high"]),
-                high_mask=jnp.asarray(z[f"node/{i}/high_mask"]),
-                low_points=jnp.asarray(z[f"node/{i}/low"]),
-                low_mask=jnp.asarray(z[f"node/{i}/low_mask"]),
+                high_points=jnp.asarray(_load_cloud(z, f"node/{i}/high")[0]),
+                high_mask=jnp.asarray(_load_cloud(z, f"node/{i}/high")[1]),
+                low_points=jnp.asarray(_load_cloud(z, f"node/{i}/low")[0]),
+                low_mask=jnp.asarray(_load_cloud(z, f"node/{i}/low")[1]),
                 histogram=jnp.asarray(z[f"node/{i}/histogram"]),
                 submap_ids=tuple(z[f"node/{i}/submap_ids"]),
                 frozen=frozen,

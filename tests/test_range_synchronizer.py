@@ -67,3 +67,39 @@ def test_metrics_families():
     assert abs(h.mean - (0.5 + 1.5 + 3.7 + 10.0) / 4) < 1e-9
     text = f.dump_text()
     assert "x_total" in text and "z_count" in text
+
+
+def test_compressed_point_cloud_roundtrip():
+    """sensor::CompressedPointCloud analog: 1mm-lossy roundtrip, ~4.4 B/pt."""
+    import numpy as np
+    from dliom_tpu.sensor.compressed_point_cloud import compress, decompress
+
+    rng = np.random.default_rng(0)
+    # dense scan-like cloud: points concentrated on nearby surfaces, so
+    # many share 1.024 m blocks (the reference's compression regime)
+    pts = rng.uniform(-5, 5, (20000, 3)).astype(np.float32)
+    c = compress(pts)
+    out = decompress(c)
+    assert out.shape == pts.shape
+    # order changes (block-sorted); compare exact quantized-mm multisets
+    mm_a = np.round(pts / 0.001).astype(np.int64)
+    mm_b = np.round(out.astype(np.float64) / 0.001).astype(np.int64)
+    a = mm_a[np.lexsort(mm_a.T)]
+    b = mm_b[np.lexsort(mm_b.T)]
+    np.testing.assert_array_equal(a, b)
+    # quantization error ~0.5 mm per axis (+f32 division ulp at 80 m)
+    assert np.max(np.abs(mm_a * 0.001 - pts)) <= 0.0006
+    assert c.nbytes < 0.5 * pts.nbytes  # beats raw storage
+
+
+def test_compressed_point_cloud_negative_and_duplicate():
+    import numpy as np
+    from dliom_tpu.sensor.compressed_point_cloud import compress, decompress
+
+    pts = np.asarray([[-1.2345, 0.0005, -7.999], [-1.2345, 0.0005, -7.999],
+                      [3.0, -3.0, 0.0]], np.float32)
+    out = decompress(compress(pts))
+    assert out.shape == (3, 3)
+    a = pts[np.lexsort(pts.T)]
+    b = out[np.lexsort(out.T)]
+    assert np.max(np.abs(a - b)) <= 0.0006
