@@ -1,0 +1,93 @@
+"""Client stub (MapBuilderStub, cloud/client/map_builder_stub.cc): the same
+call surface as MapBuilder, forwarded over the wire — a robot-side frontend
+uses it as a drop-in MapBuilder replacement (LocalTrajectoryUploader role)."""
+
+from __future__ import annotations
+
+import socket
+import threading
+from typing import Optional
+
+import numpy as np
+
+from dliom_tpu.cloud import wire
+
+
+class MapBuilderStub:
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._lock = threading.Lock()
+
+    def _call(self, method: str, **params):
+        with self._lock:
+            wire.send_msg(self._sock, {"method": method, "params": params})
+            reply = wire.recv_msg(self._sock)
+        if reply is None:
+            raise ConnectionError("server closed connection")
+        if not reply.get("ok"):
+            raise RuntimeError(reply.get("error", "remote error"))
+        return reply
+
+    # ----- MapBuilder surface -----
+
+    def add_imu_data(self, time, linear_acceleration, angular_velocity):
+        self._call(
+            "add_imu_data",
+            time=float(time),
+            acc=np.asarray(linear_acceleration, np.float32),
+            gyr=np.asarray(angular_velocity, np.float32),
+        )
+
+    def add_range_data(self, time, points, point_times=None, sensor_id=None):
+        params = {"time": float(time), "points": np.asarray(points, np.float32)}
+        if point_times is not None:
+            params["times"] = np.asarray(point_times, np.float32)
+        if sensor_id is not None:
+            params["sensor_id"] = sensor_id
+        self._call("add_range_data", **params)
+
+    def add_fixed_frame_pose_data(self, time, position):
+        self._call(
+            "add_fixed_frame_pose_data",
+            time=float(time),
+            position=np.asarray(position, np.float32),
+        )
+
+    def add_landmark_data(self, time, landmark_id, position_in_tracking):
+        self._call(
+            "add_landmark_data",
+            time=float(time),
+            id=str(landmark_id),
+            position=np.asarray(position_in_tracking, np.float32),
+        )
+
+    def finish_trajectory(self):
+        self._call("finish_trajectory")
+
+    # ----- queries -----
+
+    def node_poses(self):
+        r = self._call("node_poses")
+        return r["times"], r["translations"], r["rotations"]
+
+    def submap_poses(self):
+        return self._call("submap_poses")["translations"]
+
+    def constraints(self):
+        r = self._call("constraints")
+        return r["submap"], r["node"], r["inter"]
+
+    def metrics_text(self) -> str:
+        return self._call("metrics")["text"]
+
+    def write_state(self, path: str):
+        self._call("write_state", path=path)
+
+    def ping(self) -> int:
+        return self._call("ping")["queued"]
+
+    def close(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass

@@ -1,0 +1,175 @@
+"""Mapping server owning a MapBuilder.
+
+Mirrors `MapBuilderServer` (cloud/internal/map_builder_server.cc): sensor
+RPCs enqueue into a blocking queue (the handlers in cloud/internal/handlers/
+add_{imu,rangefinder,fixed_frame,landmark}_data_handler.cc); one dedicated
+SLAM thread drains it in arrival order (`ProcessSensorDataQueue` :142-153,
+`StartSlamThread` :155-161); query RPCs read the pose graph under the
+server's lock. `finish_trajectory` drains the queue, runs final optimization
+and answers when done (finish_trajectory_handler.cc)."""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+from typing import Optional
+
+import numpy as np
+
+from dliom_tpu.cloud import wire
+
+
+class MapBuilderServer:
+    def __init__(self, map_builder, host: str = "127.0.0.1", port: int = 0):
+        self.map_builder = map_builder
+        self._queue: queue.Queue = queue.Queue(maxsize=2048)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((host, port))
+        self._listener.listen(8)
+        self.address = self._listener.getsockname()
+        self._threads = []
+
+    # ----- lifecycle -----
+
+    def start(self) -> None:
+        """StartSlamThread + accept loop (both daemonized)."""
+        t = threading.Thread(target=self._slam_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        a = threading.Thread(target=self._accept_loop, daemon=True)
+        a.start()
+        self._threads.append(a)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+
+    # ----- SLAM thread (ProcessSensorDataQueue) -----
+
+    def _slam_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            kind, payload, done = item
+            try:
+                with self._lock:
+                    if kind == "imu":
+                        self.map_builder.add_imu_data(
+                            payload["time"], payload["acc"], payload["gyr"]
+                        )
+                    elif kind == "range":
+                        self.map_builder.add_range_data(
+                            payload["time"],
+                            payload["points"],
+                            payload.get("times"),
+                            payload.get("sensor_id"),
+                        )
+                    elif kind == "fixed_frame":
+                        self.map_builder.add_fixed_frame_pose_data(
+                            payload["time"], payload["position"]
+                        )
+                    elif kind == "landmark":
+                        self.map_builder.add_landmark_data(
+                            payload["time"], payload["id"], payload["position"]
+                        )
+                    elif kind == "finish":
+                        self.map_builder.finish_trajectory()
+            finally:
+                if done is not None:
+                    done.set()
+                self._queue.task_done()
+
+    # ----- network -----
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
+            t.start()
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        with conn:
+            while not self._stop.is_set():
+                try:
+                    msg = wire.recv_msg(conn)
+                except (ConnectionError, ValueError):
+                    return
+                if msg is None:
+                    return
+                try:
+                    reply = self._handle(msg)
+                except Exception as e:  # handler errors answer, not kill
+                    reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                wire.send_msg(conn, reply)
+
+    # ----- handlers (cloud/internal/handlers/) -----
+
+    def _handle(self, msg) -> dict:
+        method = msg.get("method")
+        p = msg.get("params", {})
+        if method in ("add_imu_data", "add_range_data",
+                      "add_fixed_frame_pose_data", "add_landmark_data"):
+            kind = {"add_imu_data": "imu", "add_range_data": "range",
+                    "add_fixed_frame_pose_data": "fixed_frame",
+                    "add_landmark_data": "landmark"}[method]
+            self._queue.put((kind, p, None))
+            return {"ok": True}
+        if method == "finish_trajectory":
+            done = threading.Event()
+            self._queue.put(("finish", {}, done))
+            done.wait()
+            return {"ok": True}
+        if method == "node_poses":
+            with self._lock:
+                nodes = self.map_builder.optimized_node_poses()
+                return {
+                    "ok": True,
+                    "times": np.asarray([t for t, _ in nodes], np.float64),
+                    "translations": np.stack(
+                        [np.asarray(pose.translation) for _, pose in nodes]
+                    ) if nodes else np.zeros((0, 3), np.float32),
+                    "rotations": np.stack(
+                        [np.asarray(pose.rotation) for _, pose in nodes]
+                    ) if nodes else np.zeros((0, 4), np.float32),
+                }
+        if method == "submap_poses":
+            with self._lock:
+                poses = self.map_builder.pose_graph.submap_poses()
+                return {
+                    "ok": True,
+                    "translations": np.stack(
+                        [np.asarray(pose.translation) for pose in poses]
+                    ) if poses else np.zeros((0, 3), np.float32),
+                }
+        if method == "constraints":
+            with self._lock:
+                cs = self.map_builder.pose_graph.constraints
+                return {
+                    "ok": True,
+                    "submap": np.asarray([c.submap_id for c in cs], np.int32),
+                    "node": np.asarray([c.node_id for c in cs], np.int32),
+                    "inter": np.asarray([c.tag == "INTER" for c in cs], bool),
+                }
+        if method == "metrics":
+            return {"ok": True, "text": self.map_builder.metrics_text()}
+        if method == "write_state":
+            from dliom_tpu.io.serialization import save_state
+
+            with self._lock:
+                save_state(p["path"], self.map_builder.pose_graph)
+            return {"ok": True}
+        if method == "ping":
+            return {"ok": True, "queued": self._queue.qsize()}
+        return {"ok": False, "error": f"unknown method {method!r}"}

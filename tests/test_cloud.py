@@ -1,0 +1,74 @@
+"""Distributed mapping service tests (cloud/ MapBuilderServer/Stub analog):
+stream a short sequence over the wire, query poses, write state remotely."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_map_builder import _config, _feed_static_imu, G
+from dliom_tpu.cloud import MapBuilderServer, MapBuilderStub
+from dliom_tpu.io.synthetic import SyntheticWorld
+from dliom_tpu.map_builder import MapBuilder
+from dliom_tpu.transform.rigid import Rigid3
+
+
+def test_server_end_to_end():
+    cfg = _config()
+    server = MapBuilderServer(MapBuilder(cfg))
+    server.start()
+    host, port = server.address
+    stub = MapBuilderStub(host, port)
+    try:
+        assert stub.ping() == 0
+        world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+        t, scan_idx, tries = 0.0, 0, 0
+        while scan_idx < 6 and tries < 16:
+            for i in range(30):
+                stub.add_imu_data(t + i * 0.01, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+            t += 0.30
+            init = server.map_builder.initialized
+            pose = (
+                Rigid3.identity()
+                if not init
+                else Rigid3.translation_only(
+                    jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32)
+                )
+            )
+            pts, ptimes = world.cast_scan(pose)
+            stub.add_range_data(t, pts, ptimes)
+            stub.add_fixed_frame_pose_data(t, [0.05 * scan_idx, 0.0, 0.0])
+            # wait for the SLAM thread to drain before deciding progress
+            stub.finish_queue = None
+            while stub.ping() > 0:
+                pass
+            if server.map_builder.initialized and init:
+                scan_idx += 1
+            tries += 1
+
+        stub.finish_trajectory()
+        times, trans, rots = stub.node_poses()
+        assert len(times) >= 4
+        assert trans.shape[1] == 3 and rots.shape[1] == 4
+        subs = stub.submap_poses()
+        assert subs.shape[0] >= 1
+        s, n, inter = stub.constraints()
+        assert len(s) == len(n) >= 4
+        assert "dliom" in stub.metrics_text() or len(stub.metrics_text()) > 0
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "remote_state.npz")
+            stub.write_state(path)
+            assert os.path.getsize(path) > 1000
+
+        # PROBE: unknown method -> clean error, connection stays usable
+        try:
+            stub._call("no_such_method")
+            assert False, "expected error"
+        except RuntimeError as e:
+            assert "unknown method" in str(e)
+        assert stub.ping() == 0
+    finally:
+        stub.close()
+        server.shutdown()
