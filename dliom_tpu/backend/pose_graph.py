@@ -145,15 +145,25 @@ class PoseGraph:
 
     def finish_submap(self, submap_id: int, high_values, low_values) -> None:
         """Compress the finished submap's grids for loop closure
-        (the reference keeps the shared_ptr; we keep sparse copies)."""
+        (the reference keeps the shared_ptr; we keep sparse copies).
+        `high_values` is a dense flat grid, or an already-compressed
+        CompressedGrid when the frontend runs the brick grid (the capture
+        path compresses on-device, mapping/brick_grid.py compress_brick)."""
         s = self.submaps[submap_id]
-        s.high = compress(high_values, self._hi_spec, self._compress_capacity)
+        if isinstance(high_values, CompressedGrid):
+            s.high = jax.tree.map(jnp.asarray, high_values)
+            dense_high = None
+        else:
+            s.high = compress(high_values, self._hi_spec, self._compress_capacity)
+            dense_high = high_values
         s.low = compress(low_values, self._lo_spec, self._compress_capacity // 4)
         if self.cfg.constraint_builder.use_image_proposals:
+            if dense_high is None:
+                dense_high = decompress(s.high, self._hi_spec)
             s.image = jax.tree.map(
                 np.asarray,
                 project_to_image(
-                    high_values, self._hi_spec,
+                    dense_high, self._hi_spec,
                     self.cfg.constraint_builder.image_proposal_size,
                 ),
             )

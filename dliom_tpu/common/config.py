@@ -72,6 +72,14 @@ class SubmapsConfig:
     # [-extent/2, extent/2) * resolution around the submap origin.
     high_resolution_extent: int = 512
     low_resolution_extent: int = 256
+    # Brick (two-level) high-res grid: covers ±brick_dir_extent*4*resolution
+    # like the reference's HybridGrid pointer tree (hybrid_grid.h), so
+    # high_resolution_max_range is honored at fine resolutions where a dense
+    # grid cannot span it. high_resolution_extent then only sizes the
+    # backend's dense capture crop.
+    use_brick_grid: bool = False
+    brick_dir_extent: int = 160  # bricks/axis; 160*8*0.1m = ±64 m at 0.1 m
+    brick_max_bricks: int = 65536
 
 
 @dataclass(frozen=True)
@@ -292,7 +300,9 @@ _VIRAL = {
         "min_range": 1.0,
         "scan_period": 0.1,
         "enable_gravity_factor": False,
-        "submaps": {"high_resolution": 0.1},
+        # 0.1 m cells with high_resolution_max_range=60 need the brick grid
+        # (a dense ±60 m grid at 0.1 m would be ~3.5 GB/slot)
+        "submaps": {"high_resolution": 0.1, "use_brick_grid": True},
         "imu": {
             "acc_noise": 0.365432018302,
             "gyr_noise": 0.0367396706572,

@@ -228,23 +228,43 @@ def make_jit_lio_step(cfg: TrajectoryBuilderConfig):
     """
 
     def split(state: LioState):
+        """Split the heavy grid buffers (dense banks + brick directory/pool)
+        out of the state so only they are donated."""
         sm = state.frontend.submaps
-        grids = (sm.high_values, sm.low_values)
+        brick = sm.high_brick
+        grids = (
+            sm.high_values,
+            sm.low_values,
+            brick.directory if brick is not None else None,
+            brick.pool if brick is not None else None,
+        )
+        empty16 = jnp.zeros((0,), sm.low_values.dtype)
         rest = state._replace(
             frontend=state.frontend._replace(
                 submaps=sm._replace(
                     high_values=jnp.zeros((0,), sm.high_values.dtype),
-                    low_values=jnp.zeros((0,), sm.low_values.dtype),
+                    low_values=empty16,
+                    high_brick=(
+                        brick._replace(
+                            directory=jnp.zeros((0,), jnp.int32), pool=empty16
+                        )
+                        if brick is not None
+                        else None
+                    ),
                 )
             )
         )
         return grids, rest
 
     def join(grids, rest: LioState) -> LioState:
+        sm = rest.frontend.submaps
+        brick = sm.high_brick
+        if brick is not None:
+            brick = brick._replace(directory=grids[2], pool=grids[3])
         return rest._replace(
             frontend=rest.frontend._replace(
-                submaps=rest.frontend.submaps._replace(
-                    high_values=grids[0], low_values=grids[1]
+                submaps=sm._replace(
+                    high_values=grids[0], low_values=grids[1], high_brick=brick
                 )
             )
         )

@@ -33,6 +33,7 @@ from dliom_tpu.mapping import motion_filter as mf
 from dliom_tpu.mapping.submap import (
     ActiveSubmaps,
     apply_pending_spawn,
+    brick_spec,
     grid_specs,
     insert_range_data_into_submaps,
     make_active_submaps,
@@ -174,11 +175,19 @@ def step(
         initial_in_submap,
         clouds=[(high.points, high.mask), (low.points, low.mask)],
         grids=[
-            state.submaps.high_values,
+            state.submaps.high_brick
+            if cfg.submaps.use_brick_grid
+            else state.submaps.high_values,
             state.submaps.low_values,
         ],
-        grid_bases=[mslot * hi_spec.num_cells, mslot * lo_spec.num_cells],
-        specs=[hi_spec, lo_spec],
+        grid_bases=[
+            mslot if cfg.submaps.use_brick_grid else mslot * hi_spec.num_cells,
+            mslot * lo_spec.num_cells,
+        ],
+        specs=[
+            brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else hi_spec,
+            lo_spec,
+        ],
         occupied_space_weights=[
             cfg.ceres_scan_matcher.occupied_space_weight_0,
             cfg.ceres_scan_matcher.occupied_space_weight_1,

@@ -100,6 +100,7 @@ class MapBuilder:
         self._pure_localization = False
         self._ff_buffer: List[Tuple[float, np.ndarray]] = []
         self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
+        self._jit_aux: dict = {}
         self._collator = None
         if use_native_collator:
             from dliom_tpu.native import OrderedMultiQueue
@@ -370,10 +371,25 @@ class MapBuilder:
             # the finishing submap's grids are intact until the next step
             slot = finished % 2
             submaps = self._lio.frontend.submaps
-            hi_c = submaps.high_values.shape[0] // 2
             lo_c = submaps.low_values.shape[0] // 2
+            if self.tb.submaps.use_brick_grid:
+                # compress on-device straight from the brick pool
+                if "compress_brick" not in self._jit_aux:
+                    from dliom_tpu.mapping.brick_grid import compress_brick
+                    from dliom_tpu.mapping.submap import brick_spec, grid_specs
+
+                    bspec = brick_spec(self.tb.submaps)
+                    hi_spec, _ = grid_specs(self.tb.submaps)
+                    cap = self.pose_graph._compress_capacity
+                    self._jit_aux["compress_brick"] = jax.jit(
+                        lambda bank, s: compress_brick(bank, bspec, s, hi_spec, cap)
+                    )
+                high = self._jit_aux["compress_brick"](submaps.high_brick, slot)
+            else:
+                hi_c = submaps.high_values.shape[0] // 2
+                high = submaps.high_values[slot * hi_c : (slot + 1) * hi_c]
             grids = (
-                submaps.high_values[slot * hi_c : (slot + 1) * hi_c],
+                high,
                 submaps.low_values[slot * lo_c : (slot + 1) * lo_c],
             )
         off = self._loaded_offset

@@ -1,0 +1,348 @@
+"""Two-level brick probability grid (HybridGrid analog).
+
+The reference's `HybridGrid` (mapping/3d/hybrid_grid.h:69-530) is a
+DynamicGrid<NestedGrid<FlatGrid>> — a pointer tree of 8^3 voxel leaves that
+grows to ±8192 cells, so a 0.1 m submap covers the full
+`high_resolution_max_range` (60 m in dlio's basic_config_3d.lua:65). A dense
+TPU grid at that range would need gigabytes; pointer chasing is hostile to
+vector hardware.
+
+TPU formulation: two flat levels.
+  * directory: dense (dir_extent^3,) int32 per slot — brick coordinate ->
+    pool slot (or -1). Covers ±dir_extent*brick/2 cells.
+  * pool: (max_bricks * brick^3,) int16 per slot — allocated bricks' cells.
+Cell address = directory[brick_lin] * brick^3 + offset. Allocation happens
+INSIDE the insertion kernel: records sort by (brick, offset), brick group
+heads needing a slot get consecutive ids via a cumsum off the running
+counter — one pass, no host round-trip, compile-time fixed shapes. A full
+pool drops further new bricks (records fall out via index clamping) — the
+analog of HybridGrid's unbounded growth is a sized pool, chosen so a submap
+never fills it in practice.
+
+Spawn resets only the slot's directory + counter (the pool's stale cells
+become unreachable), so recycling a slot writes ~MBs, not the pool.
+
+Banks are FLAT 1D per array with slot offsets — scatters into reshaped or
+sliced views of donated buffers copy the whole bank (see mapping/grid.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dliom_tpu.mapping import probability as pv
+from dliom_tpu.mapping.grid import GRID_DTYPE
+
+BRICK = 8  # cells per brick edge (FlatGrid 2^3=8, hybrid_grid.h:69)
+BRICK_CELLS = BRICK * BRICK * BRICK
+
+
+class BrickGridSpec(NamedTuple):
+    """Static geometry. Hashable: usable as a static jit argument."""
+
+    resolution: float
+    dir_extent: int  # bricks per axis in the directory
+    max_bricks: int  # pool capacity per slot
+
+    @property
+    def extent(self) -> int:
+        """Covered cells per axis (signed range ±extent/2)."""
+        return self.dir_extent * BRICK
+
+    @property
+    def half(self) -> int:
+        return self.extent // 2
+
+    @property
+    def num_dir_cells(self) -> int:
+        return self.dir_extent**3
+
+    @property
+    def num_pool_cells(self) -> int:
+        return self.max_bricks * BRICK_CELLS
+
+    @property
+    def max_coverage(self) -> float:
+        return self.half * self.resolution
+
+
+class BrickBank(NamedTuple):
+    """Two-slot active-submap bank (all arrays flat, slot-offset indexed)."""
+
+    directory: jnp.ndarray  # (2 * num_dir_cells,) int32, -1 = unallocated
+    pool: jnp.ndarray  # (2 * num_pool_cells,) int16
+    counts: jnp.ndarray  # (2,) int32 allocated bricks per slot
+    brick_of_slot: jnp.ndarray  # (2 * max_bricks,) int32 reverse map -> dir_lin
+
+
+def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
+    return BrickBank(
+        directory=jnp.full(2 * spec.num_dir_cells, -1, jnp.int32),
+        pool=jnp.zeros(2 * spec.num_pool_cells, GRID_DTYPE),
+        counts=jnp.zeros(2, jnp.int32),
+        brick_of_slot=jnp.zeros(2 * spec.max_bricks, jnp.int32),
+    )
+
+
+def _split_cells(cells: jnp.ndarray, spec: BrickGridSpec):
+    """Signed cell coords (..., 3) -> (dir_lin, offset_lin, in_bounds)."""
+    shifted = cells + spec.half
+    ok = jnp.all((shifted >= 0) & (shifted < spec.extent), axis=-1)
+    shifted = jnp.clip(shifted, 0, spec.extent - 1)
+    brick = shifted // BRICK
+    off = shifted - brick * BRICK
+    dir_lin = (brick[..., 0] * spec.dir_extent + brick[..., 1]) * spec.dir_extent + brick[..., 2]
+    off_lin = (off[..., 0] * BRICK + off[..., 1]) * BRICK + off[..., 2]
+    return dir_lin, off_lin, ok
+
+
+def lookup_value_brick(
+    bank: BrickBank, cells: jnp.ndarray, spec: BrickGridSpec, slot
+) -> jnp.ndarray:
+    """Cell value at signed cell indices; 0 (unknown) when out of range or in
+    an unallocated brick. Two chained gathers (directory then pool)."""
+    dir_lin, off_lin, ok = _split_cells(cells, spec)
+    dir_base = slot * spec.num_dir_cells
+    brick_slot = bank.directory[dir_base + dir_lin]
+    has = ok & (brick_slot >= 0)
+    pool_base = slot * spec.num_pool_cells
+    addr = pool_base + jnp.clip(brick_slot, 0, spec.max_bricks - 1) * BRICK_CELLS + off_lin
+    v = bank.pool[addr].astype(jnp.int32)
+    return jnp.where(has, v, 0)
+
+
+def interpolated_probability_brick(
+    bank: BrickBank, points: jnp.ndarray, spec: BrickGridSpec, slot
+) -> jnp.ndarray:
+    """Smoothstep-trilinear probability, identical math to
+    grid.interpolated_probability (InterpolatedGrid::GetProbability)."""
+    from dliom_tpu.mapping.grid import _CORNERS, _corner_weights
+
+    pr = points / spec.resolution
+    lower = jnp.floor(pr)
+    t = pr - lower
+    s = t * t * (3.0 - 2.0 * t)
+    lower = lower.astype(jnp.int32)
+    # one batched (..., 8)-corner lookup: a single directory gather + a
+    # single pool gather instead of 8 chained pairs
+    corners = lower[..., None, :] + _CORNERS
+    v = lookup_value_brick(bank, corners, spec, slot)
+    q = pv.value_to_probability(v)
+    return jnp.sum(q * _corner_weights(s), axis=-1)
+
+
+def reset_slot(bank: BrickBank, spec: BrickGridSpec, slot) -> BrickBank:
+    """Recycle a slot for a new submap: clear its directory, counter and pool
+    region (re-allocated bricks must start unknown, not with a previous
+    submap's cells) — the analog of dropping a HybridGrid. A sequential
+    ~tens-of-MB HBM write, ~0.1 ms."""
+    directory = jax.lax.dynamic_update_slice(
+        bank.directory,
+        jnp.full(spec.num_dir_cells, -1, jnp.int32),
+        (slot * spec.num_dir_cells,),
+    )
+    pool = jax.lax.dynamic_update_slice(
+        bank.pool,
+        jnp.zeros(spec.num_pool_cells, GRID_DTYPE),
+        (slot * spec.num_pool_cells,),
+    )
+    return BrickBank(
+        directory=directory,
+        pool=pool,
+        counts=bank.counts.at[slot].set(0),
+        brick_of_slot=bank.brick_of_slot,  # stale entries map zeroed cells
+    )
+
+
+def _trunc_div(a, b):
+    q = a // b
+    r = a - q * b
+    return q + jnp.where((r != 0) & (a < 0), 1, 0)
+
+
+def insert_range_data_brick_dual(
+    bank: BrickBank,
+    origins: jnp.ndarray,  # (2, 3) per-slot origins in the slot frame
+    hits: jnp.ndarray,  # (2, N, 3)
+    masks: jnp.ndarray,  # (2, N)
+    *,
+    spec: BrickGridSpec,
+    hit_probability: float = 0.55,
+    miss_probability: float = 0.49,
+    num_free_space_voxels: int = 2,
+) -> BrickBank:
+    """One RangeDataInserter3D step into both slots with in-kernel brick
+    allocation. Semantics match ops/grid_update.insert_range_data_dual: every
+    touched cell updates at most once, hits beating misses
+    (range_data_inserter_3d.cc:78-92)."""
+    hit_odds = hit_probability / (1.0 - hit_probability)
+    miss_odds = miss_probability / (1.0 - miss_probability)
+    k = int(num_free_space_voxels)
+    res = spec.resolution
+
+    hit_cells = jnp.round(hits / res).astype(jnp.int32)
+    origin_cell = jnp.round(origins / res).astype(jnp.int32)[:, None, :]
+    delta = hit_cells - origin_cell
+    num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (2, N)
+
+    def records(cells, valid):
+        dir_lin, off_lin, ok = _split_cells(cells, spec)
+        return dir_lin, off_lin, valid & ok
+
+    d_all, o_all, v_all, m_all = [], [], [], []
+    dl, ol, vv = records(hit_cells, masks)
+    d_all.append(dl); o_all.append(ol); v_all.append(vv)
+    m_all.append(jnp.zeros_like(dl))
+    n = num_samples[..., None]
+    safe_n = jnp.maximum(n, 1)
+    for j in range(1, k + 1):
+        pos = n - j
+        cells = origin_cell + _trunc_div(delta * pos, safe_n)
+        dl, ol, vv = records(cells, masks & (num_samples >= j))
+        d_all.append(dl); o_all.append(ol); v_all.append(vv)
+        m_all.append(jnp.ones_like(dl))
+
+    slot_of = jnp.broadcast_to(
+        jnp.arange(2, dtype=jnp.int32)[:, None], hits.shape[:2]
+    )
+    dir_lin = jnp.concatenate([x.reshape(-1) for x in d_all])
+    off_lin = jnp.concatenate([x.reshape(-1) for x in o_all])
+    valid = jnp.concatenate([x.reshape(-1) for x in v_all])
+    is_miss = jnp.concatenate([x.reshape(-1) for x in m_all])
+    slot = jnp.concatenate([slot_of.reshape(-1)] * (k + 1))
+
+    # Sort records by (slot-qualified brick, offset, kind). Offsets and kind
+    # pack into one 32-bit secondary key (offset < 512, kind 1 bit); the
+    # primary key is the directory address, so brick groups are contiguous
+    # and slot-ordered.
+    dir_addr = jnp.where(
+        valid, slot * spec.num_dir_cells + dir_lin, 2 * spec.num_dir_cells
+    )
+    sec = off_lin * 2 + is_miss
+    s_dir, s_sec = jax.lax.sort([dir_addr, sec], num_keys=2)
+    s_off = s_sec >> 1
+    s_miss = s_sec & 1
+    m = s_dir.shape[0]
+    s_valid = s_dir < 2 * spec.num_dir_cells
+    s_slot = jnp.clip(s_dir // spec.num_dir_cells, 0, 1)
+
+    # Brick allocation: group heads of unallocated bricks claim consecutive
+    # slots per submap-slot off the running counters.
+    brick_head = jnp.concatenate([jnp.ones(1, bool), s_dir[1:] != s_dir[:-1]]) & s_valid
+    cur_slot = bank.directory[jnp.clip(s_dir, 0, 2 * spec.num_dir_cells - 1)]
+    needs = brick_head & (cur_slot < 0)
+    # rank of each new brick within its submap slot
+    needs0 = needs & (s_slot == 0)
+    needs1 = needs & (s_slot == 1)
+    rank0 = jnp.cumsum(needs0.astype(jnp.int32)) - 1
+    rank1 = jnp.cumsum(needs1.astype(jnp.int32)) - 1
+    new_slot = jnp.where(
+        s_slot == 0, bank.counts[0] + rank0, bank.counts[1] + rank1
+    )
+    alloc_ok = needs & (new_slot < spec.max_bricks)
+    head_slot = jnp.where(needs, jnp.where(alloc_ok, new_slot, -1), cur_slot)
+    # propagate the head's brick slot to all records of the group
+    head_pos = jax.lax.cummax(
+        jnp.where(brick_head, jnp.arange(m, dtype=jnp.int32), 0)
+    )
+    brick_slot = head_slot[head_pos]
+
+    # write new directory entries (sorted, unique heads) + the reverse map
+    dir_write = jnp.where(alloc_ok, s_dir, 2 * spec.num_dir_cells)
+    directory = bank.directory.at[dir_write].set(
+        jnp.where(alloc_ok, new_slot, 0), mode="drop", indices_are_sorted=True
+    )
+    bos_idx = jnp.where(
+        alloc_ok, s_slot * spec.max_bricks + new_slot, 2 * spec.max_bricks
+    )
+    brick_of_slot = bank.brick_of_slot.at[bos_idx].set(
+        jnp.where(alloc_ok, s_dir - s_slot * spec.num_dir_cells, 0), mode="drop"
+    )
+    counts = bank.counts + jnp.asarray(
+        [jnp.sum((needs0 & alloc_ok)), jnp.sum((needs1 & alloc_ok))], jnp.int32
+    ).reshape(2)
+
+    # update-once with hit priority: within a brick group, records sorted by
+    # (offset, kind) — the first record per (brick, offset) decides.
+    cell_head = jnp.concatenate(
+        [jnp.ones(1, bool), (s_off[1:] != s_off[:-1]) | brick_head[1:]]
+    )
+    cpos = jax.lax.cummax(jnp.where(cell_head, jnp.arange(m, dtype=jnp.int32), 0))
+    head_is_miss = s_miss[cpos]
+
+    writable = s_valid & (brick_slot >= 0)
+    addr = (
+        s_slot * spec.num_pool_cells
+        + jnp.clip(brick_slot, 0, spec.max_bricks - 1) * BRICK_CELLS
+        + s_off
+    )
+    gather_addr = jnp.where(writable, addr, 0)
+    current = bank.pool[gather_addr].astype(jnp.int32)
+    updated = jnp.where(
+        head_is_miss == 1,
+        pv.apply_odds(current, miss_odds),
+        pv.apply_odds(current, hit_odds),
+    )
+    scatter_addr = jnp.where(writable, addr, 2 * spec.num_pool_cells)
+    pool = bank.pool.at[scatter_addr].set(updated.astype(GRID_DTYPE), mode="drop")
+    return BrickBank(
+        directory=directory, pool=pool, counts=counts, brick_of_slot=brick_of_slot
+    )
+
+
+def compress_brick(bank: BrickBank, spec: BrickGridSpec, slot, dense_spec, capacity: int):
+    """Compress a slot's occupied cells into the backend's CompressedGrid
+    representation, with indices in `dense_spec`'s (cropped, dense) linear
+    space — cells beyond the crop window drop (loop-closure candidates are
+    proximity-gated, so only far-field cells are lost; deviation from the
+    reference's fully sparse HybridGrid::ToProto is documented here).
+
+    One top_k over the slot's pool region + coordinate reconstruction via
+    the brick_of_slot reverse map."""
+    from dliom_tpu.backend.compression import CompressedGrid
+    from dliom_tpu.mapping.grid import linear_index
+
+    pool = jax.lax.dynamic_slice(
+        bank.pool, (slot * spec.num_pool_cells,), (spec.num_pool_cells,)
+    ).astype(jnp.int32)
+    top_vals, top_addr = jax.lax.top_k(pool, capacity)
+    brick_slot = top_addr // BRICK_CELLS
+    off = top_addr % BRICK_CELLS
+    dir_lin = bank.brick_of_slot[slot * spec.max_bricks + brick_slot]
+    de = spec.dir_extent
+    brick = jnp.stack(
+        [dir_lin // (de * de), (dir_lin // de) % de, dir_lin % de], axis=-1
+    )
+    offs = jnp.stack(
+        [off // (BRICK * BRICK), (off // BRICK) % BRICK, off % BRICK], axis=-1
+    )
+    cells = brick * BRICK + offs - spec.half  # signed cell coords
+    lin, ok = linear_index(cells, dense_spec)
+    valid = (top_vals > 0) & ok & (brick_slot < bank.counts[slot])
+    count = jnp.sum(valid.astype(jnp.int32))
+    key = jnp.where(valid, lin, dense_spec.num_cells)
+    order = jnp.argsort(key)
+    return CompressedGrid(
+        indices=key[order],
+        values=jnp.where(valid, top_vals, 0)[order].astype(GRID_DTYPE),
+        count=count,
+    )
+
+
+def dense_crop(
+    bank: BrickBank, spec: BrickGridSpec, slot: int, dense_extent: int
+) -> jnp.ndarray:
+    """Materialize the central ±dense_extent/2 cells as a flat dense grid —
+    the backend capture window (loop-closure candidates are proximity-gated,
+    so the crop loses only far-field cells; documented deviation from the
+    reference's fully sparse serialization)."""
+    half = dense_extent // 2
+    axis = jnp.arange(dense_extent, dtype=jnp.int32) - half
+    cells = jnp.stack(
+        jnp.meshgrid(axis, axis, axis, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    return lookup_value_brick(bank, cells, spec, slot).astype(GRID_DTYPE)

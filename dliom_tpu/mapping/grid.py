@@ -76,6 +76,28 @@ def linear_index(cells: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.n
     return lin, in_bounds
 
 
+_CORNERS = jnp.asarray(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], jnp.int32
+)
+
+
+def _corner_weights(s: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear corner weights (..., 8) from per-axis upper weights (..., 3).
+    Unrolled elementwise products — fancy-indexing alternatives lower to
+    gathers on TPU."""
+    return jnp.stack(
+        [
+            (s[..., 0] if dx else 1.0 - s[..., 0])
+            * (s[..., 1] if dy else 1.0 - s[..., 1])
+            * (s[..., 2] if dz else 1.0 - s[..., 2])
+            for dx in (0, 1)
+            for dy in (0, 1)
+            for dz in (0, 1)
+        ],
+        axis=-1,
+    )
+
+
 def lookup_value(
     values: jnp.ndarray, cells: jnp.ndarray, spec: GridSpec, base=0
 ) -> jnp.ndarray:
@@ -126,17 +148,12 @@ def interpolated_probability(
     s = t * t * (3.0 - 2.0 * t)  # smoothstep weight toward the upper corner
     lower = lower.astype(jnp.int32)
 
-    out = 0.0
-    for dx in (0, 1):
-        wx = s[..., 0] if dx else (1.0 - s[..., 0])
-        for dy in (0, 1):
-            wy = s[..., 1] if dy else (1.0 - s[..., 1])
-            for dz in (0, 1):
-                wz = s[..., 2] if dz else (1.0 - s[..., 2])
-                corner = lower + jnp.asarray([dx, dy, dz], jnp.int32)
-                q = lookup_probability(values, corner, spec, base)
-                out = out + q * (wx * wy * wz)
-    return out
+    # all 8 corners in ONE gather (one batched lookup beats 8 chained small
+    # gathers on TPU, where gather cost is launch-latency dominated)
+    corners = lower[..., None, :] + _CORNERS  # (..., 8, 3)
+    q = lookup_probability(values, corners, spec, base)  # (..., 8)
+    w = _corner_weights(s)
+    return jnp.sum(q * w, axis=-1)
 
 
 def occupied_cells(values: jnp.ndarray, spec: GridSpec, threshold: float = 0.501):

@@ -26,7 +26,16 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from dliom_tpu.common.config import SubmapsConfig
+from dliom_tpu.mapping.brick_grid import (
+    BrickBank,
+    BrickGridSpec,
+    insert_range_data_brick_dual,
+    make_brick_bank,
+    reset_slot,
+)
 from dliom_tpu.mapping.grid import GRID_DTYPE, GridSpec
 from dliom_tpu.ops.grid_update import insert_range_data, insert_range_data_dual
 from dliom_tpu.transform.rigid import Rigid3
@@ -50,6 +59,10 @@ class ActiveSubmaps(NamedTuple):
     pending_spawn: jnp.ndarray  # () bool
     pending_rotation: jnp.ndarray  # (4,)
     pending_translation: jnp.ndarray  # (3,)
+    # Brick-grid high-res path (cfg.use_brick_grid): replaces high_values,
+    # honoring high_resolution_max_range at fine resolutions (HybridGrid
+    # analog, see mapping/brick_grid.py). None on the dense path.
+    high_brick: Optional[BrickBank] = None
 
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
@@ -59,13 +72,26 @@ def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
     )
 
 
+def brick_spec(cfg: SubmapsConfig) -> BrickGridSpec:
+    return BrickGridSpec(
+        resolution=cfg.high_resolution,
+        dir_extent=cfg.brick_dir_extent,
+        max_bricks=cfg.brick_max_bricks,
+    )
+
+
 def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
     """Initial state: one submap at identity (ActiveSubmaps3D ctor,
     submap_3d.cc:286-295)."""
     hi, lo = grid_specs(cfg)
     q = jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0)
     return ActiveSubmaps(
-        high_values=jnp.zeros(2 * hi.num_cells, GRID_DTYPE),
+        high_values=(
+            jnp.zeros(0, GRID_DTYPE)
+            if cfg.use_brick_grid
+            else jnp.zeros(2 * hi.num_cells, GRID_DTYPE)
+        ),
+        high_brick=make_brick_bank(brick_spec(cfg)) if cfg.use_brick_grid else None,
         low_values=jnp.zeros(2 * lo.num_cells, GRID_DTYPE),
         pose_rotation=q,
         pose_translation=jnp.zeros((2, 3), jnp.float32),
@@ -131,12 +157,22 @@ def insert_range_data_into_submaps(
         <= cfg.high_resolution_max_range
     )
     ins = cfg.range_data_inserter
-    new_high = insert_range_data_dual(
-        state.high_values, org2, pts2, hi_masks, spec=hi,
-        hit_probability=ins.hit_probability,
-        miss_probability=ins.miss_probability,
-        num_free_space_voxels=ins.num_free_space_voxels,
-    )
+    if cfg.use_brick_grid:
+        new_brick = insert_range_data_brick_dual(
+            state.high_brick, org2, pts2, hi_masks, spec=brick_spec(cfg),
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
+        new_high = state.high_values
+    else:
+        new_brick = state.high_brick
+        new_high = insert_range_data_dual(
+            state.high_values, org2, pts2, hi_masks, spec=hi,
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
     new_low = insert_range_data_dual(
         state.low_values, org2, pts2, masks2, spec=lo,
         hit_probability=ins.hit_probability,
@@ -146,7 +182,8 @@ def insert_range_data_into_submaps(
     new_counts = state.num_range_data + use.astype(jnp.int32)
 
     state = state._replace(
-        high_values=new_high, low_values=new_low, num_range_data=new_counts
+        high_values=new_high, high_brick=new_brick, low_values=new_low,
+        num_range_data=new_counts,
     )
 
     # Mark a pending spawn when the back submap reaches num_range_data
@@ -182,10 +219,19 @@ def apply_pending_spawn(state: ActiveSubmaps, cfg: SubmapsConfig) -> ActiveSubma
     def do_spawn(s: ActiveSubmaps) -> ActiveSubmaps:
         new_slot = s.num_created % 2
         return s._replace(
-            high_values=jax.lax.dynamic_update_slice(
-                s.high_values,
-                jnp.zeros(hi.num_cells, GRID_DTYPE),
-                (new_slot * hi.num_cells,),
+            high_values=(
+                s.high_values
+                if cfg.use_brick_grid
+                else jax.lax.dynamic_update_slice(
+                    s.high_values,
+                    jnp.zeros(hi.num_cells, GRID_DTYPE),
+                    (new_slot * hi.num_cells,),
+                )
+            ),
+            high_brick=(
+                reset_slot(s.high_brick, brick_spec(cfg), new_slot)
+                if cfg.use_brick_grid
+                else s.high_brick
             ),
             low_values=jax.lax.dynamic_update_slice(
                 s.low_values,

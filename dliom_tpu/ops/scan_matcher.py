@@ -28,6 +28,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from dliom_tpu.mapping.brick_grid import BrickBank, interpolated_probability_brick
 from dliom_tpu.mapping.grid import GridSpec, interpolated_probability
 from dliom_tpu.transform.rigid import (
     Rigid3,
@@ -63,7 +64,11 @@ def _residuals(
     ):
         n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
         world = pose.apply(points)
-        prob = interpolated_probability(values, world, spec, base)
+        if isinstance(values, BrickBank):
+            # brick high-res grid: `base` is the submap slot
+            prob = interpolated_probability_brick(values, world, spec, base)
+        else:
+            prob = interpolated_probability(values, world, spec, base)
         r = (w / jnp.sqrt(n)) * (1.0 - prob)
         parts.append(jnp.where(mask, r, 0.0))
     parts.append(translation_weight * (pose.translation - target_translation))

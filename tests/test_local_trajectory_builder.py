@@ -185,3 +185,45 @@ def test_histogram_output_nonzero():
     state, result = jax.jit(functools.partial(step, cfg=cfg))(state, scan)
     assert result.histogram.shape == (cfg.rotational_histogram_size,)
     assert float(jnp.sum(result.histogram)) > 0.0
+
+
+def test_corkscrew_with_brick_grid():
+    """The canonical corkscrew sequence at the same 0.1 m accuracy bar with
+    the brick high-res grid (HybridGrid analog) instead of the dense bank."""
+    import dataclasses
+
+    base = _config()
+    cfg = dataclasses.replace(
+        base,
+        submaps=dataclasses.replace(
+            base.submaps,
+            use_brick_grid=True,
+            brick_dir_extent=48,  # ±19.2 m at 0.2 m cells = whole world
+            brick_max_bricks=16384,
+        ),
+    )
+    world = SyntheticWorld.create()
+    trajectory = corkscrew_trajectory()
+    state = make_initial_state(cfg)
+    jit_step = jax.jit(functools.partial(step, cfg=cfg))
+    prev_expected = Rigid3.identity()
+    max_t_err = 0.0
+    for time, expected_pose in trajectory:
+        points, times = world.cast_scan(expected_pose)
+        cloud = pad_point_cloud(points, times, CAPACITY)
+        rel = prev_expected.inverse().compose(expected_pose)
+        scan = ScanInput(
+            time=jnp.float32(time),
+            points=cloud.points,
+            times=cloud.times,
+            mask=cloud.mask,
+            relative_prediction=Rigid3(rel.rotation, rel.translation),
+        )
+        state, result = jit_step(state, scan)
+        max_t_err = max(
+            max_t_err,
+            float(jnp.linalg.norm(
+                result.local_pose.translation - expected_pose.translation)),
+        )
+        prev_expected = expected_pose
+    assert max_t_err < 0.1, max_t_err

@@ -197,3 +197,49 @@ def test_collated_ingest_and_gps_landmarks():
     assert builder._collator.num_dropped == 0
     builder.finish_trajectory()
     assert "beacon" in builder.pose_graph.landmark_poses()
+
+
+def test_map_builder_with_brick_grid():
+    """End-to-end with the brick high-res grid: submaps finish via the
+    on-device compress_brick capture path and loop-closure data stays
+    intact (finish_submap accepts the pre-compressed grid)."""
+    cfg = _config().override(
+        {
+            "trajectory_builder": {
+                "submaps": {
+                    "use_brick_grid": True,
+                    "brick_dir_extent": 48,
+                    "brick_max_bricks": 16384,
+                }
+            }
+        }
+    )
+    builder = MapBuilder(cfg)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+    t, scan_idx, k = 0.0, 0, 0
+    while scan_idx < 10 and k < 20:
+        t = _feed_static_imu(builder, t, n=30)
+        pose = (
+            Rigid3.identity()
+            if not builder.initialized
+            else Rigid3.translation_only(jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32))
+        )
+        pts, ptimes = world.cast_scan(pose)
+        builder.add_range_data(t, pts, ptimes)
+        if builder.initialized:
+            scan_idx += 1
+        k += 1
+    assert builder.initialized
+    finished = [s for s in builder.pose_graph.submaps if s.finished]
+    assert finished, "no submap finished"
+    for s in finished:
+        assert s.high is not None and int(s.high.count) > 100
+        assert s.image is not None or not cfg.pose_graph.constraint_builder.use_image_proposals
+    builder.finish_trajectory()
+    nodes = builder.optimized_node_poses()
+    errs = [
+        float(jnp.linalg.norm(pose.translation
+              - jnp.asarray([0.05 * i, 0.0, 0.0])))
+        for i, (_, pose) in enumerate(nodes)
+    ]
+    assert max(errs) < 0.1, errs
