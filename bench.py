@@ -53,13 +53,17 @@ def build_config():
                 "voxel_filter_size": 0.3,
                 "enable_gravity_factor": False,
                 "submaps": {
-                    # VIRAL-style: 0.1 m high res; extents sized to the
-                    # synthetic 30 m world
+                    # VIRAL-faithful: 0.1 m high res with the full 60 m
+                    # high_resolution_max_range via the brick grid
+                    # (viral.lua:26 + basic_config_3d.lua:65)
                     "high_resolution": 0.1,
                     "high_resolution_max_range": 60.0,
                     "low_resolution": 0.45,
                     "num_range_data": 100,
-                    "high_resolution_extent": 448,
+                    "use_brick_grid": True,
+                    "brick_dir_extent": 160,  # ±64 m at 0.1 m
+                    "brick_max_bricks": 65536,
+                    "high_resolution_extent": 448,  # backend capture crop
                     "low_resolution_extent": 128,
                 },
                 "max_filtered_points": 8192,
