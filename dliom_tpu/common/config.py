@@ -83,6 +83,15 @@ class SubmapsConfig:
 
 
 @dataclass(frozen=True)
+class RealTimeCorrelativeConfig:
+    # trajectory_builder_3d.lua real_time_correlative_scan_matcher (:45-50)
+    linear_search_window: float = 0.15
+    angular_search_window: float = 0.017453292519943295  # math.rad(1)
+    translation_delta_cost_weight: float = 1e-1
+    rotation_delta_cost_weight: float = 1e-1
+
+
+@dataclass(frozen=True)
 class CeresScanMatcherConfig:
     # trajectory_builder_3d.lua ceres_scan_matcher + basic_config_3d.lua
     occupied_space_weight_0: float = 1.0
@@ -143,6 +152,11 @@ class TrajectoryBuilderConfig:
     )
     ceres_scan_matcher: CeresScanMatcherConfig = field(
         default_factory=CeresScanMatcherConfig
+    )
+    # trajectory_builder_3d.lua:44-50 (off by default, as in all dlio configs)
+    use_online_correlative_scan_matching: bool = False
+    real_time_correlative_scan_matcher: RealTimeCorrelativeConfig = field(
+        default_factory=RealTimeCorrelativeConfig
     )
     motion_filter: MotionFilterConfig = field(default_factory=MotionFilterConfig)
     imu_gravity_time_constant: float = 0.1

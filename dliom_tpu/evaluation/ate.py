@@ -99,3 +99,33 @@ def read_trajectory_csv(path: str):
             times.append(float(parts[0]))
             positions.append([float(x) for x in parts[1:4]])
     return np.asarray(times), np.asarray(positions)
+
+
+def write_kitti_trajectory(path: str, poses) -> None:
+    """KITTI odometry format: one row per pose, the 3x4 [R|t] matrix
+    row-major (kitti_trajectory_from_pbstream.cc analog)."""
+    import numpy as np
+
+    from dliom_tpu.transform.rigid import quat_to_rotation_matrix
+
+    with open(path, "w") as f:
+        for p in poses:
+            r = np.asarray(quat_to_rotation_matrix(p.rotation))
+            t = np.asarray(p.translation)
+            m = np.hstack([r, t[:, None]]).reshape(-1)
+            f.write(" ".join(f"{x:.9f}" for x in m) + "\n")
+
+
+def write_tum_trajectory(path: str, times, poses) -> None:
+    """TUM format: `t tx ty tz qx qy qz qw` (evo-compatible; the reference's
+    dlio_eval_node.cc records the same fields from the pose topic)."""
+    import numpy as np
+
+    with open(path, "w") as f:
+        for t, p in zip(times, poses):
+            tr = np.asarray(p.translation)
+            q = np.asarray(p.rotation)  # internal order wxyz
+            f.write(
+                f"{t:.6f} {tr[0]:.6f} {tr[1]:.6f} {tr[2]:.6f} "
+                f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n"
+            )

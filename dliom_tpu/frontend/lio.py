@@ -130,6 +130,7 @@ def lio_step(
     state: LioState,
     inp: LioScanInput,
     cfg: TrajectoryBuilderConfig,
+    defer_grid_writes: bool = False,
 ) -> Tuple[LioState, LioResult]:
     noise = pre.noise_matrix(cfg.imu)
     g_norm = cfg.imu.gravity
@@ -185,7 +186,8 @@ def lio_step(
         relative_prediction=rel,
     )
     new_frontend, (result, (win, nav2, ba2, bg2, failed)) = step(
-        state.frontend, scan, cfg, fuse_fn=fuse
+        state.frontend, scan, cfg, fuse_fn=fuse,
+        defer_grid_writes=defer_grid_writes,
     )
 
     # carry the last valid IMU sample as the next midpoint partner

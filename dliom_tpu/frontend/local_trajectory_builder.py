@@ -37,7 +37,9 @@ from dliom_tpu.mapping.submap import (
     grid_specs,
     insert_range_data_into_submaps,
     make_active_submaps,
+    mark_insertion,
     matching_slot,
+    prepare_insertion,
     slot_pose,
 )
 from dliom_tpu.ops.scan_matcher import match
@@ -76,6 +78,9 @@ class ScanResult(NamedTuple):
     low_mask: jnp.ndarray
     insertion_submap_ids: jnp.ndarray  # (2,) ids inserted into, -1 = none
     gravity_alignment: jnp.ndarray  # (4,)
+    # Deferred-write mode only (parallel/batch.py): the per-slot insertion
+    # tensors the flat multi-sequence writer applies outside vmap.
+    insertion_batch: object = None
 
 
 def make_initial_state(cfg: TrajectoryBuilderConfig) -> FrontendState:
@@ -92,17 +97,25 @@ def step(
     scan: ScanInput,
     cfg: TrajectoryBuilderConfig,
     fuse_fn=None,
+    defer_grid_writes: bool = False,
 ) -> tuple[FrontendState, ScanResult]:
     """One frontend scan. Without `fuse_fn` the matched pose is the output
     (predict-only slice mode). With `fuse_fn(pose_estimate) -> (opt_pose,
     aux)` the tightly-coupled stage (WindowOptimize,
     local_trajectory_builder_3d.cc:555-557) runs between matching and
-    insertion; `aux` is returned alongside the ScanResult."""
+    insertion; `aux` is returned alongside the ScanResult.
+
+    `defer_grid_writes` (static): skip all grid-bank writes (insertion AND
+    spawn clears) and return the insertion tensors in the ScanResult — the
+    multi-sequence driver applies them with flat kernels outside vmap, where
+    scatters stay on XLA's in-place 1-D fast path (parallel/batch.py)."""
     hi_spec, lo_spec = grid_specs(cfg.submaps)
     # Execute any spawn deferred from the previous step (the finishing
     # submap's grids were kept readable through the step boundary).
     state = state._replace(
-        submaps=apply_pending_spawn(state.submaps, cfg.submaps)
+        submaps=apply_pending_spawn(
+            state.submaps, cfg.submaps, defer_bank_clears=defer_grid_writes
+        )
     )
     prev_pose = state.pose
     prediction = prev_pose.compose(scan.relative_prediction)
@@ -171,6 +184,29 @@ def step(
     mslot = matching_slot(state.submaps)
     submap_pose = slot_pose(state.submaps, mslot)
     initial_in_submap = submap_pose.inverse().compose(prediction)
+    if cfg.use_online_correlative_scan_matching:
+        # exhaustive local pre-search seeding the Ceres matcher (:514-520)
+        from dliom_tpu.ops.real_time_correlative import match as rtc_match
+
+        rtc_cfg = cfg.real_time_correlative_scan_matcher
+        rtc = rtc_match(
+            initial_in_submap,
+            high.points,
+            high.mask,
+            state.submaps.high_brick
+            if cfg.submaps.use_brick_grid
+            else state.submaps.high_values,
+            brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else hi_spec,
+            linear_search_window=rtc_cfg.linear_search_window,
+            angular_search_window=rtc_cfg.angular_search_window,
+            translation_delta_cost_weight=rtc_cfg.translation_delta_cost_weight,
+            rotation_delta_cost_weight=rtc_cfg.rotation_delta_cost_weight,
+            max_scan_range=cfg.max_range,
+            base=(2 * state.submaps.lane + mslot)
+            if cfg.submaps.use_brick_grid
+            else (2 * state.submaps.lane + mslot) * hi_spec.num_cells,
+        )
+        initial_in_submap = rtc.pose
     result = match(
         initial_in_submap,
         clouds=[(high.points, high.mask), (low.points, low.mask)],
@@ -181,8 +217,11 @@ def step(
             state.submaps.low_values,
         ],
         grid_bases=[
-            mslot if cfg.submaps.use_brick_grid else mslot * hi_spec.num_cells,
-            mslot * lo_spec.num_cells,
+            # lane-adjusted: sequence `lane` owns bank slots 2*lane + {0, 1}
+            (2 * state.submaps.lane + mslot)
+            if cfg.submaps.use_brick_grid
+            else (2 * state.submaps.lane + mslot) * hi_spec.num_cells,
+            (2 * state.submaps.lane + mslot) * lo_spec.num_cells,
         ],
         specs=[
             brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else hi_spec,
@@ -222,15 +261,25 @@ def step(
         max_angle_radians=cfg.motion_filter.max_angle_radians,
     )
     insert = (~similar) & (jnp.sum(filtered.mask) > 0)
-    new_submaps, finished = insert_range_data_into_submaps(
-        state.submaps,
-        origin_in_opt,
-        filtered_in_opt,
-        filtered.mask,
-        gravity_alignment,
-        cfg.submaps,
-        insert,
-    )
+    if defer_grid_writes:
+        insertion_batch = prepare_insertion(
+            state.submaps, origin_in_opt, filtered_in_opt, filtered.mask,
+            cfg.submaps, insert,
+        )
+        new_submaps, finished = mark_insertion(
+            state.submaps, gravity_alignment, origin_in_opt, cfg.submaps, insert
+        )
+    else:
+        insertion_batch = None
+        new_submaps, finished = insert_range_data_into_submaps(
+            state.submaps,
+            origin_in_opt,
+            filtered_in_opt,
+            filtered.mask,
+            gravity_alignment,
+            cfg.submaps,
+            insert,
+        )
 
     # 9. Rotational histogram of the gravity-aligned scan (:604-608).
     hist = compute_histogram(
@@ -265,6 +314,7 @@ def step(
         low_mask=low.mask,
         insertion_submap_ids=insertion_ids,
         gravity_alignment=gravity_alignment,
+        insertion_batch=insertion_batch,
     )
     if fuse_fn is None:
         return new_state, result_out

@@ -28,6 +28,7 @@ sliced views of donated buffers copy the whole bank (see mapping/grid.py).
 
 from __future__ import annotations
 
+import functools as _ft
 import math
 from typing import NamedTuple, Tuple
 
@@ -140,16 +141,12 @@ def reset_slot(bank: BrickBank, spec: BrickGridSpec, slot) -> BrickBank:
     region (re-allocated bricks must start unknown, not with a previous
     submap's cells) — the analog of dropping a HybridGrid. A sequential
     ~tens-of-MB HBM write, ~0.1 ms."""
-    directory = jax.lax.dynamic_update_slice(
-        bank.directory,
-        jnp.full(spec.num_dir_cells, -1, jnp.int32),
-        (slot * spec.num_dir_cells,),
-    )
-    pool = jax.lax.dynamic_update_slice(
-        bank.pool,
-        jnp.zeros(spec.num_pool_cells, GRID_DTYPE),
-        (slot * spec.num_pool_cells,),
-    )
+    # elementwise masked clears, not dynamic_update_slice: under vmap the
+    # latter lowers to a scatter on a (B, ·) operand (whole-bank copy)
+    in_dir = (jnp.arange(bank.directory.shape[0]) // spec.num_dir_cells) == slot
+    directory = jnp.where(in_dir, jnp.int32(-1), bank.directory)
+    in_pool = (jnp.arange(bank.pool.shape[0]) // spec.num_pool_cells) == slot
+    pool = jnp.where(in_pool, jnp.zeros((), GRID_DTYPE), bank.pool)
     return BrickBank(
         directory=directory,
         pool=pool,
@@ -164,21 +161,22 @@ def _trunc_div(a, b):
     return q + jnp.where((r != 0) & (a < 0), 1, 0)
 
 
-def insert_range_data_brick_dual(
+def _insert_brick_slots(
     bank: BrickBank,
-    origins: jnp.ndarray,  # (2, 3) per-slot origins in the slot frame
-    hits: jnp.ndarray,  # (2, N, 3)
-    masks: jnp.ndarray,  # (2, N)
+    origins: jnp.ndarray,  # (S, 3) per-slot origins in the slot frame
+    hits: jnp.ndarray,  # (S, N, 3)
+    masks: jnp.ndarray,  # (S, N)
     *,
     spec: BrickGridSpec,
-    hit_probability: float = 0.55,
-    miss_probability: float = 0.49,
-    num_free_space_voxels: int = 2,
+    hit_probability: float,
+    miss_probability: float,
+    num_free_space_voxels: int,
 ) -> BrickBank:
-    """One RangeDataInserter3D step into both slots with in-kernel brick
-    allocation. Semantics match ops/grid_update.insert_range_data_dual: every
-    touched cell updates at most once, hits beating misses
-    (range_data_inserter_3d.cc:78-92)."""
+    """One RangeDataInserter3D step into S slots with in-kernel brick
+    allocation. Semantics match ops/grid_update: every touched cell updates
+    at most once, hits beating misses (range_data_inserter_3d.cc:78-92).
+    S = 2 is the two active submaps; S = 2B a vmapped batch (flattened by
+    the custom_vmap rule below — scatters on >1-D operands copy the bank)."""
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
@@ -206,43 +204,45 @@ def insert_range_data_brick_dual(
         d_all.append(dl); o_all.append(ol); v_all.append(vv)
         m_all.append(jnp.ones_like(dl))
 
+    s_count = hits.shape[0]
     slot_of = jnp.broadcast_to(
-        jnp.arange(2, dtype=jnp.int32)[:, None], hits.shape[:2]
+        jnp.arange(s_count, dtype=jnp.int32)[:, None], hits.shape[:2]
     )
     dir_lin = jnp.concatenate([x.reshape(-1) for x in d_all])
     off_lin = jnp.concatenate([x.reshape(-1) for x in o_all])
     valid = jnp.concatenate([x.reshape(-1) for x in v_all])
     is_miss = jnp.concatenate([x.reshape(-1) for x in m_all])
     slot = jnp.concatenate([slot_of.reshape(-1)] * (k + 1))
+    num_dir_flat = s_count * spec.num_dir_cells
+    num_pool_flat = s_count * spec.num_pool_cells
 
     # Sort records by (slot-qualified brick, offset, kind). Offsets and kind
     # pack into one 32-bit secondary key (offset < 512, kind 1 bit); the
     # primary key is the directory address, so brick groups are contiguous
     # and slot-ordered.
-    dir_addr = jnp.where(
-        valid, slot * spec.num_dir_cells + dir_lin, 2 * spec.num_dir_cells
-    )
+    dir_addr = jnp.where(valid, slot * spec.num_dir_cells + dir_lin, num_dir_flat)
     sec = off_lin * 2 + is_miss
     s_dir, s_sec = jax.lax.sort([dir_addr, sec], num_keys=2)
     s_off = s_sec >> 1
     s_miss = s_sec & 1
     m = s_dir.shape[0]
-    s_valid = s_dir < 2 * spec.num_dir_cells
-    s_slot = jnp.clip(s_dir // spec.num_dir_cells, 0, 1)
+    s_valid = s_dir < num_dir_flat
+    s_slot = jnp.clip(s_dir // spec.num_dir_cells, 0, s_count - 1)
 
     # Brick allocation: group heads of unallocated bricks claim consecutive
-    # slots per submap-slot off the running counters.
+    # pool slots per submap-slot off the running counters. Records are
+    # slot-ordered, so rank-within-slot = global exclusive prefix of `needs`
+    # minus the prefix value at the slot's first record (propagated by
+    # cummax — the prefix is nondecreasing).
     brick_head = jnp.concatenate([jnp.ones(1, bool), s_dir[1:] != s_dir[:-1]]) & s_valid
-    cur_slot = bank.directory[jnp.clip(s_dir, 0, 2 * spec.num_dir_cells - 1)]
+    cur_slot = bank.directory[jnp.clip(s_dir, 0, num_dir_flat - 1)]
     needs = brick_head & (cur_slot < 0)
-    # rank of each new brick within its submap slot
-    needs0 = needs & (s_slot == 0)
-    needs1 = needs & (s_slot == 1)
-    rank0 = jnp.cumsum(needs0.astype(jnp.int32)) - 1
-    rank1 = jnp.cumsum(needs1.astype(jnp.int32)) - 1
-    new_slot = jnp.where(
-        s_slot == 0, bank.counts[0] + rank0, bank.counts[1] + rank1
-    )
+    needs_i = needs.astype(jnp.int32)
+    g_excl = jnp.cumsum(needs_i) - needs_i
+    slot_first = jnp.concatenate([jnp.ones(1, bool), s_slot[1:] != s_slot[:-1]])
+    slot_base = jax.lax.cummax(jnp.where(slot_first, g_excl, 0))
+    rank_in_slot = g_excl - slot_base
+    new_slot = bank.counts[s_slot] + rank_in_slot
     alloc_ok = needs & (new_slot < spec.max_bricks)
     head_slot = jnp.where(needs, jnp.where(alloc_ok, new_slot, -1), cur_slot)
     # propagate the head's brick slot to all records of the group
@@ -252,19 +252,21 @@ def insert_range_data_brick_dual(
     brick_slot = head_slot[head_pos]
 
     # write new directory entries (sorted, unique heads) + the reverse map
-    dir_write = jnp.where(alloc_ok, s_dir, 2 * spec.num_dir_cells)
+    dir_write = jnp.where(alloc_ok, s_dir, num_dir_flat)
     directory = bank.directory.at[dir_write].set(
         jnp.where(alloc_ok, new_slot, 0), mode="drop", indices_are_sorted=True
     )
     bos_idx = jnp.where(
-        alloc_ok, s_slot * spec.max_bricks + new_slot, 2 * spec.max_bricks
+        alloc_ok, s_slot * spec.max_bricks + new_slot, s_count * spec.max_bricks
     )
     brick_of_slot = bank.brick_of_slot.at[bos_idx].set(
         jnp.where(alloc_ok, s_dir - s_slot * spec.num_dir_cells, 0), mode="drop"
     )
-    counts = bank.counts + jnp.asarray(
-        [jnp.sum((needs0 & alloc_ok)), jnp.sum((needs1 & alloc_ok))], jnp.int32
-    ).reshape(2)
+    counts = bank.counts + jax.ops.segment_sum(
+        (needs & alloc_ok).astype(jnp.int32),
+        jnp.where(needs & alloc_ok, s_slot, s_count),
+        num_segments=s_count + 1,
+    )[:s_count]
 
     # update-once with hit priority: within a brick group, records sorted by
     # (offset, kind) — the first record per (brick, offset) decides.
@@ -287,11 +289,75 @@ def insert_range_data_brick_dual(
         pv.apply_odds(current, miss_odds),
         pv.apply_odds(current, hit_odds),
     )
-    scatter_addr = jnp.where(writable, addr, 2 * spec.num_pool_cells)
+    scatter_addr = jnp.where(writable, addr, num_pool_flat)
     pool = bank.pool.at[scatter_addr].set(updated.astype(GRID_DTYPE), mode="drop")
     return BrickBank(
         directory=directory, pool=pool, counts=counts, brick_of_slot=brick_of_slot
     )
+
+
+@_ft.lru_cache(maxsize=None)
+def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
+    """custom_vmap: vmapped brick inserts flatten (B, 2*...) banks into one
+    (2B)-slot kernel call (scatters on >1-D operands copy the whole bank).
+    Integer-valued op, no AD required."""
+
+    @jax.custom_batching.custom_vmap
+    def f(directory, pool, counts, brick_of_slot, origins, hits, masks):
+        bank = BrickBank(directory, pool, counts, brick_of_slot)
+        out = _insert_brick_slots(
+            bank, origins, hits, masks, spec=spec,
+            hit_probability=hp, miss_probability=mp, num_free_space_voxels=k,
+        )
+        return tuple(out)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        directory, pool, counts, brick_of_slot, origins, hits, masks = (
+            bc(x, b) for x, b in zip(args, in_batched)
+        )
+        s = hits.shape[1]
+        bank = BrickBank(
+            directory.reshape(-1), pool.reshape(-1), counts.reshape(-1),
+            brick_of_slot.reshape(-1),
+        )
+        out = _insert_brick_slots(
+            bank,
+            origins.reshape(axis_size * s, 3),
+            hits.reshape(axis_size * s, *hits.shape[2:]),
+            masks.reshape(axis_size * s, -1),
+            spec=spec, hit_probability=hp, miss_probability=mp,
+            num_free_space_voxels=k,
+        )
+        return (
+            tuple(x.reshape(axis_size, -1) for x in out),
+            (True, True, True, True),
+        )
+
+    return f
+
+
+def insert_range_data_brick_dual(
+    bank: BrickBank,
+    origins: jnp.ndarray,  # (2, 3) per-slot origins in the slot frame
+    hits: jnp.ndarray,  # (2, N, 3)
+    masks: jnp.ndarray,  # (2, N)
+    *,
+    spec: BrickGridSpec,
+    hit_probability: float = 0.55,
+    miss_probability: float = 0.49,
+    num_free_space_voxels: int = 2,
+) -> BrickBank:
+    """Two-active-submap brick insert (see _insert_brick_slots). vmap-safe."""
+    out = _brick_with_batch_rule(
+        spec, float(hit_probability), float(miss_probability),
+        int(num_free_space_voxels),
+    )(bank.directory, bank.pool, bank.counts, bank.brick_of_slot,
+      origins, hits, masks)
+    return BrickBank(*out)
 
 
 def compress_brick(bank: BrickBank, spec: BrickGridSpec, slot, dense_spec, capacity: int):

@@ -32,12 +32,13 @@ from dliom_tpu.common.config import SubmapsConfig
 from dliom_tpu.mapping.brick_grid import (
     BrickBank,
     BrickGridSpec,
+    _insert_brick_slots,
     insert_range_data_brick_dual,
     make_brick_bank,
     reset_slot,
 )
 from dliom_tpu.mapping.grid import GRID_DTYPE, GridSpec
-from dliom_tpu.ops.grid_update import insert_range_data, insert_range_data_dual
+from dliom_tpu.ops.grid_update import _insert_slots, insert_range_data, insert_range_data_dual
 from dliom_tpu.transform.rigid import Rigid3
 
 
@@ -63,6 +64,10 @@ class ActiveSubmaps(NamedTuple):
     # honoring high_resolution_max_range at fine resolutions (HybridGrid
     # analog, see mapping/brick_grid.py). None on the dense path.
     high_brick: Optional[BrickBank] = None
+    # Lane index into a shared multi-sequence bank (parallel/batch.py):
+    # sequence b owns bank slots (2*lane, 2*lane + 1). 0 for single-sequence
+    # states, whose banks hold exactly 2 slots.
+    lane: jnp.ndarray = None
 
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
@@ -100,6 +105,7 @@ def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
         pending_spawn=jnp.bool_(False),
         pending_rotation=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
         pending_translation=jnp.zeros(3, jnp.float32),
+        lane=jnp.int32(0),
     )
 
 
@@ -117,24 +123,27 @@ def slot_pose(state: ActiveSubmaps, slot) -> Rigid3:
     return Rigid3(state.pose_rotation[slot], state.pose_translation[slot])
 
 
-def insert_range_data_into_submaps(
+class InsertionBatch(NamedTuple):
+    """Per-slot transformed insertion tensors — consumed either immediately
+    (single-sequence path) or by the flat multi-sequence writer
+    (parallel/batch.py), where bank writes must happen OUTSIDE vmap."""
+
+    origins: jnp.ndarray  # (2, 3)
+    points: jnp.ndarray  # (2, N, 3)
+    masks: jnp.ndarray  # (2, N) low-res / full-range validity
+    hi_masks: jnp.ndarray  # (2, N) + high_resolution_max_range crop
+
+
+def prepare_insertion(
     state: ActiveSubmaps,
     origin_in_local: jnp.ndarray,
     returns_in_local: jnp.ndarray,
     returns_mask: jnp.ndarray,
-    gravity_alignment: jnp.ndarray,
     cfg: SubmapsConfig,
     enabled: jnp.ndarray,
-) -> Tuple[ActiveSubmaps, jnp.ndarray]:
-    """One ActiveSubmaps3D::InsertRangeData step (submap_3d.cc:303-315).
-
-    `enabled` gates the whole operation (motion-filtered scans still flow
-    through the compiled graph with no-op updates). Returns (state, finished):
-    `finished` is the submap id finished by a spawn this step, or -1.
-    """
-    hi, lo = grid_specs(cfg)
-
-    # Per-slot transformed clouds + gates (slot 0 and 1 stacked).
+) -> InsertionBatch:
+    """Transform the scan into both slot frames + build the per-slot gates
+    (the read-only half of ActiveSubmaps3D::InsertRangeData)."""
     poses = Rigid3(state.pose_rotation, state.pose_translation)
     inv = poses.inverse()
     pts2 = jax.vmap(lambda r, t, p: Rigid3(r, t).apply(p), in_axes=(0, 0, None))(
@@ -151,46 +160,32 @@ def insert_range_data_into_submaps(
     )
     use = slot_active & enabled  # (2,)
     masks2 = returns_mask[None, :] & use[:, None]
-    # FilterRangeDataByMaxRange applies in the submap frame (high grid only)
     hi_masks = masks2 & (
         jnp.linalg.norm(pts2 - org2[:, None, :], axis=-1)
         <= cfg.high_resolution_max_range
     )
-    ins = cfg.range_data_inserter
-    if cfg.use_brick_grid:
-        new_brick = insert_range_data_brick_dual(
-            state.high_brick, org2, pts2, hi_masks, spec=brick_spec(cfg),
-            hit_probability=ins.hit_probability,
-            miss_probability=ins.miss_probability,
-            num_free_space_voxels=ins.num_free_space_voxels,
-        )
-        new_high = state.high_values
-    else:
-        new_brick = state.high_brick
-        new_high = insert_range_data_dual(
-            state.high_values, org2, pts2, hi_masks, spec=hi,
-            hit_probability=ins.hit_probability,
-            miss_probability=ins.miss_probability,
-            num_free_space_voxels=ins.num_free_space_voxels,
-        )
-    new_low = insert_range_data_dual(
-        state.low_values, org2, pts2, masks2, spec=lo,
-        hit_probability=ins.hit_probability,
-        miss_probability=ins.miss_probability,
-        num_free_space_voxels=ins.num_free_space_voxels,
-    )
-    new_counts = state.num_range_data + use.astype(jnp.int32)
+    return InsertionBatch(origins=org2, points=pts2, masks=masks2, hi_masks=hi_masks)
 
+
+def mark_insertion(
+    state: ActiveSubmaps,
+    gravity_alignment: jnp.ndarray,
+    origin_in_local: jnp.ndarray,
+    cfg: SubmapsConfig,
+    enabled: jnp.ndarray,
+) -> Tuple[ActiveSubmaps, jnp.ndarray]:
+    """Post-insert bookkeeping: count the scan per active slot and mark a
+    pending spawn when the back submap fills (submap_3d.cc:310-315)."""
+    slot_ids = jnp.arange(2)
+    slot_active = jnp.where(
+        state.num_created >= 2,
+        jnp.ones(2, bool),
+        slot_ids == (state.num_created - 1) % 2,
+    )
+    use = slot_active & enabled
     state = state._replace(
-        high_values=new_high, high_brick=new_brick, low_values=new_low,
-        num_range_data=new_counts,
+        num_range_data=state.num_range_data + use.astype(jnp.int32)
     )
-
-    # Mark a pending spawn when the back submap reaches num_range_data
-    # (submap_3d.cc:310-315); the spawn itself executes at the start of the
-    # next step (apply_pending_spawn) so the finishing submap's grids remain
-    # readable until then. `finished` is the id of the submap that will be
-    # dropped by that spawn.
     bslot = back_slot(state)
     spawn = enabled & (state.num_range_data[bslot] >= cfg.num_range_data) & (
         ~state.pending_spawn
@@ -210,33 +205,111 @@ def insert_range_data_into_submaps(
     return state, finished
 
 
-def apply_pending_spawn(state: ActiveSubmaps, cfg: SubmapsConfig) -> ActiveSubmaps:
+def insert_range_data_into_submaps(
+    state: ActiveSubmaps,
+    origin_in_local: jnp.ndarray,
+    returns_in_local: jnp.ndarray,
+    returns_mask: jnp.ndarray,
+    gravity_alignment: jnp.ndarray,
+    cfg: SubmapsConfig,
+    enabled: jnp.ndarray,
+) -> Tuple[ActiveSubmaps, jnp.ndarray]:
+    """One ActiveSubmaps3D::InsertRangeData step (submap_3d.cc:303-315).
+
+    `enabled` gates the whole operation (motion-filtered scans still flow
+    through the compiled graph with no-op updates). Returns (state, finished):
+    `finished` is the submap id finished by a spawn this step, or -1.
+    """
+    hi, lo = grid_specs(cfg)
+    batch = prepare_insertion(
+        state, origin_in_local, returns_in_local, returns_mask, cfg, enabled
+    )
+    state = state._replace(
+        **write_insertion_batch(
+            state.high_values, state.low_values, state.high_brick, batch, cfg
+        )
+    )
+    # Spawn marking happens afterwards (the spawn itself executes at the
+    # start of the NEXT step in apply_pending_spawn, so the finishing
+    # submap's grids remain readable until then).
+    return mark_insertion(state, gravity_alignment, origin_in_local, cfg, enabled)
+
+
+def write_insertion_batch(
+    high_values: jnp.ndarray,
+    low_values: jnp.ndarray,
+    high_brick: Optional[BrickBank],
+    batch: InsertionBatch,
+    cfg: SubmapsConfig,
+) -> dict:
+    """Apply an InsertionBatch to the grid banks. `batch` may hold 2 slots
+    (single sequence) or 2*B slots flattened from B sequences — the flat
+    kernels handle any slot count with one sort/gather/scatter."""
+    hi, lo = grid_specs(cfg)
+    ins = cfg.range_data_inserter
+    if cfg.use_brick_grid:
+        new_brick = _insert_brick_slots(
+            high_brick, batch.origins, batch.points, batch.hi_masks,
+            spec=brick_spec(cfg),
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
+        new_high = high_values
+    else:
+        new_brick = high_brick
+        new_high = _insert_slots(
+            high_values, batch.origins, batch.points, batch.hi_masks, spec=hi,
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
+    new_low = _insert_slots(
+        low_values, batch.origins, batch.points, batch.masks, spec=lo,
+        hit_probability=ins.hit_probability,
+        miss_probability=ins.miss_probability,
+        num_free_space_voxels=ins.num_free_space_voxels,
+    )
+    return dict(high_values=new_high, high_brick=new_brick, low_values=new_low)
+
+
+def apply_pending_spawn(
+    state: ActiveSubmaps, cfg: SubmapsConfig, defer_bank_clears: bool = False
+) -> ActiveSubmaps:
     """Execute a deferred AddSubmap (submap_3d.cc:318-326): reset the
     finished submap's slot for the new submap. Call at the start of a step,
-    before matching."""
+    before matching. With `defer_bank_clears` only the small per-slot state
+    updates run — the multi-sequence driver clears the shared banks outside
+    vmap (parallel/batch.py clear_spawned_slots)."""
     hi, lo = grid_specs(cfg)
 
     def do_spawn(s: ActiveSubmaps) -> ActiveSubmaps:
         new_slot = s.num_created % 2
         return s._replace(
+            # elementwise masked clears (vmap of dynamic_update_slice lowers
+            # to a whole-bank-copying scatter on batched operands)
             high_values=(
                 s.high_values
-                if cfg.use_brick_grid
-                else jax.lax.dynamic_update_slice(
+                if (cfg.use_brick_grid or defer_bank_clears)
+                else jnp.where(
+                    (jnp.arange(2 * hi.num_cells) // hi.num_cells) == new_slot,
+                    jnp.zeros((), GRID_DTYPE),
                     s.high_values,
-                    jnp.zeros(hi.num_cells, GRID_DTYPE),
-                    (new_slot * hi.num_cells,),
                 )
             ),
             high_brick=(
                 reset_slot(s.high_brick, brick_spec(cfg), new_slot)
-                if cfg.use_brick_grid
+                if (cfg.use_brick_grid and not defer_bank_clears)
                 else s.high_brick
             ),
-            low_values=jax.lax.dynamic_update_slice(
-                s.low_values,
-                jnp.zeros(lo.num_cells, GRID_DTYPE),
-                (new_slot * lo.num_cells,),
+            low_values=(
+                s.low_values
+                if defer_bank_clears
+                else jnp.where(
+                    (jnp.arange(2 * lo.num_cells) // lo.num_cells) == new_slot,
+                    jnp.zeros((), GRID_DTYPE),
+                    s.low_values,
+                )
             ),
             pose_rotation=s.pose_rotation.at[new_slot].set(s.pending_rotation),
             pose_translation=s.pose_translation.at[new_slot].set(

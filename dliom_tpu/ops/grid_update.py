@@ -21,6 +21,8 @@ with update-once semantics").
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -133,41 +135,39 @@ def insert_range_data(
     )
 
 
-def insert_range_data_dual(
-    values: jnp.ndarray,  # (2 * num_cells,) FLAT bank (slot k at k*num_cells)
-    origins: jnp.ndarray,  # (2, 3) per-slot origin in the slot's frame
-    hits: jnp.ndarray,  # (2, N, 3) per-slot hit points in the slot's frame
-    masks: jnp.ndarray,  # (2, N)
+def _insert_slots(
+    values: jnp.ndarray,  # (S * num_cells,) FLAT bank (slot k at k*num_cells)
+    origins: jnp.ndarray,  # (S, 3) per-slot origin in the slot's frame
+    hits: jnp.ndarray,  # (S, N, 3) per-slot hit points in the slot's frame
+    masks: jnp.ndarray,  # (S, N)
     *,
     spec: GridSpec,
-    hit_probability: float = 0.55,
-    miss_probability: float = 0.49,
-    num_free_space_voxels: int = 2,
+    hit_probability: float,
+    miss_probability: float,
+    num_free_space_voxels: int,
 ) -> jnp.ndarray:
-    """Insert one scan into BOTH submap slots with a single sort + gather +
-    scatter over the combined record set (ActiveSubmaps3D inserts every scan
-    into both active submaps, submap_3d.cc:303-309; fusing the two halves
-    the per-op overhead of the latency-bound scatter path).
-
-    `values` is a FLAT (2 * num_cells,) bank — see insert_range_data for why
-    banks must not be 2D."""
+    """Insert one scan batch into S slots with a single sort + gather +
+    scatter over the combined record set. S = 2 covers the two active
+    submaps (ActiveSubmaps3D inserts every scan into both, submap_3d.cc:
+    303-309); S = 2*B covers B vmapped sequences — the batching rule
+    flattens into this same kernel because scatters on >1-D operands leave
+    XLA's in-place path (see insert_range_data)."""
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
     res = spec.resolution
-    sentinel = spec.num_cells
-    num_flat = 2 * spec.num_cells
+    s_count = hits.shape[0]
+    num_flat = s_count * spec.num_cells
+    assert values.shape[0] == num_flat, (values.shape, s_count, spec.num_cells)
+    # two-key sort below keeps keys in int32: slot-qualified index < 2^31
+    assert num_flat < 2**31 - 1, "flat bank exceeds int32 indexing"
 
-    hit_cells = cell_index(hits, res)  # (2, N, 3)
-    origin_cell = cell_index(origins, res)[:, None, :]  # (2, 1, 3)
+    hit_cells = cell_index(hits, res)  # (S, N, 3)
+    origin_cell = cell_index(origins, res)[:, None, :]  # (S, 1, 3)
     delta = hit_cells - origin_cell
-    num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (2, N)
+    num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (S, N)
 
-    base = (jnp.arange(2, dtype=jnp.int32) * spec.num_cells)[:, None]
-
-    def linify(cells, ok_extra):
-        lin, ok = linear_index(cells, spec)
-        return jnp.where(ok & ok_extra, base + lin, num_flat), ok & ok_extra
+    base = (jnp.arange(s_count, dtype=jnp.int32) * spec.num_cells)[:, None]
 
     hit_lin, hit_ok = linear_index(hit_cells, spec)
     hit_valid = masks & hit_ok
@@ -185,9 +185,8 @@ def insert_range_data_dual(
     all_lin = jnp.concatenate(lins)
     is_miss = jnp.concatenate(misses)
 
-    key = all_lin * 2 + is_miss
-    s_key, s_lin = jax.lax.sort([key, all_lin], num_keys=1)
-    s_miss = s_key & 1
+    # lexicographic (cell, kind) sort: hits first within a cell group
+    s_lin, s_miss = jax.lax.sort([all_lin, is_miss], num_keys=2)
     m = s_lin.shape[0]
     first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
     head_pos = jax.lax.cummax(jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0))
@@ -205,3 +204,59 @@ def insert_range_data_dual(
     return values.at[s_lin].set(
         updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _dual_with_batch_rule(spec: GridSpec, hp: float, mp: float, k: int):
+    """custom_vmap wrapper: vmapping the dual insert flattens (B, 2*C) banks
+    into one (2B*C,) flat kernel call — a plain vmap would scatter into a 2-D
+    operand, which copies the whole bank per step (measured ~5x slower).
+    Inserts are integer-valued (no AD), so custom_vmap is safe here."""
+
+    @jax.custom_batching.custom_vmap
+    def f(values, origins, hits, masks):
+        return _insert_slots(
+            values, origins, hits, masks, spec=spec,
+            hit_probability=hp, miss_probability=mp, num_free_space_voxels=k,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, values, origins, hits, masks):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        values = bc(values, in_batched[0])
+        origins = bc(origins, in_batched[1])
+        hits = bc(hits, in_batched[2])
+        masks = bc(masks, in_batched[3])
+        s = hits.shape[1]
+        out = _insert_slots(
+            values.reshape(-1),
+            origins.reshape(axis_size * s, 3),
+            hits.reshape(axis_size * s, *hits.shape[2:]),
+            masks.reshape(axis_size * s, -1),
+            spec=spec, hit_probability=hp, miss_probability=mp,
+            num_free_space_voxels=k,
+        )
+        return out.reshape(axis_size, -1), True
+
+    return f
+
+
+def insert_range_data_dual(
+    values: jnp.ndarray,  # (2 * num_cells,) FLAT bank (slot k at k*num_cells)
+    origins: jnp.ndarray,  # (2, 3) per-slot origin in the slot's frame
+    hits: jnp.ndarray,  # (2, N, 3) per-slot hit points in the slot's frame
+    masks: jnp.ndarray,  # (2, N)
+    *,
+    spec: GridSpec,
+    hit_probability: float = 0.55,
+    miss_probability: float = 0.49,
+    num_free_space_voxels: int = 2,
+) -> jnp.ndarray:
+    """Insert one scan into BOTH submap slots (see _insert_slots). vmap-safe:
+    batching flattens into the same single-sort flat kernel."""
+    return _dual_with_batch_rule(
+        spec, float(hit_probability), float(miss_probability),
+        int(num_free_space_voxels),
+    )(values, origins, hits, masks)

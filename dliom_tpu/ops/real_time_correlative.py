@@ -92,14 +92,21 @@ def match(
     off_q = jax.vmap(quat_from_axis_angle)(jnp.asarray(off_aa))  # (C, 4)
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
+    from dliom_tpu.mapping.brick_grid import BrickBank, lookup_value_brick
+
     def score_one(dt, dq):
         # candidate = initial * offset (:43-45)
         cand_q = quat_normalize(quat_multiply(initial_pose.rotation, dq))
         cand_t = initial_pose.translation + quat_rotate(initial_pose.rotation, dt)
         world = jax.vmap(lambda p: quat_rotate(cand_q, p))(points) + cand_t
-        lin, ok = linear_index(cell_index(world, spec.resolution), spec)
-        v = values[base + lin].astype(jnp.int32)
-        prob = pv.value_to_probability(jnp.where(ok & mask, v, 0))
+        cells = cell_index(world, spec.resolution)
+        if isinstance(values, BrickBank):
+            v = lookup_value_brick(values, cells, spec, base)  # base = slot
+            prob = pv.value_to_probability(jnp.where(mask, v, 0))
+        else:
+            lin, ok = linear_index(cells, spec)
+            v = values[base + lin].astype(jnp.int32)
+            prob = pv.value_to_probability(jnp.where(ok & mask, v, 0))
         s = jnp.sum(jnp.where(mask, prob, 0.0)) / n_valid
         angle = jnp.linalg.norm(jnp.asarray(dq)[1:4])  # ~angle/2 for small dq
         angle = 2.0 * jnp.arcsin(jnp.clip(angle, 0.0, 1.0))

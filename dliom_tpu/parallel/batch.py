@@ -23,11 +23,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dliom_tpu.common.config import TrajectoryBuilderConfig
+from dliom_tpu.frontend.lio import LioState, lio_step, make_lio_state
 from dliom_tpu.frontend.local_trajectory_builder import (
     FrontendState,
     ScanInput,
     make_initial_state,
     step,
+)
+from dliom_tpu.imu import preintegration as pre
+from dliom_tpu.mapping.brick_grid import BrickBank, make_brick_bank
+from dliom_tpu.mapping.grid import GRID_DTYPE
+from dliom_tpu.mapping.submap import (
+    InsertionBatch,
+    brick_spec,
+    grid_specs,
+    write_insertion_batch,
 )
 
 
@@ -42,6 +52,161 @@ def make_batched_state(cfg: TrajectoryBuilderConfig, batch: int) -> FrontendStat
 def batched_step(cfg: TrajectoryBuilderConfig):
     """vmapped frontend step: (state[B], scan[B]) -> (state[B], result[B])."""
     return jax.vmap(functools.partial(step, cfg=cfg))
+
+
+# ---------------------------------------------------------------------------
+# Full-LIO batching with SHARED flat grid banks.
+#
+# Plain vmap over lio_step is correct but slow: grid banks become (B, ·)
+# operands, and TPU scatters on >1-D operands (and reshapes of them — TPU
+# layouts are tiled, so (B, C) -> (B*C,) is a real relayout copy) leave the
+# in-place fast path. Instead the banks live FLAT with 2B slots shared by all
+# lanes (vmap in_axes=None); each lane reads with its `lane` offset, and grid
+# WRITES (insertion + spawn clears) run outside the vmapped region as single
+# flat kernels over all lanes' records.
+# ---------------------------------------------------------------------------
+
+
+def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState:
+    """B lio states with shared flat banks (2B slots) + per-lane indices."""
+    one = make_lio_state(
+        cfg, pre.NavState.identity(), jnp.zeros(3), jnp.zeros(3)
+    )
+    hi, lo = grid_specs(cfg.submaps)
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one
+    )
+    sm = state.frontend.submaps
+    if cfg.submaps.use_brick_grid:
+        bspec = brick_spec(cfg.submaps)
+        brick = BrickBank(
+            directory=jnp.full(2 * batch * bspec.num_dir_cells, -1, jnp.int32),
+            pool=jnp.zeros(2 * batch * bspec.num_pool_cells, GRID_DTYPE),
+            counts=jnp.zeros(2 * batch, jnp.int32),
+            brick_of_slot=jnp.zeros(2 * batch * bspec.max_bricks, jnp.int32),
+        )
+        high_values = jnp.zeros(0, GRID_DTYPE)
+    else:
+        brick = None
+        high_values = jnp.zeros(2 * batch * hi.num_cells, GRID_DTYPE)
+    sm = sm._replace(
+        high_values=high_values,
+        high_brick=brick,
+        low_values=jnp.zeros(2 * batch * lo.num_cells, GRID_DTYPE),
+        lane=jnp.arange(batch, dtype=jnp.int32),
+    )
+    return state._replace(frontend=state.frontend._replace(submaps=sm))
+
+
+def _bank_axes(cfg: TrajectoryBuilderConfig, state: LioState):
+    """vmap in/out axes pytree: lane-mapped (0) everywhere except the shared
+    grid banks (None)."""
+    axes = jax.tree.map(lambda _: 0, state)
+    sm_axes = axes.frontend.submaps
+    sm_axes = sm_axes._replace(
+        high_values=None,
+        low_values=None,
+        high_brick=(
+            None
+            if sm_axes.high_brick is None
+            else jax.tree.map(lambda _: None, sm_axes.high_brick)
+        ),
+    )
+    return axes._replace(
+        frontend=axes.frontend._replace(submaps=sm_axes)
+    )
+
+
+def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioState:
+    """Apply pending spawn bank clears for every lane with flat 1-D writes
+    (lax.cond + dynamic_update_slice per lane — the operand stays 1-D, so
+    donation keeps the clears in place)."""
+    sm = state.frontend.submaps
+    batch = sm.lane.shape[0]
+    hi, lo = grid_specs(cfg.submaps)
+    bspec = brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else None
+    high, low, brick = sm.high_values, sm.low_values, sm.high_brick
+    for b in range(batch):
+        spawn = sm.pending_spawn[b]
+        new_slot = 2 * b + sm.num_created[b] % 2
+
+        def clear_bank(vals, cells, slot=new_slot, dtype=None, fill=0):
+            return jax.lax.dynamic_update_slice(
+                vals, jnp.full(cells, fill, vals.dtype), (slot * cells,)
+            )
+
+        if cfg.submaps.use_brick_grid:
+            brick = jax.lax.cond(
+                spawn,
+                lambda br, s=new_slot: BrickBank(
+                    directory=jax.lax.dynamic_update_slice(
+                        br.directory,
+                        jnp.full(bspec.num_dir_cells, -1, jnp.int32),
+                        (s * bspec.num_dir_cells,),
+                    ),
+                    pool=jax.lax.dynamic_update_slice(
+                        br.pool,
+                        jnp.zeros(bspec.num_pool_cells, GRID_DTYPE),
+                        (s * bspec.num_pool_cells,),
+                    ),
+                    counts=br.counts.at[s].set(0),
+                    brick_of_slot=br.brick_of_slot,
+                ),
+                lambda br: br,
+                brick,
+            )
+        else:
+            high = jax.lax.cond(
+                spawn,
+                lambda v, s=new_slot: clear_bank(v, hi.num_cells, s),
+                lambda v: v,
+                high,
+            )
+        low = jax.lax.cond(
+            spawn,
+            lambda v, s=new_slot: clear_bank(v, lo.num_cells, s),
+            lambda v: v,
+            low,
+        )
+    sm = sm._replace(high_values=high, low_values=low, high_brick=brick)
+    return state._replace(frontend=state.frontend._replace(submaps=sm))
+
+
+def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
+    """Compiled multi-sequence LIO step: (state[B], scans[B]) -> (state[B],
+    results[B]) with all B sequences' grid traffic in single flat kernels.
+    Donate the state for in-place bank updates."""
+
+    def run(state: LioState, scans):
+        # 1. spawn clears from the previous step's pending flags (flat)
+        state = clear_spawned_slots(cfg, state)
+        # 2. vmapped compute; banks shared, writes deferred
+        axes = _bank_axes(cfg, state)
+        new_state, results = jax.vmap(
+            functools.partial(lio_step, cfg=cfg, defer_grid_writes=True),
+            in_axes=(axes, 0),
+            out_axes=(axes, 0),
+        )(state, scans)
+        # 3. one flat insert over all lanes' records (2B slots)
+        ib = results.scan.insertion_batch
+        flat = InsertionBatch(
+            origins=ib.origins.reshape(2 * batch, 3),
+            points=ib.points.reshape(2 * batch, *ib.points.shape[2:]),
+            masks=ib.masks.reshape(2 * batch, -1),
+            hi_masks=ib.hi_masks.reshape(2 * batch, -1),
+        )
+        sm = new_state.frontend.submaps
+        sm = sm._replace(
+            **write_insertion_batch(
+                sm.high_values, sm.low_values, sm.high_brick, flat, cfg.submaps
+            )
+        )
+        new_state = new_state._replace(
+            frontend=new_state.frontend._replace(submaps=sm)
+        )
+        return new_state, results
+
+    return jax.jit(run, donate_argnums=0)
 
 
 def shard_over_mesh(tree, mesh: Mesh, axis: str = "seq"):

@@ -187,6 +187,32 @@ def run(args) -> dict:
             args.output_csv, [t for t, _ in nodes], [p for _, p in nodes]
         )
         report["trajectory_csv"] = args.output_csv
+    if nodes and args.output_kitti:
+        from dliom_tpu.evaluation.ate import write_kitti_trajectory
+
+        write_kitti_trajectory(args.output_kitti, [p for _, p in nodes])
+        report["kitti_file"] = args.output_kitti
+    if nodes and args.output_tum:
+        from dliom_tpu.evaluation.ate import write_tum_trajectory
+
+        write_tum_trajectory(
+            args.output_tum, [t for t, _ in nodes], [p for _, p in nodes]
+        )
+        report["tum_file"] = args.output_tum
+    if args.output_relations:
+        from dliom_tpu.evaluation.ground_truth import (
+            generate_ground_truth,
+            write_relations_csv,
+        )
+
+        rels, outliers = generate_ground_truth(
+            builder.pose_graph,
+            min_covered_distance=args.relations_min_covered_distance,
+        )
+        write_relations_csv(args.output_relations, rels)
+        report["relations_file"] = args.output_relations
+        report["num_relations"] = len(rels)
+        report["num_relation_outliers"] = outliers
     if args.output_state:
         from dliom_tpu.io.serialization import save_state
 
@@ -235,6 +261,13 @@ def main(argv=None):
                     help="export the aggregate map point cloud (assets writer)")
     ap.add_argument("--output-xray", default=None,
                     help="export a top-down xray PGM image")
+    ap.add_argument("--output-kitti", default=None,
+                    help="export trajectory in KITTI 3x4 row format")
+    ap.add_argument("--output-tum", default=None,
+                    help="export trajectory in TUM (evo-compatible) format")
+    ap.add_argument("--output-relations", default=None,
+                    help="autogenerate ground-truth relations CSV from loops")
+    ap.add_argument("--relations-min-covered-distance", type=float, default=100.0)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     report = run(args)

@@ -139,3 +139,78 @@ def test_sharded_spa_constraints():
     for i, pose in enumerate(true_submaps):
         err = float(jnp.linalg.norm(out.submap_t[i] - pose.translation))
         assert err < 0.05, (i, err)
+
+
+def test_batched_lio_matches_single():
+    """Shared-flat-bank batched LIO (make_batched_lio_step) produces the
+    same poses as independent single-sequence runs."""
+    import functools
+    from dliom_tpu.frontend.lio import LioScanInput, lio_step, make_lio_state
+    from dliom_tpu.imu import preintegration as pre
+    from dliom_tpu.parallel.batch import (
+        make_batched_lio_state,
+        make_batched_lio_step,
+    )
+
+    cfg = _small_cfg() if "_small_cfg" in globals() else None
+    from dliom_tpu.common.config import load_config
+
+    cfg = load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "scan_period": 0.1, "voxel_filter_size": 0.3,
+                "enable_gravity_factor": False,
+                "submaps": {"high_resolution": 0.2, "high_resolution_max_range": 20.0,
+                            "low_resolution": 0.5, "num_range_data": 3,
+                            "high_resolution_extent": 64, "low_resolution_extent": 32},
+                "max_raw_points": 2048, "max_filtered_points": 1024,
+                "max_high_res_points": 256, "max_low_res_points": 256,
+                "max_imu_per_scan": 16, "window_size": 3, "gn_iterations": 2,
+                "ceres_scan_matcher": {"max_num_iterations": 4},
+            }
+        },
+    ).trajectory_builder
+
+    B = 2
+    rng = np.random.default_rng(0)
+    G = 9.80511
+    scans = []
+    for i in range(5):
+        pts = rng.uniform(-8, 8, (B, 512, 3)).astype(np.float32)
+        dts = np.full((B, 16), 0.005, np.float32)
+        accs = np.tile(np.array([0, 0, G], np.float32), (B, 16, 1))
+        gyrs = np.zeros((B, 16, 3), np.float32)
+        scans.append(
+            LioScanInput(
+                time=jnp.full((B,), 0.1 * i, jnp.float32),
+                points=jnp.asarray(pts),
+                times=jnp.zeros((B, 512), jnp.float32),
+                mask=jnp.ones((B, 512), bool),
+                imu_dts=jnp.asarray(dts),
+                imu_acc=jnp.asarray(accs),
+                imu_gyr=jnp.asarray(gyrs),
+                imu_mask=jnp.ones((B, 16), bool),
+            )
+        )
+
+    # batched run
+    bstate = make_batched_lio_state(cfg, B)
+    bstep = make_batched_lio_step(cfg, B)
+    bposes = []
+    for s in scans:
+        bstate, res = bstep(bstate, s)
+        bposes.append(np.asarray(res.scan.local_pose.translation))
+
+    # single-sequence runs
+    for b in range(B):
+        st = make_lio_state(cfg, pre.NavState.identity(), jnp.zeros(3), jnp.zeros(3))
+        jstep = jax.jit(functools.partial(lio_step, cfg=cfg))
+        for i, s in enumerate(scans):
+            one = jax.tree.map(lambda x: x[b], s)
+            st, res = jstep(st, one)
+            np.testing.assert_allclose(
+                np.asarray(res.scan.local_pose.translation),
+                bposes[i][b],
+                atol=2e-4,
+            )

@@ -61,3 +61,33 @@ def test_identity_beats_offsets_when_aligned():
         linear_search_window=0.4, angular_search_window=0.0, max_scan_range=10.0,
     )
     np.testing.assert_allclose(np.asarray(res.pose.translation), 0.0, atol=1e-6)
+
+
+def test_online_correlative_in_frontend():
+    """use_online_correlative_scan_matching pre-seeds the Ceres matcher
+    (local_trajectory_builder_3d.cc:514-520) — the step runs and matches."""
+    import functools
+    import tests.test_local_trajectory_builder as tltb
+    import dataclasses
+    from dliom_tpu.frontend.local_trajectory_builder import (
+        ScanInput, make_initial_state, step)
+    from dliom_tpu.io.synthetic import SyntheticWorld, corkscrew_trajectory
+    from dliom_tpu.sensor.types import pad_point_cloud
+
+    base = tltb._config()
+    cfg = dataclasses.replace(base, use_online_correlative_scan_matching=True)
+    world = SyntheticWorld.create()
+    traj = corkscrew_trajectory()[:4]
+    state = make_initial_state(cfg)
+    jit_step = jax.jit(functools.partial(step, cfg=cfg))
+    prev = Rigid3.identity()
+    for t, pose in traj:
+        pts, times = world.cast_scan(pose)
+        cloud = pad_point_cloud(pts, times, tltb.CAPACITY)
+        rel = prev.inverse().compose(pose)
+        state, res = jit_step(state, ScanInput(
+            time=jnp.float32(t), points=cloud.points, times=cloud.times,
+            mask=cloud.mask, relative_prediction=rel))
+        err = float(jnp.linalg.norm(res.local_pose.translation - pose.translation))
+        assert err < 0.1, err
+        prev = pose
