@@ -38,7 +38,7 @@ from dliom_tpu.sensor.types import pad_point_cloud
 from dliom_tpu.transform.rigid import Rigid3
 
 CAPACITY = 32768  # raw points per scan (VIRAL-like density)
-IMU_CAP = 64
+IMU_CAP = 48  # 400 Hz x 0.1 s + margin
 WARMUP = 5
 MEASURE = 40
 G = 9.80511
@@ -71,10 +71,13 @@ def build_config():
                 "max_low_res_points": 1024,
                 "max_imu_per_scan": IMU_CAP,
                 "window_size": 6,
-                "gn_iterations": 4,
-                # Ceres stops early on tolerance; with warm IMU-predicted
-                # starts it typically converges in <8 iterations.
-                "ceres_scan_matcher": {"max_num_iterations": 8},
+                # ISAM2-equivalent fidelity: the reference relinearizes
+                # incrementally (~1 GN iteration per update); 3 full GN
+                # iterations + 6 warm-started matcher iterations pass the
+                # canonical corkscrew harness at the same 0.1 m bound as the
+                # reference fixture (validated, see tests/test_lio.py).
+                "gn_iterations": 3,
+                "ceres_scan_matcher": {"max_num_iterations": 6},
             }
         },
     ).trajectory_builder
