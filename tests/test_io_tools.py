@@ -139,3 +139,38 @@ def test_pure_localization_frozen_poses():
             np.asarray(frozen.submaps[1].global_pose.translation), before,
             atol=1e-6,
         )
+
+
+def test_pointcloud_format_decoders():
+    """Per-LiDAR point decoding (sensor_bridge.cc:183-236 analog)."""
+    from dliom_tpu.io.pointcloud_formats import decode_points
+
+    n = 5
+    # ouster: t in ns from scan start; stamp given = message header time
+    ouster = np.zeros(n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                                ("t", "u4")])
+    ouster["x"] = np.arange(n); ouster["t"] = np.arange(n) * 10_000_000  # 10ms
+    stamp, pts, rel = decode_points(ouster, "ouster", header_stamp=100.0)
+    assert stamp == 100.0 + 0.04
+    np.testing.assert_allclose(rel, [-0.04, -0.03, -0.02, -0.01, 0.0], atol=1e-7)
+
+    # velodyne: time in s relative to header (first point), rebased to last
+    velo = np.zeros(n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                              ("time", "f4")])
+    velo["time"] = np.arange(n) * 0.01
+    stamp, pts, rel = decode_points(velo, "velodyne", header_stamp=50.0)
+    assert abs(stamp - 50.04) < 1e-9
+    assert rel.max() == 0.0 and abs(rel.min() + 0.04) < 1e-6
+
+    # robosense: absolute per-point seconds; header stamps the last point
+    rs = np.zeros(n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                            ("timestamp", "f8")])
+    rs["timestamp"] = 200.0 + np.arange(n) * 0.01
+    stamp, pts, rel = decode_points(rs, "robosense", header_stamp=200.04)
+    assert stamp == 200.04
+    assert abs(rel.min() + 0.04) < 1e-6
+
+    # fallback XYZI + non-finite rejection
+    raw = np.asarray([[0, 0, 0], [np.nan, 1, 2], [3, 4, 5]], np.float32)
+    stamp, pts, rel = decode_points(raw, "generic", header_stamp=7.0)
+    assert stamp == 7.0 and pts.shape == (2, 3) and np.all(rel == 0)
