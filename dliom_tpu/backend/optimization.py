@@ -20,13 +20,12 @@ graphs (the partial H v sums reduce with psum over ICI).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from dliom_tpu.transform.rigid import (
-    Rigid3,
     quat_conjugate,
     quat_from_axis_angle,
     quat_multiply,

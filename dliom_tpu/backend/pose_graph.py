@@ -22,7 +22,6 @@ against spatially close older submaps via MatchWith3DofInitial + refinement
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import threading
 from dataclasses import dataclass, field
@@ -50,7 +49,6 @@ from dliom_tpu.transform.rigid import (
     Rigid3,
     quat_conjugate,
     quat_multiply,
-    quat_remove_yaw,
     quat_yaw,
 )
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from dliom_tpu.mapping import probability as pv

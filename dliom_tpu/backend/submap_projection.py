@@ -27,7 +27,7 @@ verifier gates false proposals the same way."""
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from __future__ import annotations
 import queue
 import socket
 import threading
-from typing import Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ fixed time/space delta. Pure numpy (host-side analysis)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

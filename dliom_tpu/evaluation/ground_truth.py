@@ -23,7 +23,7 @@ from typing import Dict, List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from dliom_tpu.transform.rigid import Rigid3, quat_angle, quat_conjugate, quat_multiply
+from dliom_tpu.transform.rigid import Rigid3, quat_angle
 
 
 @dataclass

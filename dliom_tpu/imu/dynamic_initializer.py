@@ -22,7 +22,7 @@ alignment derivation assumes."""
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

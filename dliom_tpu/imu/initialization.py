@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from dliom_tpu.transform.rigid import (

@@ -16,20 +16,16 @@ from an optimized pose graph —
 
 from __future__ import annotations
 
-import struct
-from typing import Optional
 
 import numpy as np
 
-from dliom_tpu.backend.compression import decompress
 from dliom_tpu.backend.pose_graph import PoseGraph
 from dliom_tpu.mapping import probability as pv
 
 
 def aggregate_point_cloud(pose_graph: PoseGraph, use_low: bool = False) -> np.ndarray:
     """Node clouds transformed by optimized global poses -> (N, 3)."""
-    import jax
-
+    
     pts = []
     for n in pose_graph.nodes:
         cloud = n.low_points if use_low else n.high_points

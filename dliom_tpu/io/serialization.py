@@ -12,11 +12,9 @@ PoseGraph for continued mapping, pure localization, or offline viewing."""
 
 from __future__ import annotations
 
-import dataclasses
 import json
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -28,6 +28,7 @@ import numpy as np
 from dliom_tpu.backend.pose_graph import NodeRecord, PoseGraph
 from dliom_tpu.common.config import EngineConfig
 from dliom_tpu.metrics import global_registry, register_all_metrics
+from dliom_tpu.metrics.metrics import RateTimer
 from dliom_tpu.sensor.range_synchronizer import RangeDataSynchronizer
 from dliom_tpu.frontend.lio import (
     LioResult,
@@ -39,7 +40,6 @@ from dliom_tpu.frontend.lio import (
 from dliom_tpu.imu import preintegration as pre
 from dliom_tpu.imu.dynamic_initializer import DynamicInitializer
 from dliom_tpu.imu.initialization import static_initialize
-from dliom_tpu.mapping.submap import back_slot, matching_slot, slot_pose
 from dliom_tpu.sensor.types import pad_point_cloud
 from dliom_tpu.transform.rigid import Rigid3
 
@@ -101,6 +101,7 @@ class MapBuilder:
         self._ff_buffer: List[Tuple[float, np.ndarray]] = []
         self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
         self._jit_aux: dict = {}
+        self._rate_timers: dict = {}
         self._collator = None
         if use_native_collator:
             from dliom_tpu.native import OrderedMultiQueue
@@ -135,6 +136,7 @@ class MapBuilder:
         self._handle_imu_data(time, linear_acceleration, angular_velocity)
 
     def _handle_imu_data(self, time: float, linear_acceleration, angular_velocity):
+        self._rate_timers.setdefault("imu", RateTimer()).pulse(time)
         acc = np.asarray(linear_acceleration, np.float32)
         gyr = np.asarray(angular_velocity, np.float32)
         if not self._initialized:
@@ -209,6 +211,7 @@ class MapBuilder:
         LiDARs buffer into the synchronizer; the primary triggers a step with
         the merged cloud. Returns a MatchingResult dict once initialized."""
         sensor_id = sensor_id or self._synchronizer.primary
+        self._rate_timers.setdefault(sensor_id, RateTimer()).pulse(time)
         merged = self._synchronizer.add_range_data(
             sensor_id, time, points, point_times,
             synthesize_times=self.tb.manual_deskew_stamps,
@@ -417,8 +420,16 @@ class MapBuilder:
             self._pool = None
 
     def metrics_text(self) -> str:
-        """Prometheus-style metrics dump (cloud/metrics/prometheus analog)."""
-        return global_registry().dump_text()
+        """Prometheus-style metrics dump (cloud/metrics/prometheus analog),
+        plus per-sensor arrival rates (common::RateTimer logging,
+        collated_trajectory_builder.cc:56-76)."""
+        lines = [global_registry().dump_text()]
+        for name, rt in sorted(self._rate_timers.items()):
+            lines.append(f"sensor_rate_hz{{sensor=\"{name}\"}} {rt.rate():.3f}")
+        return "\n".join(lines)
+
+    def sensor_rates(self) -> dict:
+        return {k: v.rate() for k, v in self._rate_timers.items()}
 
     # ----- queries -----
 

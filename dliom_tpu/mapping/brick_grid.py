@@ -29,8 +29,7 @@ sliced views of donated buffers copy the whole bank (see mapping/grid.py).
 from __future__ import annotations
 
 import functools as _ft
-import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

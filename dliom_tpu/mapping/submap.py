@@ -33,12 +33,11 @@ from dliom_tpu.mapping.brick_grid import (
     BrickBank,
     BrickGridSpec,
     _insert_brick_slots,
-    insert_range_data_brick_dual,
     make_brick_bank,
     reset_slot,
 )
 from dliom_tpu.mapping.grid import GRID_DTYPE, GridSpec
-from dliom_tpu.ops.grid_update import _insert_slots, insert_range_data, insert_range_data_dual
+from dliom_tpu.ops.grid_update import _insert_slots
 from dliom_tpu.transform.rigid import Rigid3
 
 

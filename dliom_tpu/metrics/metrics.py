@@ -188,3 +188,24 @@ def register_all_metrics(factory: Optional[FamilyFactory] = None) -> Dict[str, _
             "Pending background constraint tasks",
         ),
     }
+
+
+class RateTimer:
+    """Per-sensor rate tracker (common::RateTimer analog,
+    collated_trajectory_builder.cc:56-76): ring buffer of event wall/stamp
+    times; ComputeRate() = events/sec over the window."""
+
+    def __init__(self, window: int = 100):
+        self._window = window
+        self._stamps: list = []
+
+    def pulse(self, stamp: float) -> None:
+        self._stamps.append(float(stamp))
+        if len(self._stamps) > self._window:
+            self._stamps.pop(0)
+
+    def rate(self) -> float:
+        if len(self._stamps) < 2:
+            return 0.0
+        span = self._stamps[-1] - self._stamps[0]
+        return (len(self._stamps) - 1) / span if span > 0 else 0.0

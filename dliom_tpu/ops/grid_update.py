@@ -185,8 +185,16 @@ def _insert_slots(
     all_lin = jnp.concatenate(lins)
     is_miss = jnp.concatenate(misses)
 
-    # lexicographic (cell, kind) sort: hits first within a cell group
-    s_lin, s_miss = jax.lax.sort([all_lin, is_miss], num_keys=2)
+    # lexicographic (cell, kind) sort: hits first within a cell group.
+    # Pack into ONE int32 key when the range fits (sorting one operand
+    # moves half the bytes of a two-key sort).
+    if 2 * (num_flat + 1) < 2**31:
+        key = all_lin * 2 + is_miss
+        s_key = jax.lax.sort(key)
+        s_lin = s_key >> 1
+        s_miss = s_key & 1
+    else:
+        s_lin, s_miss = jax.lax.sort([all_lin, is_miss], num_keys=2)
     m = s_lin.shape[0]
     first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
     head_pos = jax.lax.cummax(jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0))

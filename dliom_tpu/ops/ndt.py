@@ -13,7 +13,7 @@ reuses the trust-region LM structure of the grid matcher."""
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -26,12 +26,11 @@ from dliom_tpu.common.config import TrajectoryBuilderConfig
 from dliom_tpu.frontend.lio import LioState, lio_step, make_lio_state
 from dliom_tpu.frontend.local_trajectory_builder import (
     FrontendState,
-    ScanInput,
     make_initial_state,
     step,
 )
 from dliom_tpu.imu import preintegration as pre
-from dliom_tpu.mapping.brick_grid import BrickBank, make_brick_bank
+from dliom_tpu.mapping.brick_grid import BrickBank
 from dliom_tpu.mapping.grid import GRID_DTYPE
 from dliom_tpu.mapping.submap import (
     InsertionBatch,
