@@ -82,6 +82,79 @@ def noise_matrix(cfg: ImuConfig) -> jnp.ndarray:
     return jnp.diag(d * d)
 
 
+# test override: None = auto (TPU -> pallas), True/False forces the path;
+# _CHAIN_INTERPRET runs the kernel in interpreter mode (CPU equivalence tests)
+FORCE_PALLAS_CHAIN = None
+_CHAIN_INTERPRET = False
+
+
+def _use_pallas_chain() -> bool:
+    """The Pallas chain kernel runs on real TPU only; CPU (tests, virtual
+    meshes) keeps the associative_scan path — both are exact."""
+    if FORCE_PALLAS_CHAIN is not None:
+        return FORCE_PALLAS_CHAIN
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_affine_chain(f: jnp.ndarray, q: jnp.ndarray):
+    """Sequential affine-map composition J <- F_i J, P <- F_i P F_i^T + Q_i
+    as ONE Pallas kernel: the 15x15 blocks pad to native 128x128 MXU tiles
+    and the whole chain runs in VMEM — M serial tiny-matmul dispatches (or
+    log M associative-scan rounds) collapse into a single kernel launch.
+
+    The grid iterates over steps; the outputs act as VMEM accumulators
+    (same output block every step — TPU grids execute sequentially)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = f.shape[0]
+    fp = jnp.zeros((m, 128, 128), jnp.float32).at[:, :15, :15].set(f)
+    qp = jnp.zeros((m, 128, 128), jnp.float32).at[:, :15, :15].set(q)
+
+    def kernel(f_ref, q_ref, a_out, p_out):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            a_out[...] = ((row == col) & (row < 15)).astype(jnp.float32)
+            p_out[...] = jnp.zeros((128, 128), jnp.float32)
+
+        fi = f_ref[0]
+        a = a_out[...]
+        p = p_out[...]
+        fp_ = jnp.dot(fi, p, preferred_element_type=jnp.float32)
+        a_out[...] = jnp.dot(fi, a, preferred_element_type=jnp.float32)
+        p_out[...] = (
+            jnp.dot(fp_, fi.T, preferred_element_type=jnp.float32) + q_ref[0]
+        )
+
+    a_final, p_final = pl.pallas_call(
+        kernel,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        ],
+        interpret=_CHAIN_INTERPRET,
+    )(fp, qp)
+    return a_final[:15, :15], p_final[:15, :15]
+
+
 def _midpoint_step(pre: Preintegrated, dt, acc1, gyr1, noise) -> Preintegrated:
     """One midPointIntegration step (integration_base.h:173-265)."""
     ba, bg = pre.ba, pre.bg
@@ -278,14 +351,17 @@ def integrate(
     f = jnp.where(mask[:, None, None], f, eye15)
     q_noise = jnp.where(mask[:, None, None], q_noise, 0.0)
 
-    def combine(a, b):
-        fa, qa = a
-        fb, qb = b
-        return fb @ fa, fb @ qa @ jnp.swapaxes(fb, -1, -2) + qb
+    if _use_pallas_chain():
+        f_total, q_total = _pallas_affine_chain(f, q_noise)
+    else:
+        def combine(a, b):
+            fa, qa = a
+            fb, qb = b
+            return fb @ fa, fb @ qa @ jnp.swapaxes(fb, -1, -2) + qb
 
-    f_cum, q_cum = jax.lax.associative_scan(combine, (f, q_noise), axis=0)
-    f_total = f_cum[-1]
-    q_total = q_cum[-1]
+        f_cum, q_cum = jax.lax.associative_scan(combine, (f, q_noise), axis=0)
+        f_total = f_cum[-1]
+        q_total = q_cum[-1]
 
     n_valid = jnp.sum(mask.astype(jnp.int32))
     last = jnp.maximum(n_valid - 1, 0)

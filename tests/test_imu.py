@@ -321,3 +321,28 @@ def test_batched_integrate_matches_sequential():
     np.testing.assert_allclose(float(b.dt), float(a.dt), rtol=1e-6)
     assert int(b.count) == int(a.count)
     np.testing.assert_allclose(np.asarray(b.acc0), np.asarray(a.acc0), atol=1e-6)
+
+
+def test_pallas_chain_matches_sequential():
+    """The Pallas affine-chain kernel (interpret mode on CPU) reproduces the
+    sequential (F, Q) recurrence exactly — tighter than associative_scan."""
+    from dliom_tpu.imu import preintegration as pre
+
+    rng = np.random.default_rng(3)
+    M = 7
+    f = jnp.asarray(rng.normal(0, 0.2, (M, 15, 15)).astype(np.float32)) + jnp.eye(15)
+    q = jnp.asarray(rng.normal(0, 0.05, (M, 15, 15)).astype(np.float32))
+    q = q @ jnp.swapaxes(q, 1, 2)
+    old_force, old_interp = pre.FORCE_PALLAS_CHAIN, pre._CHAIN_INTERPRET
+    pre.FORCE_PALLAS_CHAIN, pre._CHAIN_INTERPRET = True, True
+    try:
+        fp, qp = pre._pallas_affine_chain(f, q)
+    finally:
+        pre.FORCE_PALLAS_CHAIN, pre._CHAIN_INTERPRET = old_force, old_interp
+    A = jnp.eye(15)
+    P = jnp.zeros((15, 15))
+    for i in range(M):
+        A = f[i] @ A
+        P = f[i] @ P @ f[i].T + q[i]
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(A), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(P), rtol=1e-5, atol=1e-6)
