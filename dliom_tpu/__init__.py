@@ -24,3 +24,12 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# The reference solves in float64 (Ceres/GTSAM). Every matmul in this engine
+# is SMALL dense algebra (15x15 preintegration blocks, 90-var window GN,
+# 6-col matcher Jacobians, CG products) — latency-bound, so full-f32 MXU
+# passes cost nothing measurable, while default (bf16-input) passes cost
+# real solver precision. Grids/gathers/scatters are unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
