@@ -331,9 +331,34 @@ class PoseGraph:
                 max_iterations=loop_cfg.max_num_iterations,
             )
 
+        # Batched variants: all sampled nodes of a from-submap match one
+        # target submap in a single dispatch (the pyramid/grids broadcast;
+        # node clouds/initials stack on a leading axis). One jit call per
+        # (from, to) pair instead of one per (node, to) pair.
+        @functools.partial(jax.jit, static_argnames=("min_score",))
+        def match_batch_fn(
+            pyr, g_lo, hp, hm, lp, lm, initial, hist, submap_hist, yaw0,
+            min_score,
+        ):
+            return jax.vmap(
+                lambda a, b, c, d, e, f, g: fc.match(
+                    pyr, hi, g_lo, lo, a, b, c, d, e, f,
+                    submap_hist, g, fc_cfg, min_score,
+                    num_angles=1, use_rotational_gate=False, beam_width=160,
+                )
+            )(hp, hm, lp, lm, initial, hist, yaw0)
+
+        @jax.jit
+        def refine_batch_fn(initial, g_hi, g_lo, hp, hm, lp, lm):
+            return jax.vmap(
+                lambda i, a, b, c, d: refine_fn(i, g_hi, g_lo, a, b, c, d)
+            )(initial, hp, hm, lp, lm)
+
         self._jit_cache["decompress"] = decompress_and_pyramid
         self._jit_cache["match"] = match_fn
         self._jit_cache["refine"] = refine_fn
+        self._jit_cache["match_batch"] = match_batch_fn
+        self._jit_cache["refine_batch"] = refine_batch_fn
         return match_fn, refine_fn
 
     def _compute_constraints_for_submap(self, from_id: int) -> int:
@@ -353,13 +378,17 @@ class PoseGraph:
         for to_id in image_proposals:
             if to_id not in candidates:
                 candidates.append(to_id)
+        match_batch = self._jit_cache["match_batch"]
+        refine_batch = self._jit_cache["refine_batch"]
         for to_id in candidates:
             to_sub = self.submaps[to_id]
+            node_ids = [n for n in sampled if not self._has_constraint(to_id, n)]
+            if not node_ids:
+                continue
             g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
             submap_hist = jnp.asarray(to_sub.histogram)
-            for node_id in sampled:
-                if self._has_constraint(to_id, node_id):
-                    continue
+            initials = []
+            for node_id in node_ids:
                 node = self.nodes[node_id]
                 if to_id in image_proposals:
                     # initial from the 2D image proposal (ComputeConstraint's
@@ -367,44 +396,65 @@ class PoseGraph:
                     node_in_from = from_sub.local_pose.inverse().compose(
                         node.local_pose
                     )
-                    initial = proposal_to_initial_guess(
+                    initials.append(proposal_to_initial_guess(
                         image_proposals[to_id], to_sub.global_pose,
                         from_sub.global_pose, node_in_from,
-                    )
+                    ))
                 else:
                     # initial from the current global estimates
-                    initial = self._initial_guess(to_sub, node)
-                if self._metrics:
+                    initials.append(self._initial_guess(to_sub, node))
+            if self._metrics:
+                for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
-                res = match_fn(
-                    pyr, g_lo, node.high_points, node.high_mask,
-                    node.low_points, node.low_mask, initial,
-                    node.histogram, submap_hist,
-                    jnp.float32(float(quat_yaw(initial.rotation))),
-                    min_score=float(self.cfg.constraint_builder.min_score),
-                )
-                if not bool(res.found):
-                    continue
-                refined = refine_fn(
-                    res.pose, g_hi, g_lo, node.high_points, node.high_mask,
-                    node.low_points, node.low_mask,
-                )
+            nodes = [self.nodes[n] for n in node_ids]
+            stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
+            initial_b = jax.tree.map(lambda *xs: jnp.stack(xs), *initials)
+            res = match_batch(
+                pyr, g_lo,
+                stack([n.high_points for n in nodes]),
+                stack([n.high_mask for n in nodes]),
+                stack([n.low_points for n in nodes]),
+                stack([n.low_mask for n in nodes]),
+                initial_b,
+                stack([n.histogram for n in nodes]),
+                submap_hist,
+                jnp.asarray(
+                    [float(quat_yaw(i.rotation)) for i in initials], jnp.float32
+                ),
+                min_score=float(self.cfg.constraint_builder.min_score),
+            )
+            found = np.asarray(res.found)
+            if not found.any():
+                continue
+            idx = np.flatnonzero(found)
+            refined = refine_batch(
+                jax.tree.map(lambda x: x[jnp.asarray(idx)], res.pose),
+                g_hi, g_lo,
+                stack([nodes[i].high_points for i in idx]),
+                stack([nodes[i].high_mask for i in idx]),
+                stack([nodes[i].low_points for i in idx]),
+                stack([nodes[i].low_mask for i in idx]),
+            )
+            scores = np.asarray(res.score)
+            for j, i in enumerate(idx):
                 with self._mutex:
                     self.constraints.append(
                         Constraint(
                             submap_id=to_id,
-                            node_id=node_id,
-                            relative=jax.tree.map(np.asarray, refined.pose),
+                            node_id=node_ids[i],
+                            relative=jax.tree.map(
+                                lambda x: np.asarray(x[j]), refined.pose
+                            ),
                             translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
                             rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
                             tag="INTER",
-                            score=float(res.score),
+                            score=float(scores[i]),
                         )
                     )
                 if self._metrics:
                     self._metrics["constraints_found"].add().increment()
                     self._metrics["constraint_scores"].add().observe(
-                        float(res.score)
+                        float(scores[i])
                     )
                 added += 1
         if self._metrics:
