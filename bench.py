@@ -63,6 +63,7 @@ def build_config():
                     "use_brick_grid": True,
                     "brick_dir_extent": 160,  # ±64 m at 0.1 m
                     "brick_max_bricks": 65536,
+                    "brick_apply_groups": 1024,
                     "high_resolution_extent": 448,  # backend capture crop
                     "low_resolution_extent": 128,
                 },

@@ -80,6 +80,10 @@ class SubmapsConfig:
     use_brick_grid: bool = False
     brick_dir_extent: int = 160  # bricks/axis; 160*8*0.1m = ±64 m at 0.1 m
     brick_max_bricks: int = 65536
+    # > 0 routes brick insertion through the grouped Pallas apply kernel
+    # (per-insert touched-group capacity); 0 = XLA sort/scatter path.
+    brick_apply_groups: int = 0
+    brick_apply_group_bricks: int = 32  # bricks per kernel group (pow2)
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,13 @@ class BrickGridSpec(NamedTuple):
     resolution: float
     dir_extent: int  # bricks per axis in the directory
     max_bricks: int  # pool capacity per slot
+    # > 0 routes insertion through the grouped Pallas apply kernel
+    # (ops/pallas_apply.py): per-insert capacity of touched pool groups.
+    # 0 keeps the XLA sort+gather+scatter path.
+    apply_groups: int = 0
+    # bricks per kernel group (power of two; 32 -> 16 KiB blocks measured
+    # fastest on v5e). max_bricks must be divisible by it.
+    apply_group_bricks: int = 32
 
     @property
     def extent(self) -> int:
@@ -242,7 +249,12 @@ def _insert_brick_slots(
     slot_base = jax.lax.cummax(jnp.where(slot_first, g_excl, 0))
     rank_in_slot = g_excl - slot_base
     new_slot = bank.counts[s_slot] + rank_in_slot
-    alloc_ok = needs & (new_slot < spec.max_bricks)
+    # the grouped-apply path reserves the pool's last group as the parking
+    # row for unused kernel steps, so it must never be allocated
+    brick_cap = spec.max_bricks - (
+        spec.apply_group_bricks if spec.apply_groups > 0 else 0
+    )
+    alloc_ok = needs & (new_slot < brick_cap)
     head_slot = jnp.where(needs, jnp.where(alloc_ok, new_slot, -1), cur_slot)
     # propagate the head's brick slot to all records of the group
     head_pos = jax.lax.cummax(
@@ -267,6 +279,37 @@ def _insert_brick_slots(
         num_segments=s_count + 1,
     )[:s_count]
 
+    writable = s_valid & (brick_slot >= 0)
+    if spec.apply_groups > 0:
+        # Grouped Pallas apply (ops/pallas_apply.py): re-key records by pool
+        # row group; "update once, hits first" emerges from the kernel's
+        # count encoding, so no per-cell dedup pass is needed here.
+        from dliom_tpu.ops.pallas_apply import apply_grouped_updates, pack_keys
+
+        gb = int(spec.apply_group_bricks)
+        assert gb & (gb - 1) == 0 and spec.max_bricks % gb == 0
+        cpg = gb * BRICK_CELLS
+        global_slot = s_slot * spec.max_bricks + jnp.clip(
+            brick_slot, 0, spec.max_bricks - 1
+        )
+        group = global_slot // gb
+        cell = ((global_slot % gb) << 9) | s_off
+        keys = pack_keys(group, cell, 1 - s_miss, writable, cpg)
+        keys = jax.lax.sort(keys)
+        pool = apply_grouped_updates(
+            bank.pool,
+            keys,
+            num_groups=int(spec.apply_groups),
+            cells_per_group=cpg,
+            hit_odds=hit_odds,
+            miss_odds=miss_odds,
+            dummy_group=(s_count * spec.max_bricks) // gb - 1,
+        )
+        return BrickBank(
+            directory=directory, pool=pool, counts=counts,
+            brick_of_slot=brick_of_slot,
+        )
+
     # update-once with hit priority: within a brick group, records sorted by
     # (offset, kind) — the first record per (brick, offset) decides.
     cell_head = jnp.concatenate(
@@ -275,7 +318,6 @@ def _insert_brick_slots(
     cpos = jax.lax.cummax(jnp.where(cell_head, jnp.arange(m, dtype=jnp.int32), 0))
     head_is_miss = s_miss[cpos]
 
-    writable = s_valid & (brick_slot >= 0)
     addr = (
         s_slot * spec.num_pool_cells
         + jnp.clip(brick_slot, 0, spec.max_bricks - 1) * BRICK_CELLS

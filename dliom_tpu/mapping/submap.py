@@ -81,6 +81,8 @@ def brick_spec(cfg: SubmapsConfig) -> BrickGridSpec:
         resolution=cfg.high_resolution,
         dir_extent=cfg.brick_dir_extent,
         max_bricks=cfg.brick_max_bricks,
+        apply_groups=cfg.brick_apply_groups,
+        apply_group_bricks=cfg.brick_apply_group_bricks,
     )
 
 

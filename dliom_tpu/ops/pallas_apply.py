@@ -1,0 +1,215 @@
+"""Grouped grid-update Pallas kernel — the TPU scatter replacement.
+
+The reference's `RangeDataInserter3D` (range_data_inserter_3d.cc:78-92)
+updates each touched cell at most once per insert, hits beating misses.
+XLA's element-wise gather/scatter on TPU serializes at ~30-60 ns/element
+(measured), which made grid insertion the single largest cost of the LIO
+step. This module replaces it with a row-granular design:
+
+  * the grid bank is viewed as row *groups* of `cells_per_group` int16
+    cells (e.g. 32 consecutive 8^3 bricks of the pool = 16384 cells);
+  * update records are packed as one sorted int32 key
+    `(group << cell_bits) | (cell_in_group << 1) | is_hit` so each group's
+    records form a contiguous slice;
+  * a Pallas kernel walks one touched group per grid step: the group's
+    block is DMA'd HBM->VMEM by the pipeline (PrefetchScalarGridSpec index
+    map), and per-cell hit/miss decisions are computed WITHOUT any scatter
+    via an encoded one-hot matmul on the MXU:
+
+        count[cell] = n_miss[cell] + 1024 * n_hit[cell]
+                    = sum_rec onehot_hi(rec) (x) onehot_lo(rec) * w(rec)
+
+    with cell = hi*128 + lo factored so the count lands directly in the
+    block's (cells/128, 128) shape. `count >= 1024` -> at least one hit
+    record (hit update), `count >= 1` -> any record (miss update), else
+    keep — exactly the "update once, hits first" rule (the kUpdateMarker
+    analog): duplicate records collapse into the same decision, so no
+    per-cell dedup pass is needed at all.
+
+Records per group are consumed in 128-wide slices by a dynamic-trip-count
+`fori_loop`, so per-group work is proportional to its record count (no
+static per-group record cap).
+
+Capacity model: at most `num_groups` distinct groups are applied per insert
+(the touched-group working set of one scan); overflow groups are dropped
+WHOLE (mirroring the brick pool's drop-on-full policy). The caller must
+reserve one never-allocated `dummy_group` in the bank — unused grid steps
+park there (trailing, identical index: no pipeline hazard).
+
+Measured on TPU v5e (49k records, ~16k-brick working set): 16384-cell
+groups at 1024-group capacity apply in ~1.0 ms vs ~3.3 ms for the XLA
+sorted gather+scatter equivalent — and the sort/dedup prep shrinks too.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dliom_tpu.mapping import probability as pv
+
+_SENTINEL = jnp.int32(2**31 - 1)
+_HIT_WEIGHT = 1024.0  # counts-encoding factor; n_miss per cell must stay below
+
+
+def _interpret() -> bool:
+    """Mosaic only compiles for TPU; fall back to interpreter otherwise.
+    `jax_default_device` wins over the registered backend — the test suite
+    pins computations to a virtual CPU mesh while a TPU plugin is loaded."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", str(dd)) != "tpu"
+    return jax.default_backend() != "tpu"
+
+
+def cell_bits(cells_per_group: int) -> int:
+    """Bits used for (cell_in_group << 1 | is_hit) in the packed key."""
+    assert cells_per_group & (cells_per_group - 1) == 0
+    return cells_per_group.bit_length()  # log2 + 1
+
+
+def pack_keys(group: jnp.ndarray, cell: jnp.ndarray, is_hit: jnp.ndarray,
+              valid: jnp.ndarray, cells_per_group: int) -> jnp.ndarray:
+    """Pack records into the sortable key. Requires
+    group < 2**(31 - cell_bits)."""
+    cb = cell_bits(cells_per_group)
+    key = (group << cb) | (cell << 1) | is_hit.astype(jnp.int32)
+    return jnp.where(valid, key, _SENTINEL)
+
+
+def build_group_tables(sorted_keys: jnp.ndarray, num_groups: int,
+                       dummy_group: int, cells_per_group: int):
+    """From the SORTED packed keys, build the kernel's prefetch tables.
+
+    Returns (rows, starts, ends): rows (B,) group index per grid step
+    (dummy_group for unused steps), starts/ends (B,) record ranges. A group
+    whose rank exceeds the capacity is dropped entirely (never half-applied:
+    its range is simply absent). Group ranks come from a cumsum, so they are
+    gapless — `ends[r]` is just `starts[r+1]`, with `n_valid` as the default
+    (simultaneously the end of the last real group and the empty range for
+    unused steps)."""
+    cb = cell_bits(cells_per_group)
+    m = sorted_keys.shape[0]
+    group_of = sorted_keys >> cb
+    valid = sorted_keys != _SENTINEL
+    pos = jnp.arange(m, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones(1, bool), group_of[1:] != group_of[:-1]]
+    )
+    vhead = head & valid
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    rank = jnp.cumsum(vhead.astype(jnp.int32)) - vhead.astype(jnp.int32)
+    tgt_r = jnp.where(vhead & (rank < num_groups), rank, num_groups)
+    rows = jnp.full(num_groups, dummy_group, jnp.int32).at[tgt_r].set(
+        jnp.where(vhead, group_of, dummy_group), mode="drop")
+    # bounds[r] = start of group r; bounds[B] = end of the last kept group —
+    # written by the FIRST overflow head (rank == B, unique), so records of
+    # dropped groups never leak into group B-1's range.
+    tgt_b = jnp.where(vhead & (rank <= num_groups), rank, num_groups + 1)
+    bounds = jnp.full(num_groups + 1, n_valid, jnp.int32).at[tgt_b].set(
+        jnp.where(vhead, pos, 0), mode="drop")
+    return rows, bounds[:num_groups], bounds[1:]
+
+
+def _make_kernel(hit_odds: float, miss_odds: float, cells_per_group: int):
+    """Block layout is (1, cells/128, 128): cell = hi*128 + lo factors the
+    one-hot as (recs, cells/128) x (recs, 128), landing the count matmul
+    directly in the block's shape (the kernel is VPU-bound on the one-hot
+    build, so the narrow factorization matters)."""
+    sub = cells_per_group // 128
+
+    def kernel(rows_ref, starts_ref, ends_ref, keys_ref, pool_blk, out_blk):
+        i = pl.program_id(0)
+        s = starts_ref[i]
+        e = ends_ref[i]
+        trips = (e - s + 127) >> 7
+
+        def trip(t, cnt):
+            w0 = s + (t << 7)
+            r0 = w0 >> 7
+            keys = keys_ref[pl.ds(r0, 2), :]  # (2, 128) window covering w0..w0+128
+            gidx = (
+                (r0 << 7)
+                + jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+            )
+            valid = (gidx >= w0) & (gidx < jnp.minimum(w0 + 128, e))
+            cell = (keys >> 1) & (cells_per_group - 1)
+            is_hit = (keys & 1) == 1
+            hi = cell >> 7
+            lo = cell & 127
+            w = jnp.where(is_hit, _HIT_WEIGHT, 1.0) * valid.astype(jnp.float32)
+            cmp_hi = jax.lax.broadcasted_iota(jnp.int32, (2, 128, sub), 2)
+            cmp_lo = jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2)
+            # f32 one-hots: Mosaic rejects bf16 matmul operands here ("Bad
+            # lhs type"), and exact integer counts are required anyway
+            oh_hi = (hi[:, :, None] == cmp_hi).astype(jnp.float32) * w[:, :, None]
+            oh_lo = (lo[:, :, None] == cmp_lo).astype(jnp.float32)
+            return cnt + jax.lax.dot_general(
+                oh_hi.reshape(256, sub), oh_lo.reshape(256, 128),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        cnt = jax.lax.fori_loop(0, trips, trip, jnp.zeros((sub, 128), jnp.float32))
+        cur = pool_blk[0].astype(jnp.int32)
+        hit_m = cnt >= _HIT_WEIGHT
+        any_m = cnt >= 1.0
+        upd_hit = pv.apply_odds(cur, hit_odds)
+        upd_miss = pv.apply_odds(cur, miss_odds)
+        new = jnp.where(hit_m, upd_hit, jnp.where(any_m, upd_miss, cur))
+        out_blk[0] = new.astype(pool_blk.dtype)
+
+    return kernel
+
+
+def apply_grouped_updates(
+    pool_flat: jnp.ndarray,  # (G * cells_per_group,) int16 bank
+    sorted_keys: jnp.ndarray,  # (M,) int32, sorted, sentinel-padded
+    *,
+    num_groups: int,
+    cells_per_group: int,
+    hit_odds: float,
+    miss_odds: float,
+    dummy_group: int,
+) -> jnp.ndarray:
+    """Apply one insert's update records to the bank. `dummy_group` must be a
+    group that real updates never touch (unused steps park there)."""
+    sub = cells_per_group // 128
+    g_total = pool_flat.shape[0] // cells_per_group
+    assert pool_flat.shape[0] == g_total * cells_per_group
+    assert g_total << cell_bits(cells_per_group) < 2**31, "group id overflow"
+    rows, starts, ends = build_group_tables(
+        sorted_keys, num_groups, dummy_group, cells_per_group)
+
+    m = sorted_keys.shape[0]
+    mrows = -(-m // 128)
+    keys2 = jnp.full(((mrows + 1) * 128,), _SENTINEL, jnp.int32)
+    keys2 = jax.lax.dynamic_update_slice(keys2, sorted_keys, (0,))
+    keys2 = keys2.reshape(mrows + 1, 128)
+
+    pool3 = pool_flat.reshape(g_total, sub, 128)
+    out = pl.pallas_call(
+        _make_kernel(float(hit_odds), float(miss_odds), cells_per_group),
+        out_shape=jax.ShapeDtypeStruct(pool3.shape, pool3.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # rows, starts, ends
+            grid=(num_groups,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # keys
+                pl.BlockSpec(
+                    (1, sub, 128),
+                    lambda i, rows, starts, ends: (rows[i], 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, sub, 128),
+                lambda i, rows, starts, ends: (rows[i], 0, 0),
+            ),
+        ),
+        input_output_aliases={4: 0},
+        interpret=_interpret(),
+    )(rows, starts, ends, keys2, pool3)
+    return out.reshape(-1)

@@ -1,0 +1,68 @@
+"""Equivalence of the grouped Pallas apply path with the XLA sort/scatter
+insert (mapping/brick_grid.py): identical pool contents, directory,
+allocation counts, and reverse map for the same inserted scans — including
+duplicate-record hit-over-miss priority (range_data_inserter_3d.cc:86-91)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dliom_tpu.mapping.brick_grid import (
+    BrickGridSpec,
+    _insert_brick_slots,
+    make_brick_bank,
+)
+
+
+def _insert(spec, bank, origins, hits, masks):
+    return _insert_brick_slots(
+        bank, origins, hits, masks, spec=spec,
+        hit_probability=0.55, miss_probability=0.49, num_free_space_voxels=2,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_apply_matches_xla_insert(seed):
+    base = dict(resolution=0.1, dir_extent=16, max_bricks=768)
+    spec_x = BrickGridSpec(**base, apply_groups=0)
+    spec_p = BrickGridSpec(**base, apply_groups=128)
+
+    rng = np.random.default_rng(seed)
+    n = 512
+    # cluster points so cells collide (duplicate records, mixed hit/miss)
+    hits = rng.normal(0, 1.5, (2, n, 3)).astype(np.float32)
+    hits[:, : n // 4] = hits[:, n // 4 : n // 2]  # exact duplicates
+    masks = rng.random((2, n)) < 0.9
+    origins = rng.normal(0, 0.3, (2, 3)).astype(np.float32)
+
+    bank_x = make_brick_bank(spec_x)
+    bank_p = make_brick_bank(spec_p)
+    for _ in range(3):
+        bank_x = _insert(spec_x, bank_x, jnp.asarray(origins),
+                         jnp.asarray(hits), jnp.asarray(masks))
+        bank_p = _insert(spec_p, bank_p, jnp.asarray(origins),
+                         jnp.asarray(hits), jnp.asarray(masks))
+
+    np.testing.assert_array_equal(np.asarray(bank_x.counts), np.asarray(bank_p.counts))
+    np.testing.assert_array_equal(
+        np.asarray(bank_x.directory), np.asarray(bank_p.directory))
+    np.testing.assert_array_equal(np.asarray(bank_x.pool), np.asarray(bank_p.pool))
+    np.testing.assert_array_equal(
+        np.asarray(bank_x.brick_of_slot), np.asarray(bank_p.brick_of_slot))
+    assert int(np.asarray(bank_p.counts).sum()) > 0
+
+
+def test_group_overflow_drops_whole_groups():
+    """With a tiny group capacity, overflowing groups must be dropped whole —
+    no neighbor-group records may leak into the last kept group's range."""
+    base = dict(resolution=0.1, dir_extent=16, max_bricks=256)
+    spec_p = BrickGridSpec(**base, apply_groups=2)
+    rng = np.random.default_rng(2)
+    hits = rng.normal(0, 3.0, (2, 256, 3)).astype(np.float32)
+    masks = np.ones((2, 256), bool)
+    origins = np.zeros((2, 3), np.float32)
+    bank = _insert(spec_p, make_brick_bank(spec_p), jnp.asarray(origins),
+                   jnp.asarray(hits), jnp.asarray(masks))
+    pool = np.asarray(bank.pool).reshape(-1, spec_p.apply_group_bricks * 512)
+    touched = (pool != 0).any(axis=1)
+    assert touched.sum() <= 2  # at most `apply_groups` groups written
