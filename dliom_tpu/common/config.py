@@ -84,6 +84,10 @@ class SubmapsConfig:
     # (per-insert touched-group capacity); 0 = XLA sort/scatter path.
     brick_apply_groups: int = 0
     brick_apply_group_bricks: int = 32  # bricks per kernel group (pow2)
+    # > 0 routes DENSE grid insertion (low-res, and high-res when not using
+    # the brick grid) through the grouped Pallas apply kernel; banks then
+    # carry one 16384-cell padding group. 0 = XLA sort/scatter path.
+    dense_apply_groups: int = 0
 
 
 @dataclass(frozen=True)

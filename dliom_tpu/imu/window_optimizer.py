@@ -244,19 +244,28 @@ def _prior_residual(state: WindowState):
 
 
 def _all_residuals(state: WindowState, cfg: ImuConfig, gravity: float):
+    """All factor residuals, flattened. Per-key factors are evaluated as ONE
+    vmapped batch each (not a Python loop): the window GN is latency-bound
+    on TPU, so op count — not FLOPs — sets its cost."""
     w = state.window
-    parts = [_prior_residual(state)]
     active = jnp.arange(w) < state.num_keys
     bias_sigmas = (cfg.acc_bias_noise, cfg.gyr_bias_noise)
-    for i in range(1, w):
-        r = _imu_residual(state, i, gravity, bias_sigmas)
-        parts.append(jnp.where(active[i], r, 0.0))
-    for i in range(w):
-        r = _pose_prior_residual(state, i, cfg)
-        parts.append(jnp.where(active[i], r, 0.0))
-        rg = _gravity_residual(state, i, cfg)
-        parts.append(jnp.where(active[i], rg, 0.0))
-    return jnp.concatenate(parts)
+    r_imu = jax.vmap(
+        lambda i: _imu_residual(state, i, gravity, bias_sigmas)
+    )(jnp.arange(1, w))
+    r_imu = jnp.where(active[1:, None], r_imu, 0.0)
+    r_pose = jax.vmap(lambda i: _pose_prior_residual(state, i, cfg))(
+        jnp.arange(w)
+    )
+    r_pose = jnp.where(active[:, None], r_pose, 0.0)
+    r_grav = jax.vmap(lambda i: _gravity_residual(state, i, cfg))(
+        jnp.arange(w)
+    )
+    r_grav = jnp.where(active[:, None], r_grav, 0.0)
+    return jnp.concatenate(
+        [_prior_residual(state), r_imu.reshape(-1), r_pose.reshape(-1),
+         r_grav.reshape(-1)]
+    )
 
 
 def optimize(

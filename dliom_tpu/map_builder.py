@@ -374,7 +374,12 @@ class MapBuilder:
             # the finishing submap's grids are intact until the next step
             slot = finished % 2
             submaps = self._lio.frontend.submaps
-            lo_c = submaps.low_values.shape[0] // 2
+            # spec-derived slot size: grouped-apply banks carry a padding
+            # group at the end, so shape[0] // 2 would be wrong there
+            from dliom_tpu.mapping.submap import grid_specs as _gs
+
+            hi_spec_c, lo_spec_c = _gs(self.tb.submaps)
+            lo_c = lo_spec_c.num_cells
             if self.tb.submaps.use_brick_grid:
                 # compress on-device straight from the brick pool
                 if "compress_brick" not in self._jit_aux:
@@ -389,7 +394,7 @@ class MapBuilder:
                     )
                 high = self._jit_aux["compress_brick"](submaps.high_brick, slot)
             else:
-                hi_c = submaps.high_values.shape[0] // 2
+                hi_c = hi_spec_c.num_cells
                 high = submaps.high_values[slot * hi_c : (slot + 1) * hi_c]
             grids = (
                 high,

@@ -37,6 +37,11 @@ class GridSpec:
 
     resolution: float
     extent: int  # cells per axis; grid covers [-extent/2, extent/2)
+    # > 0 routes insertion through the grouped Pallas apply kernel
+    # (ops/pallas_apply.py) with this touched-group capacity; the bank then
+    # carries one extra 16384-cell padding group at its end (the kernel's
+    # parking row). 0 keeps the XLA sort+gather+scatter path.
+    apply_groups: int = 0
 
     @property
     def num_cells(self) -> int:

@@ -71,8 +71,15 @@ class ActiveSubmaps(NamedTuple):
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
     return (
-        GridSpec(cfg.high_resolution, cfg.high_resolution_extent),
-        GridSpec(cfg.low_resolution, cfg.low_resolution_extent),
+        GridSpec(
+            cfg.high_resolution,
+            cfg.high_resolution_extent,
+            # the brick path handles high-res insertion; its dense spec is
+            # only the backend capture crop (no insert -> no padding)
+            0 if cfg.use_brick_grid else cfg.dense_apply_groups,
+        ),
+        GridSpec(cfg.low_resolution, cfg.low_resolution_extent,
+                 cfg.dense_apply_groups),
     )
 
 
@@ -89,16 +96,22 @@ def brick_spec(cfg: SubmapsConfig) -> BrickGridSpec:
 def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
     """Initial state: one submap at identity (ActiveSubmaps3D ctor,
     submap_3d.cc:286-295)."""
+    from dliom_tpu.ops.pallas_apply import dense_bank_size
+
     hi, lo = grid_specs(cfg)
     q = jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0)
     return ActiveSubmaps(
         high_values=(
             jnp.zeros(0, GRID_DTYPE)
             if cfg.use_brick_grid
-            else jnp.zeros(2 * hi.num_cells, GRID_DTYPE)
+            else jnp.zeros(
+                dense_bank_size(hi.num_cells, 2, hi.apply_groups), GRID_DTYPE
+            )
         ),
         high_brick=make_brick_bank(brick_spec(cfg)) if cfg.use_brick_grid else None,
-        low_values=jnp.zeros(2 * lo.num_cells, GRID_DTYPE),
+        low_values=jnp.zeros(
+            dense_bank_size(lo.num_cells, 2, lo.apply_groups), GRID_DTYPE
+        ),
         pose_rotation=q,
         pose_translation=jnp.zeros((2, 3), jnp.float32),
         num_range_data=jnp.zeros(2, jnp.int32),
@@ -293,7 +306,8 @@ def apply_pending_spawn(
                 s.high_values
                 if (cfg.use_brick_grid or defer_bank_clears)
                 else jnp.where(
-                    (jnp.arange(2 * hi.num_cells) // hi.num_cells) == new_slot,
+                    (jnp.arange(s.high_values.shape[0]) // hi.num_cells)
+                    == new_slot,
                     jnp.zeros((), GRID_DTYPE),
                     s.high_values,
                 )
@@ -307,7 +321,8 @@ def apply_pending_spawn(
                 s.low_values
                 if defer_bank_clears
                 else jnp.where(
-                    (jnp.arange(2 * lo.num_cells) // lo.num_cells) == new_slot,
+                    (jnp.arange(s.low_values.shape[0]) // lo.num_cells)
+                    == new_slot,
                     jnp.zeros((), GRID_DTYPE),
                     s.low_values,
                 )

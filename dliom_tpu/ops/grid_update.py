@@ -158,7 +158,16 @@ def _insert_slots(
     res = spec.resolution
     s_count = hits.shape[0]
     num_flat = s_count * spec.num_cells
-    assert values.shape[0] == num_flat, (values.shape, s_count, spec.num_cells)
+    use_pallas = spec.apply_groups > 0
+    if use_pallas:
+        from dliom_tpu.ops.pallas_apply import DENSE_CELLS_PER_GROUP
+
+        assert num_flat % DENSE_CELLS_PER_GROUP == 0, (
+            "extent^3 not group-divisible; disable apply_groups")
+        assert values.shape[0] == num_flat + DENSE_CELLS_PER_GROUP, (
+            "grouped-apply banks carry one padding group (make_grid_bank)")
+    else:
+        assert values.shape[0] == num_flat, (values.shape, s_count, spec.num_cells)
     # two-key sort below keeps keys in int32: slot-qualified index < 2^31
     assert num_flat < 2**31 - 1, "flat bank exceeds int32 indexing"
 
@@ -184,6 +193,32 @@ def _insert_slots(
         misses.append(jnp.ones(hits.shape[0] * hits.shape[1], jnp.int32))
     all_lin = jnp.concatenate(lins)
     is_miss = jnp.concatenate(misses)
+
+    if use_pallas:
+        # Grouped Pallas apply: update-once-with-hit-priority emerges from
+        # the kernel's count encoding — one sort, no dedup pass, no
+        # per-element gather/scatter (see ops/pallas_apply.py).
+        from dliom_tpu.ops.pallas_apply import (
+            DENSE_CELLS_PER_GROUP,
+            apply_grouped_updates,
+            pack_keys,
+        )
+
+        valid = all_lin < num_flat
+        group = all_lin // DENSE_CELLS_PER_GROUP
+        cell = all_lin % DENSE_CELLS_PER_GROUP
+        keys = jax.lax.sort(
+            pack_keys(group, cell, 1 - is_miss, valid, DENSE_CELLS_PER_GROUP)
+        )
+        return apply_grouped_updates(
+            values,
+            keys,
+            num_groups=int(spec.apply_groups),
+            cells_per_group=DENSE_CELLS_PER_GROUP,
+            hit_odds=hit_odds,
+            miss_odds=miss_odds,
+            dummy_group=values.shape[0] // DENSE_CELLS_PER_GROUP - 1,
+        )
 
     # lexicographic (cell, kind) sort: hits first within a cell group.
     # Pack into ONE int32 key when the range fits (sorting one operand

@@ -55,6 +55,22 @@ from dliom_tpu.mapping import probability as pv
 _SENTINEL = jnp.int32(2**31 - 1)
 _HIT_WEIGHT = 1024.0  # counts-encoding factor; n_miss per cell must stay below
 
+# Group size for DENSE banks (16 KiB int16 blocks measured fastest on v5e).
+# Dense banks on the grouped path carry ONE extra group of padding at their
+# end: the kernel's parking row for unused grid steps.
+DENSE_CELLS_PER_GROUP = 16384
+
+
+def dense_bank_size(num_cells: int, num_slots: int, apply_groups: int) -> int:
+    """Flat dense-bank length for `num_slots` slots; includes the padding
+    group when the grouped-apply path is active."""
+    n = num_slots * num_cells
+    if apply_groups > 0:
+        assert n % DENSE_CELLS_PER_GROUP == 0, (
+            "extent^3 * slots must divide the group size for grouped apply")
+        n += DENSE_CELLS_PER_GROUP
+    return n
+
 
 def _interpret() -> bool:
     """Mosaic only compiles for TPU; fall back to interpreter otherwise.

@@ -144,7 +144,7 @@ def match(
         computes the primal once (the expensive grid gathers); each tangent
         evaluation is pure arithmetic on the stored corner values."""
         r, jvp = jax.linearize(lambda d: residual_at(d, pose), zero)
-        jac = jnp.stack([jvp(eye[i]) for i in range(ndelta)], axis=1)
+        jac = jax.vmap(jvp, in_axes=0, out_axes=1)(eye)
         return r, jac
 
     # Levenberg-Marquardt with a Ceres-style trust region: damping is

@@ -32,6 +32,7 @@ from dliom_tpu.frontend.local_trajectory_builder import (
 from dliom_tpu.imu import preintegration as pre
 from dliom_tpu.mapping.brick_grid import BrickBank
 from dliom_tpu.mapping.grid import GRID_DTYPE
+from dliom_tpu.ops.pallas_apply import dense_bank_size
 from dliom_tpu.mapping.submap import (
     InsertionBatch,
     brick_spec,
@@ -87,11 +88,17 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
         high_values = jnp.zeros(0, GRID_DTYPE)
     else:
         brick = None
-        high_values = jnp.zeros(2 * batch * hi.num_cells, GRID_DTYPE)
+        high_values = jnp.zeros(
+            dense_bank_size(hi.num_cells, 2 * batch, hi.apply_groups),
+            GRID_DTYPE,
+        )
     sm = sm._replace(
         high_values=high_values,
         high_brick=brick,
-        low_values=jnp.zeros(2 * batch * lo.num_cells, GRID_DTYPE),
+        low_values=jnp.zeros(
+            dense_bank_size(lo.num_cells, 2 * batch, lo.apply_groups),
+            GRID_DTYPE,
+        ),
         lane=jnp.arange(batch, dtype=jnp.int32),
     )
     return state._replace(frontend=state.frontend._replace(submaps=sm))

@@ -52,6 +52,39 @@ def test_pallas_apply_matches_xla_insert(seed):
     assert int(np.asarray(bank_p.counts).sum()) > 0
 
 
+def test_dense_grouped_apply_matches_xla_insert():
+    """The dense-bank grouped path (ops/grid_update.py) must reproduce the
+    XLA path exactly; the padded bank's tail group must stay untouched."""
+    from dliom_tpu.mapping.grid import GridSpec
+    from dliom_tpu.ops.grid_update import _insert_slots
+    from dliom_tpu.ops.pallas_apply import DENSE_CELLS_PER_GROUP
+
+    spec_x = GridSpec(resolution=0.5, extent=32, apply_groups=0)
+    spec_p = GridSpec(resolution=0.5, extent=32, apply_groups=8)
+    rng = np.random.default_rng(3)
+    n = 512
+    hits = rng.normal(0, 4.0, (2, n, 3)).astype(np.float32)
+    hits[:, : n // 4] = hits[:, n // 4 : n // 2]
+    masks = rng.random((2, n)) < 0.9
+    origins = rng.normal(0, 0.5, (2, 3)).astype(np.float32)
+
+    vx = jnp.zeros(2 * spec_x.num_cells, jnp.int16)
+    vp = jnp.zeros(2 * spec_p.num_cells + DENSE_CELLS_PER_GROUP, jnp.int16)
+    for _ in range(3):
+        vx = _insert_slots(vx, jnp.asarray(origins), jnp.asarray(hits),
+                           jnp.asarray(masks), spec=spec_x,
+                           hit_probability=0.55, miss_probability=0.49,
+                           num_free_space_voxels=2)
+        vp = _insert_slots(vp, jnp.asarray(origins), jnp.asarray(hits),
+                           jnp.asarray(masks), spec=spec_p,
+                           hit_probability=0.55, miss_probability=0.49,
+                           num_free_space_voxels=2)
+    vp = np.asarray(vp)
+    np.testing.assert_array_equal(np.asarray(vx), vp[: 2 * spec_x.num_cells])
+    assert (vp[2 * spec_x.num_cells :] == 0).all()  # padding untouched
+    assert (vp != 0).sum() > 0
+
+
 def test_group_overflow_drops_whole_groups():
     """With a tiny group capacity, overflowing groups must be dropped whole —
     no neighbor-group records may leak into the last kept group's range."""
