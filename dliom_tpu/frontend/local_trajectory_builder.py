@@ -43,7 +43,13 @@ from dliom_tpu.mapping.submap import (
     slot_pose,
 )
 from dliom_tpu.ops.scan_matcher import match
-from dliom_tpu.ops.voxel_filter import adaptive_voxel_filter, truncate_cloud, voxel_filter
+from dliom_tpu.ops.voxel_filter import (
+    FilteredCloud,
+    adaptive_voxel_filter,
+    truncate_cloud,
+    voxel_filter,
+    voxel_filter_mask,
+)
 from dliom_tpu.ops.rotational_histogram import compute_histogram
 from dliom_tpu.transform.rigid import Rigid3, quat_slerp
 
@@ -121,9 +127,12 @@ def step(
     prediction = prev_pose.compose(scan.relative_prediction)
 
     # 1. Voxel filter at half size on the raw scan (AddRangeData:393).
-    half = voxel_filter(
-        scan.points, scan.times, scan.mask, 0.5 * cfg.voxel_filter_size
+    # Mask-only: downstream steps (deskew, range clip, full-size filter)
+    # all operate under masking, so the compaction scatters are skipped.
+    half_keep = voxel_filter_mask(
+        scan.points, scan.mask, 0.5 * cfg.voxel_filter_size
     )
+    half = FilteredCloud(scan.points, scan.times, half_keep)
 
     # 2. Deskew: per-hit pose = prev_pose * slerp(s, relative_prediction),
     #    s = (T + t_i)/T with t_i <= 0 (:430-446).

@@ -29,6 +29,20 @@ SLICE_HEIGHT = 0.2
 _NUM_SLICES = 1024  # z in [-102.4, 102.4) m
 
 
+def _segment_sum_mm(ids: jnp.ndarray, num_segments: int,
+                    values: jnp.ndarray) -> jnp.ndarray:
+    """Segment sum as a one-hot matmul: TPU scatter-add serializes per
+    element (~30-60 ns each), while an (N, S) one-hot contraction rides the
+    MXU in one pass. ids out of [0, num_segments) contribute nothing."""
+    oh = (
+        ids[:, None] == jnp.arange(num_segments, dtype=ids.dtype)[None, :]
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        oh, values.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def compute_histogram(
     points: jnp.ndarray, mask: jnp.ndarray, num_buckets: int = 120
 ) -> jnp.ndarray:
@@ -38,14 +52,14 @@ def compute_histogram(
     slice_id = jnp.clip(z_slice + _NUM_SLICES // 2, 0, _NUM_SLICES - 1)
     seg = jnp.where(mask, slice_id, _NUM_SLICES)
 
-    # Per-slice centroid.
+    # Per-slice centroid (sum and count in one matmul pass).
     ones = mask.astype(jnp.float32)
-    sums = jax.ops.segment_sum(
-        points * ones[:, None], seg, num_segments=_NUM_SLICES + 1
+    sums4 = _segment_sum_mm(
+        seg, _NUM_SLICES,
+        jnp.concatenate([points * ones[:, None], ones[:, None]], axis=1),
     )
-    counts = jax.ops.segment_sum(ones, seg, num_segments=_NUM_SLICES + 1)
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
-    centroid = centroids[jnp.clip(seg, 0, _NUM_SLICES)]
+    centroids = sums4[:, :3] / jnp.maximum(sums4[:, 3], 1.0)[:, None]
+    centroid = centroids[jnp.clip(seg, 0, _NUM_SLICES - 1)]
 
     offs = points[:, :2] - centroid[:, :2]
     far_enough = jnp.linalg.norm(offs, axis=-1) >= MIN_DISTANCE
@@ -89,9 +103,9 @@ def compute_histogram(
         num_buckets - 1,
     )
     bucket = jnp.where(keep, bucket, num_buckets)
-    return jax.ops.segment_sum(
-        jnp.where(keep, value, 0.0), bucket, num_segments=num_buckets + 1
-    )[:num_buckets]
+    return _segment_sum_mm(
+        bucket, num_buckets, jnp.where(keep, value, 0.0)[:, None]
+    )[:, 0]
 
 
 def rotate_histogram(histogram: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:

@@ -66,13 +66,15 @@ def _compact(points, times, mask, keep) -> FilteredCloud:
     return FilteredCloud(out_p, out_t, out_m)
 
 
-def voxel_filter(
-    points: jnp.ndarray,
-    times: jnp.ndarray,
-    mask: jnp.ndarray,
-    edge_length: float,
-) -> FilteredCloud:
-    """Plain voxel filter at a fixed edge length. One sort."""
+def voxel_filter_mask(
+    points: jnp.ndarray, mask: jnp.ndarray, edge_length: float
+) -> jnp.ndarray:
+    """Keep-mask (in input order) of the plain voxel filter.
+
+    For consumers that work under masking and don't need the survivors
+    compacted to the front: one sort + one bool scatter, instead of the
+    full filter's additional cumsum + point/time scatters.
+    """
     n = points.shape[0]
     cells = jnp.round(points / edge_length).astype(jnp.int32)
     c = jnp.clip(cells + _LINEAR_R // 2, 0, _LINEAR_R - 1)
@@ -81,7 +83,17 @@ def voxel_filter(
     idx = jnp.arange(n, dtype=jnp.int32)
     s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
     keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
-    keep = jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
+    return jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
+
+
+def voxel_filter(
+    points: jnp.ndarray,
+    times: jnp.ndarray,
+    mask: jnp.ndarray,
+    edge_length: float,
+) -> FilteredCloud:
+    """Plain voxel filter at a fixed edge length. One sort."""
+    keep = voxel_filter_mask(points, mask, edge_length)
     return _compact(points, times, mask, keep)
 
 
