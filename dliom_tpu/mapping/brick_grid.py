@@ -273,11 +273,16 @@ def _insert_brick_slots(
     brick_of_slot = bank.brick_of_slot.at[bos_idx].set(
         jnp.where(alloc_ok, s_dir - s_slot * spec.num_dir_cells, 0), mode="drop"
     )
-    counts = bank.counts + jax.ops.segment_sum(
-        (needs & alloc_ok).astype(jnp.int32),
-        jnp.where(needs & alloc_ok, s_slot, s_count),
-        num_segments=s_count + 1,
-    )[:s_count]
+    # per-slot allocation counts: a (M, S) one-hot column reduce — TPU
+    # scatter-add serializes per element, a masked reduce is one vector pass
+    alloc_flag = needs & alloc_ok
+    counts = bank.counts + jnp.sum(
+        (
+            (s_slot[:, None] == jnp.arange(s_count, dtype=jnp.int32)[None, :])
+            & alloc_flag[:, None]
+        ).astype(jnp.int32),
+        axis=0,
+    )
 
     writable = s_valid & (brick_slot >= 0)
     if spec.apply_groups > 0:

@@ -119,15 +119,36 @@ def build_group_tables(sorted_keys: jnp.ndarray, num_groups: int,
     vhead = head & valid
     n_valid = jnp.sum(valid.astype(jnp.int32))
     rank = jnp.cumsum(vhead.astype(jnp.int32)) - vhead.astype(jnp.int32)
-    tgt_r = jnp.where(vhead & (rank < num_groups), rank, num_groups)
-    rows = jnp.full(num_groups, dummy_group, jnp.int32).at[tgt_r].set(
-        jnp.where(vhead, group_of, dummy_group), mode="drop")
-    # bounds[r] = start of group r; bounds[B] = end of the last kept group —
-    # written by the FIRST overflow head (rank == B, unique), so records of
-    # dropped groups never leak into group B-1's range.
-    tgt_b = jnp.where(vhead & (rank <= num_groups), rank, num_groups + 1)
-    bounds = jnp.full(num_groups + 1, n_valid, jnp.int32).at[tgt_b].set(
-        jnp.where(vhead, pos, 0), mode="drop")
+    # Ranks are unique per head, so "the head with rank r" is a selection,
+    # expressible as a one-hot matmul instead of two M-index scatters (TPU
+    # scatter serializes per index; the MXU contraction is one pass).
+    # Channels: [group id, start pos, presence]; group ids and positions are
+    # < 2^24, exact in f32. bounds[B] comes from the FIRST overflow head
+    # (rank == B, unique), so records of dropped groups never leak into
+    # group B-1's range; heads with rank > B match no column.
+    tgt = jnp.where(vhead, rank, jnp.int32(num_groups + 1))
+    oh = (
+        tgt[:, None] == jnp.arange(num_groups + 1, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    vals = jnp.stack(
+        [
+            group_of.astype(jnp.float32),
+            pos.astype(jnp.float32),
+            jnp.ones((m,), jnp.float32),
+        ],
+        axis=1,
+    )
+    agg = jax.lax.dot_general(
+        oh, vals, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (num_groups + 1, 3)
+    present = agg[:, 2] > 0.0
+    rows = jnp.where(
+        present[:num_groups],
+        agg[:num_groups, 0].astype(jnp.int32),
+        jnp.int32(dummy_group),
+    )
+    bounds = jnp.where(present, agg[:, 1].astype(jnp.int32), n_valid)
     return rows, bounds[:num_groups], bounds[1:]
 
 

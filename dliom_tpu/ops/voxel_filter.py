@@ -54,16 +54,30 @@ def _first_of_sorted_group(codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarra
     return new & valid
 
 
+def _unsort(s_idx: jnp.ndarray, s_vals: jnp.ndarray) -> jnp.ndarray:
+    """Restore `s_vals` (int32) to input order given the permutation `s_idx`.
+    A key-sort is ~4x faster than the equivalent random scatter on TPU."""
+    _, vals = jax.lax.sort([s_idx, s_vals], num_keys=1)
+    return vals
+
+
 def _compact(points, times, mask, keep) -> FilteredCloud:
+    """Compact survivors to the front (input order preserved). One payload
+    sort by (dropped, index) — TPU sorts are ~4x faster than the two random
+    scatters of the cumsum-destination formulation."""
     n = points.shape[0]
     keep = keep & mask
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, dest, n)  # dropped -> out of bounds
-    out_p = jnp.zeros_like(points).at[dest].set(points, mode="drop", unique_indices=True)
-    out_t = jnp.zeros_like(times).at[dest].set(times, mode="drop", unique_indices=True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(keep, idx, jnp.int32(n) + idx)
+    _, out_x, out_y, out_z, out_t = jax.lax.sort(
+        [key, points[:, 0], points[:, 1], points[:, 2], times], num_keys=1
+    )
     count = jnp.sum(keep.astype(jnp.int32))
-    out_m = jnp.arange(n) < count
-    return FilteredCloud(out_p, out_t, out_m)
+    out_m = idx < count
+    out_p = jnp.where(
+        out_m[:, None], jnp.stack([out_x, out_y, out_z], axis=1), 0.0
+    )
+    return FilteredCloud(out_p, jnp.where(out_m, out_t, 0.0), out_m)
 
 
 def voxel_filter_mask(
@@ -83,7 +97,7 @@ def voxel_filter_mask(
     idx = jnp.arange(n, dtype=jnp.int32)
     s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
     keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
-    return jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
+    return _unsort(s_idx, keep_sorted.astype(jnp.int32)).astype(bool)
 
 
 def voxel_filter(
@@ -148,7 +162,7 @@ def adaptive_voxel_filter(
     # Sparse-enough input bypasses filtering (voxel_filter.cc:39-42).
     keep_sorted = jnp.where(n_valid <= min_num_points, s_valid, keep_sorted)
 
-    keep = jnp.zeros(n, bool).at[s_idx].set(keep_sorted, unique_indices=True)
+    keep = _unsort(s_idx, keep_sorted.astype(jnp.int32)).astype(bool)
     out = _compact(points, times, in_range, keep)
     if out_capacity is not None and out_capacity != n:
         out = truncate_cloud(out, out_capacity)
