@@ -300,7 +300,7 @@ def optimize(
         delta = jnp.clip(delta, -1.0, 1.0)
         return _states_apply_delta(s, delta), None
 
-    state, _ = jax.lax.scan(gn_iter, state, None, length=iterations)
+    state, _ = jax.lax.scan(gn_iter, state, None, length=iterations, unroll=True)
     return state
 
 

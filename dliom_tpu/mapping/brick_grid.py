@@ -240,27 +240,46 @@ def _insert_brick_slots(
     # slot-ordered, so rank-within-slot = global exclusive prefix of `needs`
     # minus the prefix value at the slot's first record (propagated by
     # cummax — the prefix is nondecreasing).
+    #
+    # Every record of a group shares the same s_dir, so the gathered
+    # directory value (cur_slot) is identical group-wide — only NEW slots
+    # need propagation from the head, and those follow per record from the
+    # `needs` cumsum: for any record of an unallocated group, the group
+    # head's exclusive prefix is cumsum(needs)-1 (the head is the group's
+    # first record, so it is already counted at every record of the group).
+    # This replaces the head_slot[cummax(head positions)] forward-fill — an
+    # M-element random gather that serialized at ~7 ns/element.
     brick_head = jnp.concatenate([jnp.ones(1, bool), s_dir[1:] != s_dir[:-1]]) & s_valid
     cur_slot = bank.directory[jnp.clip(s_dir, 0, num_dir_flat - 1)]
     needs = brick_head & (cur_slot < 0)
     needs_i = needs.astype(jnp.int32)
-    g_excl = jnp.cumsum(needs_i) - needs_i
+    incl = jnp.cumsum(needs_i)
     slot_first = jnp.concatenate([jnp.ones(1, bool), s_slot[1:] != s_slot[:-1]])
-    slot_base = jax.lax.cummax(jnp.where(slot_first, g_excl, 0))
-    rank_in_slot = g_excl - slot_base
-    new_slot = bank.counts[s_slot] + rank_in_slot
+    slot_base = jax.lax.cummax(jnp.where(slot_first, incl - needs_i, 0))
+    rank_in_slot = (incl - 1) - slot_base
+    # counts[s_slot] as a small-table select (S is 2, or 2B batched)
+    counts_sel = jnp.sum(
+        jnp.where(
+            s_slot[:, None] == jnp.arange(s_count, dtype=jnp.int32)[None, :],
+            bank.counts[None, :],
+            0,
+        ),
+        axis=1,
+    )
+    new_slot = counts_sel + rank_in_slot
     # the grouped-apply path reserves the pool's last group as the parking
     # row for unused kernel steps, so it must never be allocated
     brick_cap = spec.max_bricks - (
         spec.apply_group_bricks if spec.apply_groups > 0 else 0
     )
-    alloc_ok = needs & (new_slot < brick_cap)
-    head_slot = jnp.where(needs, jnp.where(alloc_ok, new_slot, -1), cur_slot)
-    # propagate the head's brick slot to all records of the group
-    head_pos = jax.lax.cummax(
-        jnp.where(brick_head, jnp.arange(m, dtype=jnp.int32), 0)
+    unalloc = s_valid & (cur_slot < 0)
+    fits = new_slot < brick_cap
+    brick_slot = jnp.where(
+        s_valid & (cur_slot >= 0),
+        cur_slot,
+        jnp.where(unalloc & fits, new_slot, -1),
     )
-    brick_slot = head_slot[head_pos]
+    alloc_ok = needs & fits
 
     # write new directory entries (sorted, unique heads) + the reverse map
     dir_write = jnp.where(alloc_ok, s_dir, num_dir_flat)

@@ -65,21 +65,33 @@ def compute_histogram(
     far_enough = jnp.linalg.norm(offs, axis=-1) >= MIN_DISTANCE
     angle_about_centroid = jnp.arctan2(offs[:, 1], offs[:, 0])
 
-    # Sort by (slice, angle); invalid/too-close points go last.
+    # Sort by (slice, angle); invalid/too-close points go last. One payload
+    # sort carrying the xy columns directly (the only coordinates the pair
+    # math needs) — gathering rows by the sorted order serializes per
+    # element on TPU, the payload sort does not.
     valid = mask & far_enough
     big = jnp.float32(1e9)
     sort_slice = jnp.where(valid, seg, _NUM_SLICES + 1)
-    order = jnp.lexsort(
-        (jnp.where(valid, angle_about_centroid, big), sort_slice)
+    ang_key = jnp.where(valid, angle_about_centroid, big)
+    sseg, _, spx, spy, scx, scy, svalid_i = jax.lax.sort(
+        [
+            sort_slice,
+            ang_key,
+            points[:, 0],
+            points[:, 1],
+            centroid[:, 0],
+            centroid[:, 1],
+            valid.astype(jnp.int32),
+        ],
+        num_keys=2,
     )
-    sp = points[order]
-    sc = centroid[order]
-    sseg = sort_slice[order]
-    svalid = valid[order]
+    svalid = svalid_i.astype(bool)
+    sp = jnp.stack([spx, spy], axis=-1)
+    sc = jnp.stack([scx, scy], axis=-1)
 
     # Consecutive pairs within a slice.
-    delta = sp[1:, :2] - sp[:-1, :2]
-    direction = sp[1:, :2] - sc[1:, :2]
+    delta = sp[1:] - sp[:-1]
+    direction = sp[1:] - sc[1:]
     dist = jnp.linalg.norm(delta, axis=-1)
     dirn = jnp.linalg.norm(direction, axis=-1)
     same_slice = (sseg[1:] == sseg[:-1]) & svalid[1:] & svalid[:-1]

@@ -204,7 +204,9 @@ def match(
         initial_pose,
         initial_cost,
     )
+    # unroll: the trip count is small and static; the rolled loop costs
+    # ~30 us/iteration of pure while-op overhead on TPU
     (_, _, _, _, _, _, pose, final_cost), _ = jax.lax.scan(
-        lm_step, carry0, None, length=max_iterations
+        lm_step, carry0, None, length=max_iterations, unroll=True
     )
     return ScanMatcherResult(pose=pose, cost=final_cost, initial_cost=initial_cost)
