@@ -7,20 +7,24 @@ grows to ±8192 cells, so a 0.1 m submap covers the full
 TPU grid at that range would need gigabytes; pointer chasing is hostile to
 vector hardware.
 
-TPU formulation: two flat levels.
-  * directory: dense (dir_extent^3,) int32 per slot — brick coordinate ->
-    pool slot (or -1). Covers ±dir_extent*brick/2 cells.
-  * pool: (max_bricks * brick^3,) int16 per slot — allocated bricks' cells.
-Cell address = directory[brick_lin] * brick^3 + offset. Allocation happens
-INSIDE the insertion kernel: records sort by (brick, offset), brick group
-heads needing a slot get consecutive ids via a cumsum off the running
-counter — one pass, no host round-trip, compile-time fixed shapes. A full
-pool drops further new bricks (records fall out via index clamping) — the
-analog of HybridGrid's unbounded growth is a sized pool, chosen so a submap
-never fills it in practice.
+TPU formulation: two flat levels with GROUP-granular allocation.
+  * directory: dense (2^(3*morton_bits) / alloc_bricks,) int32 per slot —
+    Morton-coded brick *group* (a 4x4x2-brick spatial chunk for the default
+    32-brick groups) -> pool group (or -1). Covers ±dir_extent*brick/2
+    cells.
+  * pool: (max_bricks * brick^3,) int16 per slot — allocated groups' cells.
+Cell address = directory[morton(brick)/G] * (G*brick^3) + in-group offset.
 
-Spawn resets only the slot's directory + counter (the pool's stale cells
-become unreachable), so recycling a slot writes ~MBs, not the pool.
+Allocating whole spatially-compact groups (instead of single 8^3 bricks)
+means the per-record work of an insert never touches the directory: records
+sort by (group, cell), the kernel's per-step group tables (ops/
+pallas_apply.py) are built by one-hot matmuls, and the directory
+gather/alloc/scatter runs at GRID-STEP granularity (~1k elements) instead
+of per record (~49k serialized gather+2 scatters — measured ~850 us/scan).
+The cost is memory slack: a touched group allocates all 32 bricks
+(~4.5x waste measured on scan data) — pool capacity is sized accordingly.
+A full pool drops new groups whole. Spawn resets only the slot's directory
++ counter (the pool's stale cells become unreachable).
 
 Banks are FLAT 1D per array with slot offsets — scatters into reshaped or
 sliced views of donated buffers copy the whole bank (see mapping/grid.py).
@@ -46,13 +50,13 @@ class BrickGridSpec(NamedTuple):
 
     resolution: float
     dir_extent: int  # bricks per axis in the directory
-    max_bricks: int  # pool capacity per slot
+    max_bricks: int  # pool capacity per slot (in bricks)
     # > 0 routes insertion through the grouped Pallas apply kernel
     # (ops/pallas_apply.py): per-insert capacity of touched pool groups.
     # 0 keeps the XLA sort+gather+scatter path.
     apply_groups: int = 0
-    # bricks per kernel group (power of two; 32 -> 16 KiB blocks measured
-    # fastest on v5e). max_bricks must be divisible by it.
+    # bricks per allocation/kernel group (power of two; 32 -> 16 KiB blocks
+    # measured fastest on v5e). max_bricks must be divisible by it.
     apply_group_bricks: int = 32
 
     @property
@@ -65,8 +69,30 @@ class BrickGridSpec(NamedTuple):
         return self.extent // 2
 
     @property
-    def num_dir_cells(self) -> int:
-        return self.dir_extent**3
+    def morton_bits(self) -> int:
+        """Bits per axis of the brick Morton code (dir_extent padded up)."""
+        return max(1, int(self.dir_extent - 1).bit_length())
+
+    @property
+    def alloc_bricks(self) -> int:
+        """Bricks per allocation group (= kernel group when Pallas is on)."""
+        g = min(self.apply_group_bricks, self.max_bricks)
+        assert g & (g - 1) == 0 and self.max_bricks % g == 0
+        assert self.apply_groups == 0 or g == self.apply_group_bricks
+        return g
+
+    @property
+    def cells_per_group(self) -> int:
+        return self.alloc_bricks * BRICK_CELLS
+
+    @property
+    def num_dir_groups(self) -> int:
+        """Directory entries per slot (dense over padded Morton space)."""
+        return (1 << (3 * self.morton_bits)) // self.alloc_bricks
+
+    @property
+    def num_pool_groups(self) -> int:
+        return self.max_bricks // self.alloc_bricks
 
     @property
     def num_pool_cells(self) -> int:
@@ -80,44 +106,88 @@ class BrickGridSpec(NamedTuple):
 class BrickBank(NamedTuple):
     """Two-slot active-submap bank (all arrays flat, slot-offset indexed)."""
 
-    directory: jnp.ndarray  # (2 * num_dir_cells,) int32, -1 = unallocated
+    directory: jnp.ndarray  # (2 * num_dir_groups,) int32, -1 = unallocated
     pool: jnp.ndarray  # (2 * num_pool_cells,) int16
-    counts: jnp.ndarray  # (2,) int32 allocated bricks per slot
-    brick_of_slot: jnp.ndarray  # (2 * max_bricks,) int32 reverse map -> dir_lin
+    counts: jnp.ndarray  # (2,) int32 allocated groups per slot
+    group_of_slot: jnp.ndarray  # (2 * num_pool_groups,) int32 pool group -> dir group
 
 
 def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
     return BrickBank(
-        directory=jnp.full(2 * spec.num_dir_cells, -1, jnp.int32),
+        directory=jnp.full(2 * spec.num_dir_groups, -1, jnp.int32),
         pool=jnp.zeros(2 * spec.num_pool_cells, GRID_DTYPE),
         counts=jnp.zeros(2, jnp.int32),
-        brick_of_slot=jnp.zeros(2 * spec.max_bricks, jnp.int32),
+        group_of_slot=jnp.zeros(2 * spec.num_pool_groups, jnp.int32),
+    )
+
+
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits of x with two zero bits between each (ops/morton.py)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _compact1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _part1by2."""
+    x = x & 0x9249249
+    x = (x | (x >> 2)) & 0x30C30C3
+    x = (x | (x >> 4)) & 0x300F00F
+    x = (x | (x >> 8)) & 0x30000FF
+    x = (x | (x >> 16)) & 0x3FF
+    return x
+
+
+def _morton_brick(brick: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned brick coords (..., 3) -> Morton code. Low bits interleave
+    x,y,z, so code//32 chunks are compact 4x4x2-brick spatial blocks."""
+    return (
+        _part1by2(brick[..., 0])
+        | (_part1by2(brick[..., 1]) << 1)
+        | (_part1by2(brick[..., 2]) << 2)
+    )
+
+
+def _demorton_brick(code: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
+        [_compact1by2(code), _compact1by2(code >> 1), _compact1by2(code >> 2)],
+        axis=-1,
     )
 
 
 def _split_cells(cells: jnp.ndarray, spec: BrickGridSpec):
-    """Signed cell coords (..., 3) -> (dir_lin, offset_lin, in_bounds)."""
+    """Signed cell coords (..., 3) -> (dir_group, cell_in_group, in_bounds)."""
     shifted = cells + spec.half
     ok = jnp.all((shifted >= 0) & (shifted < spec.extent), axis=-1)
     shifted = jnp.clip(shifted, 0, spec.extent - 1)
     brick = shifted // BRICK
     off = shifted - brick * BRICK
-    dir_lin = (brick[..., 0] * spec.dir_extent + brick[..., 1]) * spec.dir_extent + brick[..., 2]
+    mcode = _morton_brick(brick)
     off_lin = (off[..., 0] * BRICK + off[..., 1]) * BRICK + off[..., 2]
-    return dir_lin, off_lin, ok
+    ab = spec.alloc_bricks
+    group = mcode // ab
+    cig = (mcode % ab) * BRICK_CELLS + off_lin
+    return group, cig, ok
 
 
 def lookup_value_brick(
     bank: BrickBank, cells: jnp.ndarray, spec: BrickGridSpec, slot
 ) -> jnp.ndarray:
     """Cell value at signed cell indices; 0 (unknown) when out of range or in
-    an unallocated brick. Two chained gathers (directory then pool)."""
-    dir_lin, off_lin, ok = _split_cells(cells, spec)
-    dir_base = slot * spec.num_dir_cells
-    brick_slot = bank.directory[dir_base + dir_lin]
-    has = ok & (brick_slot >= 0)
+    an unallocated group. Two chained gathers (directory then pool)."""
+    group, cig, ok = _split_cells(cells, spec)
+    dir_base = slot * spec.num_dir_groups
+    pg = bank.directory[dir_base + group]
+    has = ok & (pg >= 0)
     pool_base = slot * spec.num_pool_cells
-    addr = pool_base + jnp.clip(brick_slot, 0, spec.max_bricks - 1) * BRICK_CELLS + off_lin
+    addr = (
+        pool_base
+        + jnp.clip(pg, 0, spec.num_pool_groups - 1) * spec.cells_per_group
+        + cig
+    )
     v = bank.pool[addr].astype(jnp.int32)
     return jnp.where(has, v, 0)
 
@@ -149,7 +219,7 @@ def reset_slot(bank: BrickBank, spec: BrickGridSpec, slot) -> BrickBank:
     ~tens-of-MB HBM write, ~0.1 ms."""
     # elementwise masked clears, not dynamic_update_slice: under vmap the
     # latter lowers to a scatter on a (B, ·) operand (whole-bank copy)
-    in_dir = (jnp.arange(bank.directory.shape[0]) // spec.num_dir_cells) == slot
+    in_dir = (jnp.arange(bank.directory.shape[0]) // spec.num_dir_groups) == slot
     directory = jnp.where(in_dir, jnp.int32(-1), bank.directory)
     in_pool = (jnp.arange(bank.pool.shape[0]) // spec.num_pool_cells) == slot
     pool = jnp.where(in_pool, jnp.zeros((), GRID_DTYPE), bank.pool)
@@ -157,7 +227,7 @@ def reset_slot(bank: BrickBank, spec: BrickGridSpec, slot) -> BrickBank:
         directory=directory,
         pool=pool,
         counts=bank.counts.at[slot].set(0),
-        brick_of_slot=bank.brick_of_slot,  # stale entries map zeroed cells
+        group_of_slot=bank.group_of_slot,  # stale entries map zeroed cells
     )
 
 
@@ -194,158 +264,170 @@ def _insert_brick_slots(
     num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (2, N)
 
     def records(cells, valid):
-        dir_lin, off_lin, ok = _split_cells(cells, spec)
-        return dir_lin, off_lin, valid & ok
+        group, cig, ok = _split_cells(cells, spec)
+        return group, cig, valid & ok
 
-    d_all, o_all, v_all, m_all = [], [], [], []
-    dl, ol, vv = records(hit_cells, masks)
-    d_all.append(dl); o_all.append(ol); v_all.append(vv)
-    m_all.append(jnp.zeros_like(dl))
+    g_all, c_all, v_all, m_all = [], [], [], []
+    gl, cl, vv = records(hit_cells, masks)
+    g_all.append(gl); c_all.append(cl); v_all.append(vv)
+    m_all.append(jnp.zeros_like(gl))
     n = num_samples[..., None]
     safe_n = jnp.maximum(n, 1)
     for j in range(1, k + 1):
         pos = n - j
         cells = origin_cell + _trunc_div(delta * pos, safe_n)
-        dl, ol, vv = records(cells, masks & (num_samples >= j))
-        d_all.append(dl); o_all.append(ol); v_all.append(vv)
-        m_all.append(jnp.ones_like(dl))
+        gl, cl, vv = records(cells, masks & (num_samples >= j))
+        g_all.append(gl); c_all.append(cl); v_all.append(vv)
+        m_all.append(jnp.ones_like(gl))
 
     s_count = hits.shape[0]
     slot_of = jnp.broadcast_to(
         jnp.arange(s_count, dtype=jnp.int32)[:, None], hits.shape[:2]
     )
-    dir_lin = jnp.concatenate([x.reshape(-1) for x in d_all])
-    off_lin = jnp.concatenate([x.reshape(-1) for x in o_all])
+    g_lin = jnp.concatenate([x.reshape(-1) for x in g_all])
+    cig = jnp.concatenate([x.reshape(-1) for x in c_all])
     valid = jnp.concatenate([x.reshape(-1) for x in v_all])
     is_miss = jnp.concatenate([x.reshape(-1) for x in m_all])
     slot = jnp.concatenate([slot_of.reshape(-1)] * (k + 1))
-    num_dir_flat = s_count * spec.num_dir_cells
+    ndg = spec.num_dir_groups
+    npg = spec.num_pool_groups
+    cpg = spec.cells_per_group
+    ndg_flat = s_count * ndg
     num_pool_flat = s_count * spec.num_pool_cells
+    s_ar = jnp.arange(s_count, dtype=jnp.int32)
 
-    # Sort records by (slot-qualified brick, offset, kind). Offsets and kind
-    # pack into one 32-bit secondary key (offset < 512, kind 1 bit); the
-    # primary key is the directory address, so brick groups are contiguous
-    # and slot-ordered.
-    dir_addr = jnp.where(valid, slot * spec.num_dir_cells + dir_lin, num_dir_flat)
-    sec = off_lin * 2 + is_miss
-    s_dir, s_sec = jax.lax.sort([dir_addr, sec], num_keys=2)
-    s_off = s_sec >> 1
+    # ONE sort by (slot-qualified group, cell-in-group, kind). Cell and kind
+    # pack into the secondary key (cig < 16384, kind 1 bit); the primary key
+    # is the directory-group address, so groups are contiguous, slot-ordered
+    # — and the sorted secondary IS the kernel's record key.
+    gaddr = jnp.where(valid, slot * ndg + g_lin, ndg_flat)
+    sec = cig * 2 + is_miss
+    s_g, s_sec = jax.lax.sort([gaddr, sec], num_keys=2)
+    s_cig = s_sec >> 1
     s_miss = s_sec & 1
-    m = s_dir.shape[0]
-    s_valid = s_dir < num_dir_flat
-    s_slot = jnp.clip(s_dir // spec.num_dir_cells, 0, s_count - 1)
+    m = s_g.shape[0]
+    s_valid = s_g < ndg_flat
+    # the grouped-apply path reserves the pool's last group per slot as the
+    # parking row for unused kernel steps, so it must never be allocated
+    group_cap = npg - (1 if spec.apply_groups > 0 else 0)
 
-    # Brick allocation: group heads of unallocated bricks claim consecutive
-    # pool slots per submap-slot off the running counters. Records are
-    # slot-ordered, so rank-within-slot = global exclusive prefix of `needs`
-    # minus the prefix value at the slot's first record (propagated by
-    # cummax — the prefix is nondecreasing).
-    #
-    # Every record of a group shares the same s_dir, so the gathered
-    # directory value (cur_slot) is identical group-wide — only NEW slots
-    # need propagation from the head, and those follow per record from the
-    # `needs` cumsum: for any record of an unallocated group, the group
-    # head's exclusive prefix is cumsum(needs)-1 (the head is the group's
-    # first record, so it is already counted at every record of the group).
-    # This replaces the head_slot[cummax(head positions)] forward-fill — an
-    # M-element random gather that serialized at ~7 ns/element.
-    brick_head = jnp.concatenate([jnp.ones(1, bool), s_dir[1:] != s_dir[:-1]]) & s_valid
-    cur_slot = bank.directory[jnp.clip(s_dir, 0, num_dir_flat - 1)]
-    needs = brick_head & (cur_slot < 0)
+    if spec.apply_groups > 0:
+        # Fast path: allocation + directory maintenance at GRID-STEP
+        # granularity. build_group_tables (one-hot matmuls, no scatters)
+        # yields the per-step dir-group ids; gather/alloc/scatter then touch
+        # `apply_groups` elements instead of M. "Update once, hits first"
+        # emerges from the kernel's count encoding (ops/pallas_apply.py).
+        from dliom_tpu.ops.pallas_apply import (
+            apply_grouped_rows,
+            build_group_tables,
+        )
+
+        rows_dir, starts, ends = build_group_tables(
+            s_g, s_valid, int(spec.apply_groups)
+        )
+        present = rows_dir >= 0  # absent steps trail (ranks are gapless)
+        row_slot = jnp.clip(jnp.where(present, rows_dir, 0) // ndg, 0, s_count - 1)
+        cur = jnp.where(
+            present, bank.directory[jnp.clip(rows_dir, 0, ndg_flat - 1)], -1
+        )
+        needs = present & (cur < 0)
+        needs_i = needs.astype(jnp.int32)
+        incl = jnp.cumsum(needs_i)
+        row_first = jnp.concatenate(
+            [jnp.ones(1, bool), row_slot[1:] != row_slot[:-1]]
+        )
+        slot_base = jax.lax.cummax(jnp.where(row_first, incl - needs_i, 0))
+        rank = (incl - needs_i) - slot_base
+        counts_sel = jnp.sum(
+            jnp.where(row_slot[:, None] == s_ar[None, :], bank.counts[None, :], 0),
+            axis=1,
+        )
+        new_pg = counts_sel + rank
+        alloc = needs & (new_pg < group_cap)
+        pool_row = jnp.where(cur >= 0, cur, jnp.where(alloc, new_pg, -1))
+
+        directory = bank.directory.at[jnp.where(alloc, rows_dir, ndg_flat)].set(
+            jnp.where(alloc, new_pg, 0), mode="drop"
+        )
+        gos_idx = jnp.where(alloc, row_slot * npg + new_pg, s_count * npg)
+        group_of_slot = bank.group_of_slot.at[gos_idx].set(
+            jnp.where(alloc, rows_dir - row_slot * ndg, 0), mode="drop"
+        )
+        counts = bank.counts + jnp.sum(
+            ((row_slot[:, None] == s_ar[None, :]) & alloc[:, None]).astype(
+                jnp.int32
+            ),
+            axis=0,
+        )
+        dummy = s_count * npg - 1
+        rows_pool = jnp.where(pool_row >= 0, row_slot * npg + pool_row, dummy)
+        # dropped (pool-full) and absent steps: empty record ranges so their
+        # records never reach the parking row
+        ends = jnp.where(pool_row >= 0, ends, starts)
+        keys = s_sec ^ 1  # kind bit flips to the kernel's is_hit convention
+        pool = apply_grouped_rows(
+            bank.pool, rows_pool, starts, ends, keys,
+            cells_per_group=cpg, hit_odds=hit_odds, miss_odds=miss_odds,
+        )
+        return BrickBank(
+            directory=directory, pool=pool, counts=counts,
+            group_of_slot=group_of_slot,
+        )
+
+    # ---- XLA fallback (tests / CPU) — per-record translation ----
+    # Group allocation: heads of unallocated groups claim consecutive pool
+    # groups per submap-slot off the running counters. Every record of a
+    # group shares s_g, so the gathered directory value is identical
+    # group-wide; newly claimed pool groups follow per record from the
+    # `needs` cumsum (the group head is its first record, so cumsum(needs)-1
+    # is the head's exclusive prefix at every record of the group).
+    s_slot = jnp.clip(s_g // ndg, 0, s_count - 1)
+    group_head = jnp.concatenate([jnp.ones(1, bool), s_g[1:] != s_g[:-1]]) & s_valid
+    cur_pg = bank.directory[jnp.clip(s_g, 0, ndg_flat - 1)]
+    needs = group_head & (cur_pg < 0)
     needs_i = needs.astype(jnp.int32)
     incl = jnp.cumsum(needs_i)
     slot_first = jnp.concatenate([jnp.ones(1, bool), s_slot[1:] != s_slot[:-1]])
     slot_base = jax.lax.cummax(jnp.where(slot_first, incl - needs_i, 0))
-    rank_in_slot = (incl - 1) - slot_base
-    # counts[s_slot] as a small-table select (S is 2, or 2B batched)
+    rank_rec = (incl - 1) - slot_base
     counts_sel = jnp.sum(
-        jnp.where(
-            s_slot[:, None] == jnp.arange(s_count, dtype=jnp.int32)[None, :],
-            bank.counts[None, :],
-            0,
-        ),
+        jnp.where(s_slot[:, None] == s_ar[None, :], bank.counts[None, :], 0),
         axis=1,
     )
-    new_slot = counts_sel + rank_in_slot
-    # the grouped-apply path reserves the pool's last group as the parking
-    # row for unused kernel steps, so it must never be allocated
-    brick_cap = spec.max_bricks - (
-        spec.apply_group_bricks if spec.apply_groups > 0 else 0
-    )
-    unalloc = s_valid & (cur_slot < 0)
-    fits = new_slot < brick_cap
-    brick_slot = jnp.where(
-        s_valid & (cur_slot >= 0),
-        cur_slot,
-        jnp.where(unalloc & fits, new_slot, -1),
+    new_pg = counts_sel + rank_rec
+    fits = new_pg < group_cap
+    pg = jnp.where(
+        s_valid & (cur_pg >= 0),
+        cur_pg,
+        jnp.where(s_valid & (cur_pg < 0) & fits, new_pg, -1),
     )
     alloc_ok = needs & fits
 
-    # write new directory entries (sorted, unique heads) + the reverse map
-    dir_write = jnp.where(alloc_ok, s_dir, num_dir_flat)
-    directory = bank.directory.at[dir_write].set(
-        jnp.where(alloc_ok, new_slot, 0), mode="drop", indices_are_sorted=True
+    directory = bank.directory.at[jnp.where(alloc_ok, s_g, ndg_flat)].set(
+        jnp.where(alloc_ok, new_pg, 0), mode="drop"
     )
-    bos_idx = jnp.where(
-        alloc_ok, s_slot * spec.max_bricks + new_slot, s_count * spec.max_bricks
+    gos_idx = jnp.where(alloc_ok, s_slot * npg + new_pg, s_count * npg)
+    group_of_slot = bank.group_of_slot.at[gos_idx].set(
+        jnp.where(alloc_ok, s_g - s_slot * ndg, 0), mode="drop"
     )
-    brick_of_slot = bank.brick_of_slot.at[bos_idx].set(
-        jnp.where(alloc_ok, s_dir - s_slot * spec.num_dir_cells, 0), mode="drop"
-    )
-    # per-slot allocation counts: a (M, S) one-hot column reduce — TPU
-    # scatter-add serializes per element, a masked reduce is one vector pass
-    alloc_flag = needs & alloc_ok
     counts = bank.counts + jnp.sum(
-        (
-            (s_slot[:, None] == jnp.arange(s_count, dtype=jnp.int32)[None, :])
-            & alloc_flag[:, None]
-        ).astype(jnp.int32),
+        ((s_slot[:, None] == s_ar[None, :]) & alloc_ok[:, None]).astype(jnp.int32),
         axis=0,
     )
 
-    writable = s_valid & (brick_slot >= 0)
-    if spec.apply_groups > 0:
-        # Grouped Pallas apply (ops/pallas_apply.py): re-key records by pool
-        # row group; "update once, hits first" emerges from the kernel's
-        # count encoding, so no per-cell dedup pass is needed here.
-        from dliom_tpu.ops.pallas_apply import apply_grouped_updates, pack_keys
-
-        gb = int(spec.apply_group_bricks)
-        assert gb & (gb - 1) == 0 and spec.max_bricks % gb == 0
-        cpg = gb * BRICK_CELLS
-        global_slot = s_slot * spec.max_bricks + jnp.clip(
-            brick_slot, 0, spec.max_bricks - 1
-        )
-        group = global_slot // gb
-        cell = ((global_slot % gb) << 9) | s_off
-        keys = pack_keys(group, cell, 1 - s_miss, writable, cpg)
-        keys = jax.lax.sort(keys)
-        pool = apply_grouped_updates(
-            bank.pool,
-            keys,
-            num_groups=int(spec.apply_groups),
-            cells_per_group=cpg,
-            hit_odds=hit_odds,
-            miss_odds=miss_odds,
-            dummy_group=(s_count * spec.max_bricks) // gb - 1,
-        )
-        return BrickBank(
-            directory=directory, pool=pool, counts=counts,
-            brick_of_slot=brick_of_slot,
-        )
-
-    # update-once with hit priority: within a brick group, records sorted by
-    # (offset, kind) — the first record per (brick, offset) decides.
+    # update-once with hit priority: records sorted by (group, cell, kind) —
+    # the first record per (group, cell) decides.
+    writable = s_valid & (pg >= 0)
     cell_head = jnp.concatenate(
-        [jnp.ones(1, bool), (s_off[1:] != s_off[:-1]) | brick_head[1:]]
+        [jnp.ones(1, bool), (s_cig[1:] != s_cig[:-1]) | group_head[1:]]
     )
     cpos = jax.lax.cummax(jnp.where(cell_head, jnp.arange(m, dtype=jnp.int32), 0))
     head_is_miss = s_miss[cpos]
 
     addr = (
         s_slot * spec.num_pool_cells
-        + jnp.clip(brick_slot, 0, spec.max_bricks - 1) * BRICK_CELLS
-        + s_off
+        + jnp.clip(pg, 0, npg - 1) * cpg
+        + s_cig
     )
     gather_addr = jnp.where(writable, addr, 0)
     current = bank.pool[gather_addr].astype(jnp.int32)
@@ -357,7 +439,7 @@ def _insert_brick_slots(
     scatter_addr = jnp.where(writable, addr, num_pool_flat)
     pool = bank.pool.at[scatter_addr].set(updated.astype(GRID_DTYPE), mode="drop")
     return BrickBank(
-        directory=directory, pool=pool, counts=counts, brick_of_slot=brick_of_slot
+        directory=directory, pool=pool, counts=counts, group_of_slot=group_of_slot
     )
 
 
@@ -368,8 +450,8 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
     Integer-valued op, no AD required."""
 
     @jax.custom_batching.custom_vmap
-    def f(directory, pool, counts, brick_of_slot, origins, hits, masks):
-        bank = BrickBank(directory, pool, counts, brick_of_slot)
+    def f(directory, pool, counts, group_of_slot, origins, hits, masks):
+        bank = BrickBank(directory, pool, counts, group_of_slot)
         out = _insert_brick_slots(
             bank, origins, hits, masks, spec=spec,
             hit_probability=hp, miss_probability=mp, num_free_space_voxels=k,
@@ -381,13 +463,13 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        directory, pool, counts, brick_of_slot, origins, hits, masks = (
+        directory, pool, counts, group_of_slot, origins, hits, masks = (
             bc(x, b) for x, b in zip(args, in_batched)
         )
         s = hits.shape[1]
         bank = BrickBank(
             directory.reshape(-1), pool.reshape(-1), counts.reshape(-1),
-            brick_of_slot.reshape(-1),
+            group_of_slot.reshape(-1),
         )
         out = _insert_brick_slots(
             bank,
@@ -420,7 +502,7 @@ def insert_range_data_brick_dual(
     out = _brick_with_batch_rule(
         spec, float(hit_probability), float(miss_probability),
         int(num_free_space_voxels),
-    )(bank.directory, bank.pool, bank.counts, bank.brick_of_slot,
+    )(bank.directory, bank.pool, bank.counts, bank.group_of_slot,
       origins, hits, masks)
     return BrickBank(*out)
 
@@ -433,7 +515,7 @@ def compress_brick(bank: BrickBank, spec: BrickGridSpec, slot, dense_spec, capac
     reference's fully sparse HybridGrid::ToProto is documented here).
 
     One top_k over the slot's pool region + coordinate reconstruction via
-    the brick_of_slot reverse map."""
+    the group_of_slot reverse map + Morton decode."""
     from dliom_tpu.backend.compression import CompressedGrid
     from dliom_tpu.mapping.grid import linear_index
 
@@ -441,19 +523,19 @@ def compress_brick(bank: BrickBank, spec: BrickGridSpec, slot, dense_spec, capac
         bank.pool, (slot * spec.num_pool_cells,), (spec.num_pool_cells,)
     ).astype(jnp.int32)
     top_vals, top_addr = jax.lax.top_k(pool, capacity)
-    brick_slot = top_addr // BRICK_CELLS
-    off = top_addr % BRICK_CELLS
-    dir_lin = bank.brick_of_slot[slot * spec.max_bricks + brick_slot]
-    de = spec.dir_extent
-    brick = jnp.stack(
-        [dir_lin // (de * de), (dir_lin // de) % de, dir_lin % de], axis=-1
-    )
+    cpg = spec.cells_per_group
+    pg = top_addr // cpg
+    within = top_addr % cpg
+    dgroup = bank.group_of_slot[slot * spec.num_pool_groups + pg]
+    mcode = dgroup * spec.alloc_bricks + within // BRICK_CELLS
+    off = within % BRICK_CELLS
+    brick = _demorton_brick(mcode)
     offs = jnp.stack(
         [off // (BRICK * BRICK), (off // BRICK) % BRICK, off % BRICK], axis=-1
     )
     cells = brick * BRICK + offs - spec.half  # signed cell coords
     lin, ok = linear_index(cells, dense_spec)
-    valid = (top_vals > 0) & ok & (brick_slot < bank.counts[slot])
+    valid = (top_vals > 0) & ok & (pg < bank.counts[slot])
     count = jnp.sum(valid.astype(jnp.int32))
     key = jnp.where(valid, lin, dense_spec.num_cells)
     order = jnp.argsort(key)

@@ -97,21 +97,18 @@ def pack_keys(group: jnp.ndarray, cell: jnp.ndarray, is_hit: jnp.ndarray,
     return jnp.where(valid, key, _SENTINEL)
 
 
-def build_group_tables(sorted_keys: jnp.ndarray, num_groups: int,
-                       dummy_group: int, cells_per_group: int):
-    """From the SORTED packed keys, build the kernel's prefetch tables.
+def build_group_tables(group_of: jnp.ndarray, valid: jnp.ndarray,
+                       num_groups: int):
+    """From SORTED per-record group ids, build the kernel's prefetch tables.
 
-    Returns (rows, starts, ends): rows (B,) group index per grid step
-    (dummy_group for unused steps), starts/ends (B,) record ranges. A group
-    whose rank exceeds the capacity is dropped entirely (never half-applied:
-    its range is simply absent). Group ranks come from a cumsum, so they are
-    gapless — `ends[r]` is just `starts[r+1]`, with `n_valid` as the default
-    (simultaneously the end of the last real group and the empty range for
-    unused steps)."""
-    cb = cell_bits(cells_per_group)
-    m = sorted_keys.shape[0]
-    group_of = sorted_keys >> cb
-    valid = sorted_keys != _SENTINEL
+    Returns (rows, starts, ends): rows (B,) group id per grid step (-1 for
+    unused steps — callers map those to their parking group), starts/ends
+    (B,) record ranges. A group whose rank exceeds the capacity is dropped
+    entirely (never half-applied: its range is simply absent). Group ranks
+    come from a cumsum, so they are gapless — `ends[r]` is just
+    `starts[r+1]`, with `n_valid` as the default (simultaneously the end of
+    the last real group and the empty range for unused steps)."""
+    m = group_of.shape[0]
     pos = jnp.arange(m, dtype=jnp.int32)
     head = jnp.concatenate(
         [jnp.ones(1, bool), group_of[1:] != group_of[:-1]]
@@ -146,7 +143,7 @@ def build_group_tables(sorted_keys: jnp.ndarray, num_groups: int,
     rows = jnp.where(
         present[:num_groups],
         agg[:num_groups, 0].astype(jnp.int32),
-        jnp.int32(dummy_group),
+        jnp.int32(-1),
     )
     bounds = jnp.where(present, agg[:, 1].astype(jnp.int32), n_valid)
     return rows, bounds[:num_groups], bounds[1:]
@@ -212,15 +209,39 @@ def apply_grouped_updates(
     miss_odds: float,
     dummy_group: int,
 ) -> jnp.ndarray:
-    """Apply one insert's update records to the bank. `dummy_group` must be a
-    group that real updates never touch (unused steps park there)."""
+    """Apply one insert's packed-key update records to the bank (the dense
+    banks' entry: group id == pool row). `dummy_group` must be a group that
+    real updates never touch (unused steps park there)."""
+    cb = cell_bits(cells_per_group)
+    rows, starts, ends = build_group_tables(
+        sorted_keys >> cb, sorted_keys != _SENTINEL, num_groups)
+    rows = jnp.where(rows >= 0, rows, jnp.int32(dummy_group))
+    # the kernel masks keys to the cell bits, so packed keys pass through
+    return apply_grouped_rows(
+        pool_flat, rows, starts, ends, sorted_keys,
+        cells_per_group=cells_per_group, hit_odds=hit_odds,
+        miss_odds=miss_odds,
+    )
+
+
+def apply_grouped_rows(
+    pool_flat: jnp.ndarray,  # (G * cells_per_group,) int16 bank
+    rows: jnp.ndarray,  # (B,) pool row per grid step (parking row for unused)
+    starts: jnp.ndarray,  # (B,) record range starts
+    ends: jnp.ndarray,  # (B,) record range ends
+    cell_keys: jnp.ndarray,  # (M,) int32 sorted records: cell << 1 | is_hit
+    *,
+    cells_per_group: int,
+    hit_odds: float,
+    miss_odds: float,
+) -> jnp.ndarray:
+    """Row-level kernel entry: the caller owns group→pool-row translation
+    (the brick grid allocates rows here; dense banks map identity)."""
+    num_groups = rows.shape[0]
     sub = cells_per_group // 128
     g_total = pool_flat.shape[0] // cells_per_group
     assert pool_flat.shape[0] == g_total * cells_per_group
-    assert g_total << cell_bits(cells_per_group) < 2**31, "group id overflow"
-    rows, starts, ends = build_group_tables(
-        sorted_keys, num_groups, dummy_group, cells_per_group)
-
+    sorted_keys = cell_keys
     m = sorted_keys.shape[0]
     mrows = -(-m // 128)
     keys2 = jnp.full(((mrows + 1) * 128,), _SENTINEL, jnp.int32)

@@ -80,10 +80,10 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
     if cfg.submaps.use_brick_grid:
         bspec = brick_spec(cfg.submaps)
         brick = BrickBank(
-            directory=jnp.full(2 * batch * bspec.num_dir_cells, -1, jnp.int32),
+            directory=jnp.full(2 * batch * bspec.num_dir_groups, -1, jnp.int32),
             pool=jnp.zeros(2 * batch * bspec.num_pool_cells, GRID_DTYPE),
             counts=jnp.zeros(2 * batch, jnp.int32),
-            brick_of_slot=jnp.zeros(2 * batch * bspec.max_bricks, jnp.int32),
+            group_of_slot=jnp.zeros(2 * batch * bspec.num_pool_groups, jnp.int32),
         )
         high_values = jnp.zeros(0, GRID_DTYPE)
     else:
@@ -147,8 +147,8 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                 lambda br, s=new_slot: BrickBank(
                     directory=jax.lax.dynamic_update_slice(
                         br.directory,
-                        jnp.full(bspec.num_dir_cells, -1, jnp.int32),
-                        (s * bspec.num_dir_cells,),
+                        jnp.full(bspec.num_dir_groups, -1, jnp.int32),
+                        (s * bspec.num_dir_groups,),
                     ),
                     pool=jax.lax.dynamic_update_slice(
                         br.pool,
@@ -156,7 +156,7 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                         (s * bspec.num_pool_cells,),
                     ),
                     counts=br.counts.at[s].set(0),
-                    brick_of_slot=br.brick_of_slot,
+                    group_of_slot=br.group_of_slot,
                 ),
                 lambda br: br,
                 brick,

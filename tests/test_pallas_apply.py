@@ -29,8 +29,10 @@ def test_pallas_apply_matches_xla_insert(seed):
 
     rng = np.random.default_rng(seed)
     n = 512
-    # cluster points so cells collide (duplicate records, mixed hit/miss)
-    hits = rng.normal(0, 1.5, (2, n, 3)).astype(np.float32)
+    # cluster points so cells collide (duplicate records, mixed hit/miss);
+    # spread sized so the touched-group working set stays under the pool's
+    # group capacity (768 bricks / 32 = 24 groups, minus the parking group)
+    hits = rng.normal(0, 0.8, (2, n, 3)).astype(np.float32)
     hits[:, : n // 4] = hits[:, n // 4 : n // 2]  # exact duplicates
     masks = rng.random((2, n)) < 0.9
     origins = rng.normal(0, 0.3, (2, 3)).astype(np.float32)
@@ -48,7 +50,7 @@ def test_pallas_apply_matches_xla_insert(seed):
         np.asarray(bank_x.directory), np.asarray(bank_p.directory))
     np.testing.assert_array_equal(np.asarray(bank_x.pool), np.asarray(bank_p.pool))
     np.testing.assert_array_equal(
-        np.asarray(bank_x.brick_of_slot), np.asarray(bank_p.brick_of_slot))
+        np.asarray(bank_x.group_of_slot), np.asarray(bank_p.group_of_slot))
     assert int(np.asarray(bank_p.counts).sum()) > 0
 
 
