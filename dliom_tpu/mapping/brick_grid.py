@@ -212,21 +212,51 @@ def interpolated_probability_brick(
     return jnp.sum(q * _corner_weights(s), axis=-1)
 
 
-def reset_slot(bank: BrickBank, spec: BrickGridSpec, slot) -> BrickBank:
-    """Recycle a slot for a new submap: clear its directory, counter and pool
-    region (re-allocated bricks must start unknown, not with a previous
-    submap's cells) — the analog of dropping a HybridGrid. A sequential
-    ~tens-of-MB HBM write, ~0.1 ms."""
+def reset_slot(
+    bank: BrickBank, spec: BrickGridSpec, slot, pending=True
+) -> BrickBank:
+    """Recycle a slot for a new submap — the analog of dropping a HybridGrid.
+    `pending` (traced bool) gates the reset arithmetically: conditional
+    branches over the big banks make XLA copy them every step, masked ops
+    don't.
+
+    Grouped-apply configs clear ONLY the slot's allocated directory entries
+    (a num_pool_groups-sized scatter via the reverse map, ~KBs): the pool's
+    stale cells become unreachable, and the insert kernel zero-fills a
+    group's whole block when it is (re-)allocated (`fresh`,
+    ops/pallas_apply.py). The XLA fallback path writes only record cells, so
+    there the pool region is cleared for real."""
+    pending = jnp.asarray(pending)
+    counts = bank.counts.at[slot].set(
+        jnp.where(pending, 0, bank.counts[slot])
+    )
+    if spec.apply_groups > 0:
+        npg = spec.num_pool_groups
+        j = jnp.arange(npg, dtype=jnp.int32)
+        allocated = j < bank.counts[slot]
+        dgroups = bank.group_of_slot[slot * npg + j]
+        idx = jnp.where(
+            pending & allocated,
+            slot * spec.num_dir_groups + dgroups,
+            bank.directory.shape[0],
+        )
+        directory = bank.directory.at[idx].set(-1, mode="drop")
+        return BrickBank(
+            directory=directory,
+            pool=bank.pool,  # stale; unreachable until re-allocated (fresh)
+            counts=counts,
+            group_of_slot=bank.group_of_slot,
+        )
     # elementwise masked clears, not dynamic_update_slice: under vmap the
     # latter lowers to a scatter on a (B, ·) operand (whole-bank copy)
-    in_dir = (jnp.arange(bank.directory.shape[0]) // spec.num_dir_groups) == slot
+    in_dir = ((jnp.arange(bank.directory.shape[0]) // spec.num_dir_groups) == slot) & pending
     directory = jnp.where(in_dir, jnp.int32(-1), bank.directory)
-    in_pool = (jnp.arange(bank.pool.shape[0]) // spec.num_pool_cells) == slot
+    in_pool = ((jnp.arange(bank.pool.shape[0]) // spec.num_pool_cells) == slot) & pending
     pool = jnp.where(in_pool, jnp.zeros((), GRID_DTYPE), bank.pool)
     return BrickBank(
         directory=directory,
         pool=pool,
-        counts=bank.counts.at[slot].set(0),
+        counts=counts,
         group_of_slot=bank.group_of_slot,  # stale entries map zeroed cells
     )
 
@@ -365,9 +395,13 @@ def _insert_brick_slots(
         # records never reach the parking row
         ends = jnp.where(pool_row >= 0, ends, starts)
         keys = s_sec ^ 1  # kind bit flips to the kernel's is_hit convention
+        # freshly allocated groups carry stale pool content (spawn clears
+        # only the directory) — the kernel zero-fills them (writes the whole
+        # block), so one insert fully initializes a new group
         pool = apply_grouped_rows(
             bank.pool, rows_pool, starts, ends, keys,
             cells_per_group=cpg, hit_odds=hit_odds, miss_odds=miss_odds,
+            fresh=alloc.astype(jnp.int32),
         )
         return BrickBank(
             directory=directory, pool=pool, counts=counts,

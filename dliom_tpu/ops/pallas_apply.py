@@ -153,10 +153,15 @@ def _make_kernel(hit_odds: float, miss_odds: float, cells_per_group: int):
     """Block layout is (1, cells/128, 128): cell = hi*128 + lo factors the
     one-hot as (recs, cells/128) x (recs, 128), landing the count matmul
     directly in the block's shape (the kernel is VPU-bound on the one-hot
-    build, so the narrow factorization matters)."""
+    build, so the narrow factorization matters).
+
+    `fresh_ref[i] != 0` marks a block newly allocated THIS insert: its HBM
+    content is stale (pool regions are never cleared on submap spawn — only
+    the directory is) and is treated as all-unknown; the kernel writes the
+    whole block, so one fresh pass fully initializes it."""
     sub = cells_per_group // 128
 
-    def kernel(rows_ref, starts_ref, ends_ref, keys_ref, pool_blk, out_blk):
+    def kernel(rows_ref, starts_ref, ends_ref, fresh_ref, keys_ref, pool_blk, out_blk):
         i = pl.program_id(0)
         s = starts_ref[i]
         e = ends_ref[i]
@@ -188,7 +193,7 @@ def _make_kernel(hit_odds: float, miss_odds: float, cells_per_group: int):
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
         cnt = jax.lax.fori_loop(0, trips, trip, jnp.zeros((sub, 128), jnp.float32))
-        cur = pool_blk[0].astype(jnp.int32)
+        cur = jnp.where(fresh_ref[i] != 0, 0, pool_blk[0].astype(jnp.int32))
         hit_m = cnt >= _HIT_WEIGHT
         any_m = cnt >= 1.0
         upd_hit = pv.apply_odds(cur, hit_odds)
@@ -234,6 +239,7 @@ def apply_grouped_rows(
     cells_per_group: int,
     hit_odds: float,
     miss_odds: float,
+    fresh: jnp.ndarray | None = None,  # (B,) nonzero = stale block, zero-fill
 ) -> jnp.ndarray:
     """Row-level kernel entry: the caller owns group→pool-row translation
     (the brick grid allocates rows here; dense banks map identity)."""
@@ -241,6 +247,8 @@ def apply_grouped_rows(
     sub = cells_per_group // 128
     g_total = pool_flat.shape[0] // cells_per_group
     assert pool_flat.shape[0] == g_total * cells_per_group
+    if fresh is None:
+        fresh = jnp.zeros(num_groups, jnp.int32)
     sorted_keys = cell_keys
     m = sorted_keys.shape[0]
     mrows = -(-m // 128)
@@ -253,21 +261,21 @@ def apply_grouped_rows(
         _make_kernel(float(hit_odds), float(miss_odds), cells_per_group),
         out_shape=jax.ShapeDtypeStruct(pool3.shape, pool3.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # rows, starts, ends
+            num_scalar_prefetch=4,  # rows, starts, ends, fresh
             grid=(num_groups,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # keys
                 pl.BlockSpec(
                     (1, sub, 128),
-                    lambda i, rows, starts, ends: (rows[i], 0, 0),
+                    lambda i, rows, starts, ends, fresh: (rows[i], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (1, sub, 128),
-                lambda i, rows, starts, ends: (rows[i], 0, 0),
+                lambda i, rows, starts, ends, fresh: (rows[i], 0, 0),
             ),
         ),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         interpret=_interpret(),
-    )(rows, starts, ends, keys2, pool3)
+    )(rows, starts, ends, fresh, keys2, pool3)
     return out.reshape(-1)

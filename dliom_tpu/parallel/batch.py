@@ -142,25 +142,33 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
             )
 
         if cfg.submaps.use_brick_grid:
-            brick = jax.lax.cond(
-                spawn,
-                lambda br, s=new_slot: BrickBank(
-                    directory=jax.lax.dynamic_update_slice(
-                        br.directory,
-                        jnp.full(bspec.num_dir_groups, -1, jnp.int32),
-                        (s * bspec.num_dir_groups,),
+            if bspec.apply_groups > 0:
+                # Grouped config: the insert kernel zero-fills re-allocated
+                # groups (`fresh`), so only the directory entries need
+                # clearing (see mapping/brick_grid.py reset_slot).
+                from dliom_tpu.mapping.brick_grid import reset_slot
+
+                brick = reset_slot(brick, bspec, new_slot, spawn)
+            else:
+                brick = jax.lax.cond(
+                    spawn,
+                    lambda br, s=new_slot: BrickBank(
+                        directory=jax.lax.dynamic_update_slice(
+                            br.directory,
+                            jnp.full(bspec.num_dir_groups, -1, jnp.int32),
+                            (s * bspec.num_dir_groups,),
+                        ),
+                        pool=jax.lax.dynamic_update_slice(
+                            br.pool,
+                            jnp.zeros(bspec.num_pool_cells, GRID_DTYPE),
+                            (s * bspec.num_pool_cells,),
+                        ),
+                        counts=br.counts.at[s].set(0),
+                        group_of_slot=br.group_of_slot,
                     ),
-                    pool=jax.lax.dynamic_update_slice(
-                        br.pool,
-                        jnp.zeros(bspec.num_pool_cells, GRID_DTYPE),
-                        (s * bspec.num_pool_cells,),
-                    ),
-                    counts=br.counts.at[s].set(0),
-                    group_of_slot=br.group_of_slot,
-                ),
-                lambda br: br,
-                brick,
-            )
+                    lambda br: br,
+                    brick,
+                )
         else:
             high = jax.lax.cond(
                 spawn,

@@ -101,3 +101,34 @@ def test_group_overflow_drops_whole_groups():
     pool = np.asarray(bank.pool).reshape(-1, spec_p.apply_group_bricks * 512)
     touched = (pool != 0).any(axis=1)
     assert touched.sum() <= 2  # at most `apply_groups` groups written
+
+
+def test_reset_and_reinsert_grouped_matches_fresh():
+    """Grouped configs recycle a slot WITHOUT clearing its pool region: the
+    directory scatter-clear makes stale cells unreachable and the kernel's
+    `fresh` flag zero-fills re-allocated groups. A reset + reinsert must be
+    indistinguishable from inserting into a brand-new bank."""
+    from dliom_tpu.mapping.brick_grid import dense_crop, reset_slot
+
+    base = dict(resolution=0.1, dir_extent=16, max_bricks=768)
+    spec_p = BrickGridSpec(**base, apply_groups=128)
+    rng = np.random.default_rng(7)
+    hits0 = rng.normal(0, 0.8, (2, 256, 3)).astype(np.float32)
+    hits1 = rng.normal(0.5, 0.8, (2, 256, 3)).astype(np.float32)
+    masks = np.ones((2, 256), bool)
+    origins = np.zeros((2, 3), np.float32)
+
+    bank = _insert(spec_p, make_brick_bank(spec_p), jnp.asarray(origins),
+                   jnp.asarray(hits0), jnp.asarray(masks))
+    assert int(bank.counts[0]) > 0
+    bank = reset_slot(bank, spec_p, 0)
+    assert int(bank.counts[0]) == 0
+    # stale pool cells must be invisible through the cleared directory
+    assert int(np.abs(np.asarray(dense_crop(bank, spec_p, 0, 32))).sum()) == 0
+    bank = _insert(spec_p, bank, jnp.asarray(origins),
+                   jnp.asarray(hits1), jnp.asarray(masks))
+    fresh_bank = _insert(spec_p, make_brick_bank(spec_p), jnp.asarray(origins),
+                         jnp.asarray(hits1), jnp.asarray(masks))
+    crop_a = np.asarray(dense_crop(bank, spec_p, 0, 64))
+    crop_b = np.asarray(dense_crop(fresh_bank, spec_p, 0, 64))
+    np.testing.assert_array_equal(crop_a, crop_b)
