@@ -70,8 +70,12 @@ def build_config():
                     "low_resolution_extent": 128,
                 },
                 "max_filtered_points": 8192,
-                "max_high_res_points": 512,
-                "max_low_res_points": 512,
+                # The adaptive filters target the reference's 150/200
+                # min_num_points (trajectory_builder_3d.lua:33-43) and emit
+                # 184/222 points on this world — 256 is pure-padding-free
+                # capacity, not a fidelity cut.
+                "max_high_res_points": 256,
+                "max_low_res_points": 256,
                 "max_imu_per_scan": IMU_CAP,
                 "window_size": 6,
                 # ISAM2-equivalent fidelity: the reference relinearizes
