@@ -233,6 +233,9 @@ def make_jit_lio_chunk(cfg: TrajectoryBuilderConfig, chunk: int):
             st, res = lio_step(state, scan, cfg)
             return st, res
 
+        # rolled on purpose: unroll=2 was measured at +0.4% (the while op's
+        # self time is not carry forwarding) while a full unroll compiles
+        # for many minutes
         st, results = jax.lax.scan(body, join(grids, rest), scans)
         g2, rest2 = split(st)
         return g2, rest2, results
