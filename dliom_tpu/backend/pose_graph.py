@@ -104,11 +104,21 @@ class PoseGraph:
         tb_cfg: TrajectoryBuilderConfig,
         pool=None,
         metrics=None,
+        mesh=None,
     ):
         """`pool`: optional native TaskThreadPool — loop-constraint searches
         then run as background tasks (the reference's ThreadPool Task DAG,
         constraint_builder_3d.cc:130-159) and optimization waits for them
-        (WaitForAllComputations, pose_graph_3d.cc:517-533)."""
+        (WaitForAllComputations, pose_graph_3d.cc:517-533).
+
+        `mesh`: optional `jax.sharding.Mesh` — the batched loop-constraint
+        search (all sampled nodes of a finishing submap vs one target
+        submap) then shards its node batch across the mesh's devices, with
+        the target submap's grids/pyramid replicated; XLA partitions the
+        per-node coarse-to-fine search and GN refinement over ICI. This is
+        the TPU-native analog of the reference's distributed constraint
+        computation on the gRPC MapBuilderServer's thread pool (SURVEY
+        §2.4: sharded constraint search over ICI)."""
         self.cfg = cfg
         self.tb_cfg = tb_cfg
         self.nodes: List[NodeRecord] = []
@@ -120,6 +130,7 @@ class PoseGraph:
         self._compress_capacity = 1 << 18
         self._jit_cache: Dict[str, object] = {}
         self._pool = pool
+        self._mesh = mesh
         self._mutex = threading.Lock()
         self._metrics = metrics  # dict from metrics.register_all_metrics
         # auxiliary observations (OptimizationProblem3D retains GPS/landmark
@@ -334,12 +345,34 @@ class PoseGraph:
         # Batched variants: all sampled nodes of a from-submap match one
         # target submap in a single dispatch (the pyramid/grids broadcast;
         # node clouds/initials stack on a leading axis). One jit call per
-        # (from, to) pair instead of one per (node, to) pair.
+        # (from, to) pair instead of one per (node, to) pair. With a mesh,
+        # the node batch is sharded over its devices (grids replicated) —
+        # loop search scales over ICI.
+        mesh = self._mesh
+
+        def shard_batch(tree):
+            if mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+
+            def one(x):
+                spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
+
+            return jax.tree.map(one, tree)
+
         @functools.partial(jax.jit, static_argnames=("min_score",))
         def match_batch_fn(
             pyr, g_lo, hp, hm, lp, lm, initial, hist, submap_hist, yaw0,
             min_score,
         ):
+            hp, hm, lp, lm, initial, hist, yaw0 = shard_batch(
+                (hp, hm, lp, lm, initial, hist, yaw0)
+            )
             return jax.vmap(
                 lambda a, b, c, d, e, f, g: fc.match(
                     pyr, hi, g_lo, lo, a, b, c, d, e, f,
@@ -350,6 +383,7 @@ class PoseGraph:
 
         @jax.jit
         def refine_batch_fn(initial, g_hi, g_lo, hp, hm, lp, lm):
+            initial, hp, hm, lp, lm = shard_batch((initial, hp, hm, lp, lm))
             return jax.vmap(
                 lambda i, a, b, c, d: refine_fn(i, g_hi, g_lo, a, b, c, d)
             )(initial, hp, hm, lp, lm)

@@ -53,6 +53,7 @@ class MapBuilder:
         range_sensor_ids: Optional[List[str]] = None,
         use_background_threads: bool = False,
         use_native_collator: bool = False,
+        mesh=None,
     ):
         """`range_sensor_ids`: one entry per LiDAR (the first is the primary
         the others merge into, RangeDataSynchronizer). With
@@ -61,7 +62,9 @@ class MapBuilder:
         `use_native_collator`, sensor ingest routes through the native
         OrderedMultiQueue (sensor::Collator, collated_trajectory_builder.cc),
         so out-of-order arrival across sensors is merged to one
-        time-ordered stream before dispatch."""
+        time-ordered stream before dispatch. `mesh`: optional
+        `jax.sharding.Mesh` — loop-constraint search shards its node batch
+        over the mesh's chips (see backend/pose_graph.py)."""
         self.config = config
         tb = config.trajectory_builder
         self.tb = tb
@@ -73,7 +76,7 @@ class MapBuilder:
             pool = TaskThreadPool(config.map_builder.num_background_threads)
         self._pool = pool
         self.pose_graph = PoseGraph(
-            config.pose_graph, tb, pool=pool, metrics=self._metrics
+            config.pose_graph, tb, pool=pool, metrics=self._metrics, mesh=mesh
         )
         ids = range_sensor_ids or [
             f"points{i}" for i in range(max(1, config.num_point_clouds))

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dliom_tpu.backend.compression import compress, decompress
 from dliom_tpu.backend.pose_graph import Constraint, NodeRecord, PoseGraph
@@ -119,10 +120,18 @@ def test_intra_constraints_and_global_poses():
     )
 
 
-def test_loop_closure_finds_and_corrects_drift():
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_loop_closure_finds_and_corrects_drift(use_mesh):
+    # use_mesh: the same search with the node batch sharded over the 8
+    # virtual devices (ICI-sharded constraint computation, SURVEY §2.4)
     cfg = _cfg()
     tb = cfg.trajectory_builder
-    pg = PoseGraph(cfg.pose_graph, tb)
+    mesh = (
+        jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
+        if use_mesh
+        else None
+    )
+    pg = PoseGraph(cfg.pose_graph, tb, mesh=mesh)
     hi, lo = grid_specs(tb.submaps)
     rng = np.random.default_rng(2)
     points = _world_cloud(rng)
