@@ -168,8 +168,35 @@ def solve(
     iterations: int = 10,
     cg_iterations: int = 64,
     fix_first_submap: bool = True,
+    mesh=None,
 ) -> PoseGraphData:
-    """Gauss-Newton with matrix-free PCG on the normal equations."""
+    """Gauss-Newton with matrix-free PCG on the normal equations.
+
+    `mesh`: optional `jax.sharding.Mesh` — the constraint arrays shard over
+    its first axis, so residual and Hessian-vector-product evaluation
+    partition across chips; the vjp's per-pose accumulations become partial
+    sums that GSPMD reduces with psum over ICI (poses replicated). This is
+    the "SPA sharded over ICI" scale-out axis from SURVEY §7."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+
+        def shard_c(x):
+            spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec)
+            )
+
+        data = data._replace(
+            c_submap=shard_c(data.c_submap),
+            c_node=shard_c(data.c_node),
+            c_q=shard_c(data.c_q),
+            c_t=shard_c(data.c_t),
+            c_trans_weight=shard_c(data.c_trans_weight),
+            c_rot_weight=shard_c(data.c_rot_weight),
+            c_valid=shard_c(data.c_valid),
+        )
     s = data.submap_q.shape[0]
     n = data.node_q.shape[0]
 

@@ -637,7 +637,9 @@ class PoseGraph:
         iters = iterations or self.cfg.optimization_problem.max_num_iterations
         if "solve" not in self._jit_cache:
             self._jit_cache["solve"] = jax.jit(
-                functools.partial(opt.solve, cg_iterations=64),
+                functools.partial(
+                    opt.solve, cg_iterations=64, mesh=self._mesh
+                ),
                 static_argnames=("iterations",),
             )
         out = self._jit_cache["solve"](self._build_problem(), iterations=iters)

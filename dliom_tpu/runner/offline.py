@@ -149,7 +149,20 @@ def run(args) -> dict:
     else:
         scans, imu, gt = _load_npz_dataset(args.dataset)
 
-    builder = MapBuilder(cfg)
+    if getattr(args, "load_state", None):
+        from dliom_tpu.map_builder import map_builder_from_state
+
+        builder = map_builder_from_state(
+            args.load_state, cfg,
+            pure_localization=bool(getattr(args, "pure_localization", False)),
+        )
+    else:
+        builder = MapBuilder(cfg)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     imu_idx = 0
     t0 = wall.perf_counter()
     n_results = 0
@@ -170,6 +183,10 @@ def run(args) -> dict:
                 )
     builder.finish_trajectory()
     elapsed = wall.perf_counter() - t0
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
 
     nodes = builder.optimized_node_poses()
     report = {
@@ -268,6 +285,14 @@ def main(argv=None):
     ap.add_argument("--output-relations", default=None,
                     help="autogenerate ground-truth relations CSV from loops")
     ap.add_argument("--relations-min-covered-distance", type=float, default=100.0)
+    ap.add_argument("--load-state", default=None,
+                    help="resume from / localize against a saved state "
+                         "(-load_state_filename analog)")
+    ap.add_argument("--pure-localization", action="store_true",
+                    help="freeze the loaded map (PureLocalizationTrimmer)")
+    ap.add_argument("--profile", default=None,
+                    help="write a JAX profiler trace of the replay to this "
+                         "directory (the TicToc/RateTimer analog, SURVEY §5)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     report = run(args)
