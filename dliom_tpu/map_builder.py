@@ -266,6 +266,11 @@ class MapBuilder:
         self._metrics["scan_matcher_cost"].add().observe(
             float(res.scan.matcher_cost)
         )
+        brick = self._lio.frontend.submaps.high_brick
+        if brick is not None:
+            self._metrics["brick_groups_dropped"].add().set(
+                float(brick.dropped[0])
+            )
         out = {
             "time": time,
             "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),

@@ -110,6 +110,11 @@ class BrickBank(NamedTuple):
     pool: jnp.ndarray  # (2 * num_pool_cells,) int16
     counts: jnp.ndarray  # (2,) int32 allocated groups per slot
     group_of_slot: jnp.ndarray  # (2 * num_pool_groups,) int32 pool group -> dir group
+    # running count of groups whose updates were DROPPED (touched groups
+    # beyond apply_groups per insert, or pool-full allocation failures).
+    # Nonzero means the capacity model is undersized for the data — no
+    # silent truncation (exposed as the `brick_groups_dropped` gauge).
+    dropped: jnp.ndarray
 
 
 def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
@@ -118,6 +123,7 @@ def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
         pool=jnp.zeros(2 * spec.num_pool_cells, GRID_DTYPE),
         counts=jnp.zeros(2, jnp.int32),
         group_of_slot=jnp.zeros(2 * spec.num_pool_groups, jnp.int32),
+        dropped=jnp.zeros(1, jnp.int32),
     )
 
 
@@ -246,6 +252,7 @@ def reset_slot(
             pool=bank.pool,  # stale; unreachable until re-allocated (fresh)
             counts=counts,
             group_of_slot=bank.group_of_slot,
+            dropped=bank.dropped,
         )
     # elementwise masked clears, not dynamic_update_slice: under vmap the
     # latter lowers to a scatter on a (B, ·) operand (whole-bank copy)
@@ -258,6 +265,7 @@ def reset_slot(
         pool=pool,
         counts=counts,
         group_of_slot=bank.group_of_slot,  # stale entries map zeroed cells
+        dropped=bank.dropped,
     )
 
 
@@ -394,6 +402,16 @@ def _insert_brick_slots(
         # dropped (pool-full) and absent steps: empty record ranges so their
         # records never reach the parking row
         ends = jnp.where(pool_row >= 0, ends, starts)
+        # no silent truncation: count every touched group whose updates were
+        # lost (apply-capacity overflow or pool-full), aggregated in lane 0
+        heads_total = jnp.sum(
+            (
+                jnp.concatenate([jnp.ones(1, bool), s_g[1:] != s_g[:-1]])
+                & s_valid
+            ).astype(jnp.int32)
+        )
+        kept = jnp.sum((pool_row >= 0).astype(jnp.int32))
+        dropped = bank.dropped.at[0].add(heads_total - kept)
         keys = s_sec ^ 1  # kind bit flips to the kernel's is_hit convention
         # freshly allocated groups carry stale pool content (spawn clears
         # only the directory) — the kernel zero-fills them (writes the whole
@@ -405,7 +423,7 @@ def _insert_brick_slots(
         )
         return BrickBank(
             directory=directory, pool=pool, counts=counts,
-            group_of_slot=group_of_slot,
+            group_of_slot=group_of_slot, dropped=dropped,
         )
 
     # ---- XLA fallback (tests / CPU) — per-record translation ----
@@ -472,8 +490,12 @@ def _insert_brick_slots(
     )
     scatter_addr = jnp.where(writable, addr, num_pool_flat)
     pool = bank.pool.at[scatter_addr].set(updated.astype(GRID_DTYPE), mode="drop")
+    dropped = bank.dropped.at[0].add(
+        jnp.sum((needs & ~fits).astype(jnp.int32))
+    )
     return BrickBank(
-        directory=directory, pool=pool, counts=counts, group_of_slot=group_of_slot
+        directory=directory, pool=pool, counts=counts,
+        group_of_slot=group_of_slot, dropped=dropped,
     )
 
 
@@ -484,8 +506,8 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
     Integer-valued op, no AD required."""
 
     @jax.custom_batching.custom_vmap
-    def f(directory, pool, counts, group_of_slot, origins, hits, masks):
-        bank = BrickBank(directory, pool, counts, group_of_slot)
+    def f(directory, pool, counts, group_of_slot, dropped, origins, hits, masks):
+        bank = BrickBank(directory, pool, counts, group_of_slot, dropped)
         out = _insert_brick_slots(
             bank, origins, hits, masks, spec=spec,
             hit_probability=hp, miss_probability=mp, num_free_space_voxels=k,
@@ -497,13 +519,13 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        directory, pool, counts, group_of_slot, origins, hits, masks = (
+        directory, pool, counts, group_of_slot, dropped, origins, hits, masks = (
             bc(x, b) for x, b in zip(args, in_batched)
         )
         s = hits.shape[1]
         bank = BrickBank(
             directory.reshape(-1), pool.reshape(-1), counts.reshape(-1),
-            group_of_slot.reshape(-1),
+            group_of_slot.reshape(-1), dropped.reshape(-1),
         )
         out = _insert_brick_slots(
             bank,
@@ -515,7 +537,7 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
         )
         return (
             tuple(x.reshape(axis_size, -1) for x in out),
-            (True, True, True, True),
+            (True, True, True, True, True),
         )
 
     return f
@@ -537,7 +559,7 @@ def insert_range_data_brick_dual(
         spec, float(hit_probability), float(miss_probability),
         int(num_free_space_voxels),
     )(bank.directory, bank.pool, bank.counts, bank.group_of_slot,
-      origins, hits, masks)
+      bank.dropped, origins, hits, masks)
     return BrickBank(*out)
 
 

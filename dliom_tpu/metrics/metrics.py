@@ -187,6 +187,12 @@ def register_all_metrics(factory: Optional[FamilyFactory] = None) -> Dict[str, _
             "mapping_constraints_constraint_builder_3d_queue_length",
             "Pending background constraint tasks",
         ),
+        "brick_groups_dropped": f.new_gauge_family(
+            "mapping_3d_brick_grid_groups_dropped",
+            "Cumulative brick-grid groups whose updates were dropped "
+            "(apply-capacity overflow or pool-full); nonzero means the "
+            "grid capacity model is undersized for the data",
+        ),
     }
 
 

@@ -84,6 +84,7 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
             pool=jnp.zeros(2 * batch * bspec.num_pool_cells, GRID_DTYPE),
             counts=jnp.zeros(2 * batch, jnp.int32),
             group_of_slot=jnp.zeros(2 * batch * bspec.num_pool_groups, jnp.int32),
+            dropped=jnp.zeros(batch, jnp.int32),
         )
         high_values = jnp.zeros(0, GRID_DTYPE)
     else:
@@ -165,6 +166,7 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                         ),
                         counts=br.counts.at[s].set(0),
                         group_of_slot=br.group_of_slot,
+                        dropped=br.dropped,
                     ),
                     lambda br: br,
                     brick,
