@@ -67,7 +67,16 @@ def build_config():
                     "brick_apply_groups": 1024,
                     "dense_apply_groups": 256,
                     "high_resolution_extent": 448,  # backend capture crop
-                    "low_resolution_extent": 128,
+                    "low_resolution_extent": 128,  # backend capture crop
+                    # low-res matching grid also on the brick path: full
+                    # ±64.8 m coverage at 0.45 m (the reference's low
+                    # HybridGrid is sparse and unbounded) — a dense low
+                    # bank would cap coverage at the extent above
+                    "use_brick_grid_low": True,
+                    "low_brick_dir_extent": 40,
+                    "low_brick_max_bricks": 8192,
+                    "low_brick_apply_groups": 512,
+                    "low_brick_apply_group_bricks": 8,
                 },
                 "max_filtered_points": 8192,
                 # The adaptive filters target the reference's 150/200

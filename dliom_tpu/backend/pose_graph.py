@@ -165,7 +165,12 @@ class PoseGraph:
         else:
             s.high = compress(high_values, self._hi_spec, self._compress_capacity)
             dense_high = high_values
-        s.low = compress(low_values, self._lo_spec, self._compress_capacity // 4)
+        if isinstance(low_values, CompressedGrid):
+            s.low = jax.tree.map(jnp.asarray, low_values)
+        else:
+            s.low = compress(
+                low_values, self._lo_spec, self._compress_capacity // 4
+            )
         if self.cfg.constraint_builder.use_image_proposals:
             if dense_high is None:
                 dense_high = decompress(s.high, self._hi_spec)

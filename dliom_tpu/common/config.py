@@ -88,6 +88,15 @@ class SubmapsConfig:
     # the brick grid) through the grouped Pallas apply kernel; banks then
     # carry one 16384-cell padding group. 0 = XLA sort/scatter path.
     dense_apply_groups: int = 0
+    # Brick (two-level) LOW-res grid: full max-range coverage for the
+    # low-resolution matching grid too (the reference's low HybridGrid is
+    # sparse and unbounded); low_resolution_extent then only sizes the
+    # backend capture crop. Coarse cells make small pools sufficient.
+    use_brick_grid_low: bool = False
+    low_brick_dir_extent: int = 40  # 40*8*0.45 m = ±72 m at 0.45 m
+    low_brick_max_bricks: int = 8192
+    low_brick_apply_groups: int = 0
+    low_brick_apply_group_bricks: int = 8
 
 
 @dataclass(frozen=True)

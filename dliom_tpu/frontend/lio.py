@@ -259,25 +259,31 @@ def make_jit_lio_step(cfg: TrajectoryBuilderConfig):
         out of the state so only they are donated."""
         sm = state.frontend.submaps
         brick = sm.high_brick
+        lbrick = sm.low_brick
         grids = (
             sm.high_values,
             sm.low_values,
             brick.directory if brick is not None else None,
             brick.pool if brick is not None else None,
+            lbrick.directory if lbrick is not None else None,
+            lbrick.pool if lbrick is not None else None,
         )
         empty16 = jnp.zeros((0,), sm.low_values.dtype)
+
+        def strip(b):
+            return (
+                b._replace(directory=jnp.zeros((0,), jnp.int32), pool=empty16)
+                if b is not None
+                else None
+            )
+
         rest = state._replace(
             frontend=state.frontend._replace(
                 submaps=sm._replace(
                     high_values=jnp.zeros((0,), sm.high_values.dtype),
                     low_values=empty16,
-                    high_brick=(
-                        brick._replace(
-                            directory=jnp.zeros((0,), jnp.int32), pool=empty16
-                        )
-                        if brick is not None
-                        else None
-                    ),
+                    high_brick=strip(brick),
+                    low_brick=strip(lbrick),
                 )
             )
         )
@@ -288,10 +294,16 @@ def make_jit_lio_step(cfg: TrajectoryBuilderConfig):
         brick = sm.high_brick
         if brick is not None:
             brick = brick._replace(directory=grids[2], pool=grids[3])
+        lbrick = sm.low_brick
+        if lbrick is not None:
+            lbrick = lbrick._replace(directory=grids[4], pool=grids[5])
         return rest._replace(
             frontend=rest.frontend._replace(
                 submaps=sm._replace(
-                    high_values=grids[0], low_values=grids[1], high_brick=brick
+                    high_values=grids[0],
+                    low_values=grids[1],
+                    high_brick=brick,
+                    low_brick=lbrick,
                 )
             )
         )

@@ -34,6 +34,7 @@ from dliom_tpu.mapping.submap import (
     ActiveSubmaps,
     apply_pending_spawn,
     brick_spec,
+    brick_spec_low,
     grid_specs,
     insert_range_data_into_submaps,
     make_active_submaps,
@@ -223,18 +224,24 @@ def step(
             state.submaps.high_brick
             if cfg.submaps.use_brick_grid
             else state.submaps.high_values,
-            state.submaps.low_values,
+            state.submaps.low_brick
+            if cfg.submaps.use_brick_grid_low
+            else state.submaps.low_values,
         ],
         grid_bases=[
             # lane-adjusted: sequence `lane` owns bank slots 2*lane + {0, 1}
             (2 * state.submaps.lane + mslot)
             if cfg.submaps.use_brick_grid
             else (2 * state.submaps.lane + mslot) * hi_spec.num_cells,
-            (2 * state.submaps.lane + mslot) * lo_spec.num_cells,
+            (2 * state.submaps.lane + mslot)
+            if cfg.submaps.use_brick_grid_low
+            else (2 * state.submaps.lane + mslot) * lo_spec.num_cells,
         ],
         specs=[
             brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else hi_spec,
-            lo_spec,
+            brick_spec_low(cfg.submaps)
+            if cfg.submaps.use_brick_grid_low
+            else lo_spec,
         ],
         occupied_space_weights=[
             cfg.ceres_scan_matcher.occupied_space_weight_0,

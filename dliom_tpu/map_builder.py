@@ -404,10 +404,24 @@ class MapBuilder:
             else:
                 hi_c = hi_spec_c.num_cells
                 high = submaps.high_values[slot * hi_c : (slot + 1) * hi_c]
-            grids = (
-                high,
-                submaps.low_values[slot * lo_c : (slot + 1) * lo_c],
-            )
+            if self.tb.submaps.use_brick_grid_low:
+                if "compress_brick_low" not in self._jit_aux:
+                    from dliom_tpu.mapping.brick_grid import compress_brick
+                    from dliom_tpu.mapping.submap import brick_spec_low
+
+                    lbspec = brick_spec_low(self.tb.submaps)
+                    lcap = self.pose_graph._compress_capacity // 4
+                    self._jit_aux["compress_brick_low"] = jax.jit(
+                        lambda bank, s: compress_brick(
+                            bank, lbspec, s, lo_spec_c, lcap
+                        )
+                    )
+                low = self._jit_aux["compress_brick_low"](
+                    submaps.low_brick, slot
+                )
+            else:
+                low = submaps.low_values[slot * lo_c : (slot + 1) * lo_c]
+            grids = (high, low)
         off = self._loaded_offset
         self.pose_graph.add_node(
             node,

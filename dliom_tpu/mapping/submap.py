@@ -67,6 +67,9 @@ class ActiveSubmaps(NamedTuple):
     # sequence b owns bank slots (2*lane, 2*lane + 1). 0 for single-sequence
     # states, whose banks hold exactly 2 slots.
     lane: jnp.ndarray = None
+    # Brick-grid low-res path (cfg.use_brick_grid_low): replaces low_values
+    # for full max-range low-resolution coverage. None on the dense path.
+    low_brick: Optional[BrickBank] = None
 
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
@@ -79,7 +82,8 @@ def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
             0 if cfg.use_brick_grid else cfg.dense_apply_groups,
         ),
         GridSpec(cfg.low_resolution, cfg.low_resolution_extent,
-                 cfg.dense_apply_groups),
+                 # brick path: the dense spec is only the capture crop
+                 0 if cfg.use_brick_grid_low else cfg.dense_apply_groups),
     )
 
 
@@ -90,6 +94,16 @@ def brick_spec(cfg: SubmapsConfig) -> BrickGridSpec:
         max_bricks=cfg.brick_max_bricks,
         apply_groups=cfg.brick_apply_groups,
         apply_group_bricks=cfg.brick_apply_group_bricks,
+    )
+
+
+def brick_spec_low(cfg: SubmapsConfig) -> BrickGridSpec:
+    return BrickGridSpec(
+        resolution=cfg.low_resolution,
+        dir_extent=cfg.low_brick_dir_extent,
+        max_bricks=cfg.low_brick_max_bricks,
+        apply_groups=cfg.low_brick_apply_groups,
+        apply_group_bricks=cfg.low_brick_apply_group_bricks,
     )
 
 
@@ -109,8 +123,17 @@ def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
             )
         ),
         high_brick=make_brick_bank(brick_spec(cfg)) if cfg.use_brick_grid else None,
-        low_values=jnp.zeros(
-            dense_bank_size(lo.num_cells, 2, lo.apply_groups), GRID_DTYPE
+        low_brick=(
+            make_brick_bank(brick_spec_low(cfg))
+            if cfg.use_brick_grid_low
+            else None
+        ),
+        low_values=(
+            jnp.zeros(0, GRID_DTYPE)
+            if cfg.use_brick_grid_low
+            else jnp.zeros(
+                dense_bank_size(lo.num_cells, 2, lo.apply_groups), GRID_DTYPE
+            )
         ),
         pose_rotation=q,
         pose_translation=jnp.zeros((2, 3), jnp.float32),
@@ -240,7 +263,8 @@ def insert_range_data_into_submaps(
     )
     state = state._replace(
         **write_insertion_batch(
-            state.high_values, state.low_values, state.high_brick, batch, cfg
+            state.high_values, state.low_values, state.high_brick, batch, cfg,
+            low_brick=state.low_brick,
         )
     )
     # Spawn marking happens afterwards (the spawn itself executes at the
@@ -255,6 +279,7 @@ def write_insertion_batch(
     high_brick: Optional[BrickBank],
     batch: InsertionBatch,
     cfg: SubmapsConfig,
+    low_brick: Optional[BrickBank] = None,
 ) -> dict:
     """Apply an InsertionBatch to the grid banks. `batch` may hold 2 slots
     (single sequence) or 2*B slots flattened from B sequences — the flat
@@ -278,13 +303,27 @@ def write_insertion_batch(
             miss_probability=ins.miss_probability,
             num_free_space_voxels=ins.num_free_space_voxels,
         )
-    new_low = _insert_slots(
-        low_values, batch.origins, batch.points, batch.masks, spec=lo,
-        hit_probability=ins.hit_probability,
-        miss_probability=ins.miss_probability,
-        num_free_space_voxels=ins.num_free_space_voxels,
+    if cfg.use_brick_grid_low:
+        new_low_brick = _insert_brick_slots(
+            low_brick, batch.origins, batch.points, batch.masks,
+            spec=brick_spec_low(cfg),
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
+        new_low = low_values
+    else:
+        new_low_brick = low_brick
+        new_low = _insert_slots(
+            low_values, batch.origins, batch.points, batch.masks, spec=lo,
+            hit_probability=ins.hit_probability,
+            miss_probability=ins.miss_probability,
+            num_free_space_voxels=ins.num_free_space_voxels,
+        )
+    return dict(
+        high_values=new_high, high_brick=new_brick,
+        low_values=new_low, low_brick=new_low_brick,
     )
-    return dict(high_values=new_high, high_brick=new_brick, low_values=new_low)
 
 
 def apply_pending_spawn(
@@ -317,17 +356,21 @@ def apply_pending_spawn(
     if cfg.use_brick_grid and not defer_bank_clears:
         high_brick = reset_slot(s.high_brick, brick_spec(cfg), new_slot, pending)
     low_values = s.low_values
-    if not defer_bank_clears:
+    if not (cfg.use_brick_grid_low or defer_bank_clears):
         low_values = jnp.where(
             ((jnp.arange(s.low_values.shape[0]) // lo.num_cells) == new_slot)
             & pending,
             jnp.zeros((), GRID_DTYPE),
             s.low_values,
         )
+    low_brick = s.low_brick
+    if cfg.use_brick_grid_low and not defer_bank_clears:
+        low_brick = reset_slot(s.low_brick, brick_spec_low(cfg), new_slot, pending)
     return s._replace(
         high_values=high_values,
         high_brick=high_brick,
         low_values=low_values,
+        low_brick=low_brick,
         pose_rotation=s.pose_rotation.at[new_slot].set(
             jnp.where(pending, s.pending_rotation, s.pose_rotation[new_slot])
         ),

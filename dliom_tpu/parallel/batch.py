@@ -36,6 +36,7 @@ from dliom_tpu.ops.pallas_apply import dense_bank_size
 from dliom_tpu.mapping.submap import (
     InsertionBatch,
     brick_spec,
+    brick_spec_low,
     grid_specs,
     write_insertion_batch,
 )
@@ -93,13 +94,27 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
             dense_bank_size(hi.num_cells, 2 * batch, hi.apply_groups),
             GRID_DTYPE,
         )
+    if cfg.submaps.use_brick_grid_low:
+        lbspec = brick_spec_low(cfg.submaps)
+        low_brick = BrickBank(
+            directory=jnp.full(2 * batch * lbspec.num_dir_groups, -1, jnp.int32),
+            pool=jnp.zeros(2 * batch * lbspec.num_pool_cells, GRID_DTYPE),
+            counts=jnp.zeros(2 * batch, jnp.int32),
+            group_of_slot=jnp.zeros(2 * batch * lbspec.num_pool_groups, jnp.int32),
+            dropped=jnp.zeros(batch, jnp.int32),
+        )
+        low_values = jnp.zeros(0, GRID_DTYPE)
+    else:
+        low_brick = None
+        low_values = jnp.zeros(
+            dense_bank_size(lo.num_cells, 2 * batch, lo.apply_groups),
+            GRID_DTYPE,
+        )
     sm = sm._replace(
         high_values=high_values,
         high_brick=brick,
-        low_values=jnp.zeros(
-            dense_bank_size(lo.num_cells, 2 * batch, lo.apply_groups),
-            GRID_DTYPE,
-        ),
+        low_values=low_values,
+        low_brick=low_brick,
         lane=jnp.arange(batch, dtype=jnp.int32),
     )
     return state._replace(frontend=state.frontend._replace(submaps=sm))
@@ -118,6 +133,11 @@ def _bank_axes(cfg: TrajectoryBuilderConfig, state: LioState):
             if sm_axes.high_brick is None
             else jax.tree.map(lambda _: None, sm_axes.high_brick)
         ),
+        low_brick=(
+            None
+            if sm_axes.low_brick is None
+            else jax.tree.map(lambda _: None, sm_axes.low_brick)
+        ),
     )
     return axes._replace(
         frontend=axes.frontend._replace(submaps=sm_axes)
@@ -133,6 +153,7 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
     hi, lo = grid_specs(cfg.submaps)
     bspec = brick_spec(cfg.submaps) if cfg.submaps.use_brick_grid else None
     high, low, brick = sm.high_values, sm.low_values, sm.high_brick
+    lbrick = sm.low_brick
     for b in range(batch):
         spawn = sm.pending_spawn[b]
         new_slot = 2 * b + sm.num_created[b] % 2
@@ -178,13 +199,43 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                 lambda v: v,
                 high,
             )
-        low = jax.lax.cond(
-            spawn,
-            lambda v, s=new_slot: clear_bank(v, lo.num_cells, s),
-            lambda v: v,
-            low,
-        )
-    sm = sm._replace(high_values=high, low_values=low, high_brick=brick)
+        if cfg.submaps.use_brick_grid_low:
+            from dliom_tpu.mapping.brick_grid import reset_slot
+
+            lbspec = brick_spec_low(cfg.submaps)
+            if lbspec.apply_groups > 0:
+                lbrick = reset_slot(lbrick, lbspec, new_slot, spawn)
+            else:
+                lbrick = jax.lax.cond(
+                    spawn,
+                    lambda br, s=new_slot: BrickBank(
+                        directory=jax.lax.dynamic_update_slice(
+                            br.directory,
+                            jnp.full(lbspec.num_dir_groups, -1, jnp.int32),
+                            (s * lbspec.num_dir_groups,),
+                        ),
+                        pool=jax.lax.dynamic_update_slice(
+                            br.pool,
+                            jnp.zeros(lbspec.num_pool_cells, GRID_DTYPE),
+                            (s * lbspec.num_pool_cells,),
+                        ),
+                        counts=br.counts.at[s].set(0),
+                        group_of_slot=br.group_of_slot,
+                        dropped=br.dropped,
+                    ),
+                    lambda br: br,
+                    lbrick,
+                )
+        else:
+            low = jax.lax.cond(
+                spawn,
+                lambda v, s=new_slot: clear_bank(v, lo.num_cells, s),
+                lambda v: v,
+                low,
+            )
+    sm = sm._replace(
+        high_values=high, low_values=low, high_brick=brick, low_brick=lbrick
+    )
     return state._replace(frontend=state.frontend._replace(submaps=sm))
 
 
@@ -214,7 +265,8 @@ def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
         sm = new_state.frontend.submaps
         sm = sm._replace(
             **write_insertion_batch(
-                sm.high_values, sm.low_values, sm.high_brick, flat, cfg.submaps
+                sm.high_values, sm.low_values, sm.high_brick, flat,
+                cfg.submaps, low_brick=sm.low_brick,
             )
         )
         new_state = new_state._replace(
@@ -273,7 +325,8 @@ def sharded_lio_step(
         sm = new_state.frontend.submaps
         sm = sm._replace(
             **write_insertion_batch(
-                sm.high_values, sm.low_values, sm.high_brick, flat, cfg.submaps
+                sm.high_values, sm.low_values, sm.high_brick, flat,
+                cfg.submaps, low_brick=sm.low_brick,
             )
         )
         return (

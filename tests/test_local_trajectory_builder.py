@@ -286,3 +286,52 @@ def test_submap_rotation_with_brick_grid_grouped():
     assert finished == [0, 1]
     assert int(state.submaps.num_created) == 4
     assert max_t_err < 0.35, max_t_err
+
+
+def test_corkscrew_with_both_brick_grids():
+    """Corkscrew at the same 0.1 m bar with BOTH matching grids on the brick
+    path (use_brick_grid_low gives the low-res grid full max-range coverage,
+    like the reference's unbounded sparse low HybridGrid)."""
+    import dataclasses
+
+    base = _config()
+    cfg = dataclasses.replace(
+        base,
+        submaps=dataclasses.replace(
+            base.submaps,
+            use_brick_grid=True,
+            brick_dir_extent=48,
+            brick_max_bricks=16384,
+            use_brick_grid_low=True,
+            low_brick_dir_extent=16,
+            low_brick_max_bricks=2048,
+            low_brick_apply_groups=128,
+            low_brick_apply_group_bricks=8,
+        ),
+    )
+    world = SyntheticWorld.create()
+    trajectory = corkscrew_trajectory()
+    state = make_initial_state(cfg)
+    jit_step = jax.jit(functools.partial(step, cfg=cfg))
+    prev_expected = Rigid3.identity()
+    max_t_err = 0.0
+    for time, expected_pose in trajectory:
+        points, times = world.cast_scan(expected_pose)
+        cloud = pad_point_cloud(points, times, CAPACITY)
+        rel = prev_expected.inverse().compose(expected_pose)
+        scan = ScanInput(
+            time=jnp.float32(time),
+            points=cloud.points,
+            times=cloud.times,
+            mask=cloud.mask,
+            relative_prediction=Rigid3(rel.rotation, rel.translation),
+        )
+        state, result = jit_step(state, scan)
+        max_t_err = max(
+            max_t_err,
+            float(jnp.linalg.norm(
+                result.local_pose.translation - expected_pose.translation)),
+        )
+        prev_expected = expected_pose
+    assert max_t_err < 0.1, max_t_err
+    assert int(state.submaps.low_brick.dropped[0]) == 0
