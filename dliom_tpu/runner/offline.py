@@ -147,7 +147,23 @@ def run(args) -> dict:
         )
         scans, imu, gt = _synthetic_dataset()
     else:
-        scans, imu, gt = _load_npz_dataset(args.dataset)
+        # multi-bag replay (offline_node's sequential bag list): a
+        # comma-separated dataset list maps as ONE continuous trajectory
+        paths = [p for p in args.dataset.split(",") if p]
+        scans, imu, gt = _load_npz_dataset(paths[0])
+        for p in paths[1:]:
+            s2, i2, g2 = _load_npz_dataset(p)
+            scans.extend(s2)
+            imu.extend(i2)
+            if gt is not None and g2 is not None:
+                import numpy as _np
+
+                gt = (
+                    _np.concatenate([gt[0], g2[0]]),
+                    _np.concatenate([gt[1], g2[1]]),
+                )
+        scans.sort(key=lambda s: s[0])
+        imu.sort(key=lambda s: s[0])
 
     if getattr(args, "load_state", None):
         from dliom_tpu.map_builder import map_builder_from_state
@@ -268,7 +284,9 @@ def run(args) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="synthetic",
-                    help="'synthetic' or path to a .npz dataset")
+                    help="'synthetic' or path(s) to .npz dataset(s); a "
+                         "comma-separated list replays sequentially as one "
+                         "trajectory (offline_node multi-bag analog)")
     ap.add_argument("--preset", default="basic")
     ap.add_argument("--config-overrides", default=None,
                     help="JSON dict of config overrides")
