@@ -142,6 +142,13 @@ class PoseGraph:
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
 
+    @property
+    def low_compress_capacity(self) -> int:
+        """Sparse-cell capacity for low-res submap grids (coarser cells ->
+        fewer occupied voxels). The single source for frontend capture paths
+        that pre-compress on device (map_builder.py)."""
+        return self._compress_capacity // 4
+
     def add_submap(self, local_pose: Rigid3) -> int:
         self.submaps.append(
             SubmapRecord(
@@ -169,7 +176,7 @@ class PoseGraph:
             s.low = jax.tree.map(jnp.asarray, low_values)
         else:
             s.low = compress(
-                low_values, self._lo_spec, self._compress_capacity // 4
+                low_values, self._lo_spec, self.low_compress_capacity
             )
         if self.cfg.constraint_builder.use_image_proposals:
             if dense_high is None:

@@ -266,11 +266,15 @@ class MapBuilder:
         self._metrics["scan_matcher_cost"].add().observe(
             float(res.scan.matcher_cost)
         )
-        brick = self._lio.frontend.submaps.high_brick
-        if brick is not None:
-            self._metrics["brick_groups_dropped"].add().set(
-                float(brick.dropped[0])
-            )
+        dropped_total = None
+        for bank in (
+            self._lio.frontend.submaps.high_brick,
+            self._lio.frontend.submaps.low_brick,
+        ):
+            if bank is not None:
+                dropped_total = (dropped_total or 0.0) + float(bank.dropped[0])
+        if dropped_total is not None:
+            self._metrics["brick_groups_dropped"].add().set(dropped_total)
         out = {
             "time": time,
             "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),
@@ -410,7 +414,7 @@ class MapBuilder:
                     from dliom_tpu.mapping.submap import brick_spec_low
 
                     lbspec = brick_spec_low(self.tb.submaps)
-                    lcap = self.pose_graph._compress_capacity // 4
+                    lcap = self.pose_graph.low_compress_capacity
                     self._jit_aux["compress_brick_low"] = jax.jit(
                         lambda bank, s: compress_brick(
                             bank, lbspec, s, lo_spec_c, lcap

@@ -71,6 +71,9 @@ class BrickGridSpec(NamedTuple):
     @property
     def morton_bits(self) -> int:
         """Bits per axis of the brick Morton code (dir_extent padded up)."""
+        # part1by2 spreads 10 bits/axis; beyond that, bricks would silently
+        # alias onto the same Morton code
+        assert self.dir_extent <= 1024, "dir_extent > 1024 exceeds Morton range"
         return max(1, int(self.dir_extent - 1).bit_length())
 
     @property
@@ -127,39 +130,24 @@ def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
     )
 
 
-def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
-    """Spread 10 bits of x with two zero bits between each (ops/morton.py)."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x30000FF
-    x = (x | (x << 8)) & 0x300F00F
-    x = (x | (x << 4)) & 0x30C30C3
-    x = (x | (x << 2)) & 0x9249249
-    return x
-
-
-def _compact1by2(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of _part1by2."""
-    x = x & 0x9249249
-    x = (x | (x >> 2)) & 0x30C30C3
-    x = (x | (x >> 4)) & 0x300F00F
-    x = (x | (x >> 8)) & 0x30000FF
-    x = (x | (x >> 16)) & 0x3FF
-    return x
-
-
 def _morton_brick(brick: jnp.ndarray) -> jnp.ndarray:
-    """Unsigned brick coords (..., 3) -> Morton code. Low bits interleave
-    x,y,z, so code//32 chunks are compact 4x4x2-brick spatial blocks."""
+    """Unsigned brick coords (..., 3) -> Morton code (bit spreading from
+    ops/morton.py). Low bits interleave x,y,z, so code//32 chunks are
+    compact 4x4x2-brick spatial blocks."""
+    from dliom_tpu.ops.morton import part1by2
+
     return (
-        _part1by2(brick[..., 0])
-        | (_part1by2(brick[..., 1]) << 1)
-        | (_part1by2(brick[..., 2]) << 2)
+        part1by2(brick[..., 0])
+        | (part1by2(brick[..., 1]) << 1)
+        | (part1by2(brick[..., 2]) << 2)
     )
 
 
 def _demorton_brick(code: jnp.ndarray) -> jnp.ndarray:
+    from dliom_tpu.ops.morton import compact1by2
+
     return jnp.stack(
-        [_compact1by2(code), _compact1by2(code >> 1), _compact1by2(code >> 2)],
+        [compact1by2(code), compact1by2(code >> 1), compact1by2(code >> 2)],
         axis=-1,
     )
 
@@ -578,8 +566,15 @@ def compress_brick(bank: BrickBank, spec: BrickGridSpec, slot, dense_spec, capac
     pool = jax.lax.dynamic_slice(
         bank.pool, (slot * spec.num_pool_cells,), (spec.num_pool_cells,)
     ).astype(jnp.int32)
-    top_vals, top_addr = jax.lax.top_k(pool, capacity)
     cpg = spec.cells_per_group
+    # STALE cells must be masked BEFORE top_k: grouped configs never clear
+    # the pool on slot recycling (reset_slot clears only the directory), so
+    # a recycled slot's unre-allocated groups still hold the previous
+    # submap's values — filtering only after top_k lets them crowd every
+    # real cell out of `capacity` (recycled submaps then compress empty).
+    cell_pg = jnp.arange(spec.num_pool_cells, dtype=jnp.int32) // cpg
+    pool = jnp.where(cell_pg < bank.counts[slot], pool, 0)
+    top_vals, top_addr = jax.lax.top_k(pool, capacity)
     pg = top_addr // cpg
     within = top_addr % cpg
     dgroup = bank.group_of_slot[slot * spec.num_pool_groups + pg]

@@ -383,5 +383,6 @@ def apply_pending_spawn(
             jnp.where(pending, 0, s.num_range_data[new_slot])
         ),
         num_created=s.num_created + pending.astype(jnp.int32),
-        pending_spawn=jnp.logical_and(s.pending_spawn, ~pending),
+        # pending IS s.pending_spawn, so the flag always clears
+        pending_spawn=jnp.bool_(False),
     )

@@ -14,7 +14,7 @@ BITS = 10  # per axis; codes fit 30 bits
 RANGE = 1 << BITS  # 1024 cells per axis
 
 
-def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+def part1by2(x: jnp.ndarray) -> jnp.ndarray:
     """Spread 10 bits of x so there are two zero bits between each."""
     x = x & 0x3FF
     x = (x | (x << 16)) & 0x30000FF
@@ -22,6 +22,19 @@ def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
     x = (x | (x << 4)) & 0x30C30C3
     x = (x | (x << 2)) & 0x9249249
     return x
+
+
+def compact1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of part1by2: gather every third bit back into 10 bits."""
+    x = x & 0x9249249
+    x = (x | (x >> 2)) & 0x30C30C3
+    x = (x | (x >> 4)) & 0x300F00F
+    x = (x | (x >> 8)) & 0x30000FF
+    x = (x | (x >> 16)) & 0x3FF
+    return x
+
+
+_part1by2 = part1by2
 
 
 def encode(cells: jnp.ndarray) -> jnp.ndarray:

@@ -218,6 +218,8 @@ def apply_grouped_updates(
     banks' entry: group id == pool row). `dummy_group` must be a group that
     real updates never touch (unused steps park there)."""
     cb = cell_bits(cells_per_group)
+    g_total = pool_flat.shape[0] // cells_per_group
+    assert g_total << cb < 2**31, "packed key group id overflow"
     rows, starts, ends = build_group_tables(
         sorted_keys >> cb, sorted_keys != _SENTINEL, num_groups)
     rows = jnp.where(rows >= 0, rows, jnp.int32(dummy_group))

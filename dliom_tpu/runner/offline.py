@@ -164,6 +164,11 @@ def run(args) -> dict:
                 )
         scans.sort(key=lambda s: s[0])
         imu.sort(key=lambda s: s[0])
+        if gt is not None:
+            import numpy as _np
+
+            order = _np.argsort(gt[0])
+            gt = (gt[0][order], gt[1][order])
 
     if getattr(args, "load_state", None):
         from dliom_tpu.map_builder import map_builder_from_state

@@ -132,3 +132,16 @@ def test_reset_and_reinsert_grouped_matches_fresh():
     crop_a = np.asarray(dense_crop(bank, spec_p, 0, 64))
     crop_b = np.asarray(dense_crop(fresh_bank, spec_p, 0, 64))
     np.testing.assert_array_equal(crop_a, crop_b)
+
+    # Backend capture must also be stale-blind: compress_brick masks stale
+    # pool groups BEFORE its top_k — otherwise the previous occupant's cells
+    # crowd out every real cell and recycled submaps compress to empty.
+    from dliom_tpu.mapping.brick_grid import compress_brick
+    from dliom_tpu.mapping.grid import GridSpec
+
+    dense_spec = GridSpec(resolution=0.1, extent=64)
+    ca = compress_brick(bank, spec_p, 0, dense_spec, 256)
+    cb = compress_brick(fresh_bank, spec_p, 0, dense_spec, 256)
+    assert int(ca.count) == int(cb.count) and int(ca.count) > 0
+    np.testing.assert_array_equal(np.asarray(ca.indices), np.asarray(cb.indices))
+    np.testing.assert_array_equal(np.asarray(ca.values), np.asarray(cb.values))
