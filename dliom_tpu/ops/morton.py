@@ -34,9 +34,6 @@ def compact1by2(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-_part1by2 = part1by2
-
-
 def encode(cells: jnp.ndarray) -> jnp.ndarray:
     """Signed voxel indices (..., 3) in [-512, 512) -> Morton codes (...,).
 
@@ -45,7 +42,7 @@ def encode(cells: jnp.ndarray) -> jnp.ndarray:
     """
     c = jnp.clip(cells + RANGE // 2, 0, RANGE - 1)
     return (
-        _part1by2(c[..., 0])
-        | (_part1by2(c[..., 1]) << 1)
-        | (_part1by2(c[..., 2]) << 2)
+        part1by2(c[..., 0])
+        | (part1by2(c[..., 1]) << 1)
+        | (part1by2(c[..., 2]) << 2)
     )
