@@ -443,8 +443,7 @@ class PoseGraph:
                         node.local_pose
                     )
                     initials.append(proposal_to_initial_guess(
-                        image_proposals[to_id], to_sub.global_pose,
-                        from_sub.global_pose, node_in_from,
+                        image_proposals[to_id], node_in_from,
                     ))
                 else:
                     # initial from the current global estimates
@@ -503,7 +502,8 @@ class PoseGraph:
                         float(scores[i])
                     )
                 added += 1
-        if self._metrics:
+        # the matching increment only happens on the pool-dispatch path
+        if self._metrics and self._pool is not None:
             self._metrics["queue_length"].add().decrement()
         return added
 
@@ -602,7 +602,10 @@ class PoseGraph:
         F = data.ff_node.shape[0]
         ffn = np.zeros(F, np.int32); fft = np.zeros((F, 3), np.float32)
         ffw = np.zeros(F, np.float32); ffv = np.zeros(F, bool)
-        for i, (nid, pos, w) in enumerate(self.fixed_frame_observations[:F]):
+        # keep the MOST RECENT observations when over capacity (recent
+        # anchoring matters most on long trajectories; silently dropping the
+        # newest fixes would un-anchor the live end of the map)
+        for i, (nid, pos, w) in enumerate(self.fixed_frame_observations[-F:]):
             ffn[i], fft[i], ffw[i], ffv[i] = nid, pos, w, True
         L = data.lm_node.shape[0]
         lmn = np.zeros(L, np.int32); lmi = np.zeros(L, np.int32)
@@ -611,8 +614,11 @@ class PoseGraph:
         K = data.lm_positions.shape[0]
         lmp = np.zeros((K, 3), np.float32)
         lmpv = np.zeros(K, bool)
-        for i, (nid, lid, rel, w) in enumerate(self.landmark_observations[:L]):
-            lmn[i], lmi[i], lmr[i], lmw[i], lmv[i] = nid, lid, rel, w, True
+        for i, (nid, lid, rel, w) in enumerate(self.landmark_observations[-L:]):
+            # ids beyond the landmark-position capacity are dropped, NOT
+            # clamped: a clamped gather would alias them onto landmark K-1
+            lmn[i], lmi[i], lmr[i], lmw[i] = nid, min(lid, K - 1), rel, w
+            lmv[i] = lid < K
             if lid < K and not lmpv[lid]:
                 # initialize the landmark at its first observation's estimate
                 node = self.nodes[nid]
@@ -646,7 +652,11 @@ class PoseGraph:
         if not self.constraints or len(self.submaps) < 2:
             self._nodes_since_optimization = 0
             return
-        iters = iterations or self.cfg.optimization_problem.max_num_iterations
+        if iterations is None:
+            iterations = self.cfg.optimization_problem.max_num_iterations
+        iters = iterations
+        if iters <= 0:
+            return
         if "solve" not in self._jit_cache:
             self._jit_cache["solve"] = jax.jit(
                 functools.partial(
@@ -665,7 +675,11 @@ class PoseGraph:
         self._nodes_since_optimization = 0
 
     def run_final_optimization(self) -> None:
-        """RunFinalOptimization (max_num_final_iterations, :722)."""
+        """RunFinalOptimization (max_num_final_iterations, :722). One GN
+        outer iteration here runs 64 preconditioned-CG inner steps, so it is
+        NOT comparable to one Ceres LM iteration — the cap keeps the solve
+        at an equivalent (converged) effort rather than literally running
+        the reference's 400 LM iterations."""
         self.run_optimization(
             iterations=min(self.cfg.max_num_final_iterations, 50)
         )
@@ -692,11 +706,14 @@ class PoseGraph:
         heavy data; older ones drop grids/images and leave loop search.
         Poses and constraints stay (the optimized trajectory is retained).
         Returns the number of submaps trimmed this call."""
+        # background constraint searches hold references to submap grids;
+        # nulling them mid-search would crash the worker
+        self.wait_for_all_computations()
         unfrozen = [s for s in self.submaps if not s.frozen]
         trimmed = 0
         if len(unfrozen) <= keep:
             return 0
-        for s in unfrozen[:-keep]:
+        for s in unfrozen[: len(unfrozen) - keep]:
             if not s.trimmed and s.finished:
                 s.high = None
                 s.low = None

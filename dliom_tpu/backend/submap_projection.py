@@ -140,15 +140,14 @@ def propose_2d_transform(
 
 def proposal_to_initial_guess(
     proposal: Proposal,
-    anchor_pose: Rigid3,  # global pose of the anchor (to) submap
-    other_pose: Rigid3,  # global pose of the other (from) submap
     node_pose_in_other: Rigid3,
 ) -> Rigid3:
     """Embed the 2D proposal as the node-in-anchor initial guess
-    (ComputeConstraint's T_G1_S1 * T_2D * T_S2_G2 * node composition,
-    constraint_builder_3d.cc:240-259, with the yaw-removed gravity-aligned
-    frames approximated by the submap frames — submap rotations are gravity
-    alignments by construction)."""
+    (ComputeConstraint, constraint_builder_3d.cc:240-259). The proposal's
+    (yaw, shift) already IS the anchor-from-other submap transform in their
+    gravity-aligned frames (submap rotations are gravity alignments by
+    construction), so no global-pose composition is involved — drifted
+    global estimates cannot and should not affect the image-derived seed."""
     t2d = Rigid3(
         rotation=quat_from_yaw(proposal.yaw),
         translation=jnp.asarray(

@@ -74,7 +74,11 @@ class DynamicInitializer:
 
     def _segment_preint(self) -> pre.Preintegrated:
         n = len(self._seg_dts)
-        cap = max(n, 1)
+        # pad to the next multiple of 32: IMU counts per scan interval
+        # jitter by a few samples, and every distinct count would otherwise
+        # compile a fresh preintegration program during the
+        # latency-sensitive initialization window
+        cap = max(32 * ((n + 31) // 32), 32)
         dts = np.zeros(cap, np.float32)
         accs = np.zeros((cap, 3), np.float32)
         gyrs = np.zeros((cap, 3), np.float32)

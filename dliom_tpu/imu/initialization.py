@@ -221,7 +221,14 @@ def initialize_dynamic(
     Returns (g, velocities, ok)."""
     g, _, ok0 = approximate_gravity(inp, tlb_pose, g_norm)
     g_ref, vs = refine_gravity(inp, tlb_pose, g_norm, g)
-    ok = ok0 & (jnp.abs(jnp.linalg.norm(g_ref) - g_norm) < 0.2)
+    # refine_gravity renormalizes to exactly g_norm, so a norm gate there is
+    # vacuous; instead reject refinements that swing far from the
+    # approximate direction (poor excitation that barely passed ok0's
+    # |norm - g| < 1 gate diverges direction-wise during refinement)
+    cos = jnp.dot(g_ref, g) / jnp.maximum(
+        jnp.linalg.norm(g_ref) * jnp.linalg.norm(g), 1e-12
+    )
+    ok = ok0 & (cos > 0.9)  # within ~25 degrees
     return g_ref, vs, ok
 
 

@@ -360,7 +360,16 @@ def push_key(
     state = jax.lax.cond(full, slide, lambda s: s, state)
     idx = jnp.minimum(state.num_keys, w - 1)
 
-    sqrt_info = sqrt_information(pre.covariance[0:9, 0:9])
+    # IMU-dropout guard: an empty preintegration (no samples -> dt == 0,
+    # covariance == 0) would whiten with ~1e9 off the jitter floor, pinning
+    # the key to its predecessor and overpowering the scan-match
+    # observation. Zero-weight the IMU factor instead — the pose prior and
+    # neighbors still constrain the key.
+    sqrt_info = jnp.where(
+        pre.dt > 0.0,
+        sqrt_information(pre.covariance[0:9, 0:9]),
+        jnp.zeros((9, 9), jnp.float32),
+    )
 
     def set_row(arr, value):
         return arr.at[idx].set(value)
