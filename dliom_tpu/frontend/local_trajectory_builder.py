@@ -267,8 +267,13 @@ def step(
     filtered_in_opt = opt_pose.apply(prediction.inverse().apply(filtered.points))
     origin_in_opt = opt_pose.translation
 
-    # 8. Motion filter gate + insertion (InsertIntoSubmap:593-609).
-    similar, new_mf = mf.is_similar(
+    # 8. Motion filter gate + insertion (InsertIntoSubmap:593-609). An
+    # empty (fully masked-out) scan must not touch the filter state — the
+    # reference drops empty range data before the filter
+    # (AddAccumulatedRangeData:497-500); advancing last_pose/last_time on a
+    # phantom scan would wrongly motion-filter the NEXT real scan.
+    has_points = jnp.sum(filtered.mask) > 0
+    similar, mf_candidate = mf.is_similar(
         state.motion_filter,
         scan.time,
         opt_pose,
@@ -276,7 +281,12 @@ def step(
         max_distance_meters=cfg.motion_filter.max_distance_meters,
         max_angle_radians=cfg.motion_filter.max_angle_radians,
     )
-    insert = (~similar) & (jnp.sum(filtered.mask) > 0)
+    new_mf = jax.tree.map(
+        lambda a, b: jnp.where(has_points, a, b),
+        mf_candidate,
+        state.motion_filter,
+    )
+    insert = (~similar) & has_points
     if defer_grid_writes:
         insertion_batch = prepare_insertion(
             state.submaps, origin_in_opt, filtered_in_opt, filtered.mask,

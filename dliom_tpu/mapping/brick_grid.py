@@ -257,10 +257,7 @@ def reset_slot(
     )
 
 
-def _trunc_div(a, b):
-    q = a // b
-    r = a - q * b
-    return q + jnp.where((r != 0) & (a < 0), 1, 0)
+from dliom_tpu.ops.grid_update import _trunc_div  # shared C-truncation div
 
 
 def _insert_brick_slots(
@@ -348,6 +345,10 @@ def _insert_brick_slots(
             build_group_tables,
         )
 
+        # build_group_tables carries group ids and record positions through
+        # f32 matmul channels — both must stay exactly representable
+        assert ndg_flat < 2**24, "slot-qualified dir-group ids exceed f32 ints"
+        assert m < 2**24, "record count exceeds f32-exact positions"
         rows_dir, starts, ends = build_group_tables(
             s_g, s_valid, int(spec.apply_groups)
         )

@@ -51,6 +51,7 @@ def build_field(
     order = jnp.argsort(key)
     s_key = key[order]
     s_pts = points[order]
+    s_cells = cells
 
     first = jnp.concatenate([jnp.ones(1, bool), s_key[1:] != s_key[:-1]]) & (
         s_key < spec.num_cells
@@ -62,16 +63,30 @@ def build_field(
 
     w = (s_key < spec.num_cells).astype(jnp.float32)
     counts = jax.ops.segment_sum(w, slot_of_elem, num_segments=max_voxels + 1)
+    # Moments about each point's CELL CENTER, not the origin: E[pp^T] -
+    # mu mu^T on absolute f32 coordinates cancels catastrophically for
+    # voxels far from the origin (1e4-scale outer products vs sub-1 true
+    # covariances), which can push cov non-PSD -> NaN cholesky -> silently
+    # zeroed residuals for exactly the far-field voxels.
+    s_centers = s_cells[order].astype(jnp.float32) * spec.resolution
+    s_rel = s_pts - s_centers
     sums = jax.ops.segment_sum(
-        s_pts * w[:, None], slot_of_elem, num_segments=max_voxels + 1
+        s_rel * w[:, None], slot_of_elem, num_segments=max_voxels + 1
     )
-    outer = s_pts[:, :, None] * s_pts[:, None, :] * w[:, None, None]
+    center_sums = jax.ops.segment_sum(
+        s_centers * w[:, None], slot_of_elem, num_segments=max_voxels + 1
+    )
+    outer = s_rel[:, :, None] * s_rel[:, None, :] * w[:, None, None]
     sq = jax.ops.segment_sum(outer, slot_of_elem, num_segments=max_voxels + 1)
 
     counts = counts[:max_voxels]
-    means = sums[:max_voxels] / jnp.maximum(counts, 1.0)[:, None]
+    rel_means = sums[:max_voxels] / jnp.maximum(counts, 1.0)[:, None]
+    means = (
+        rel_means
+        + center_sums[:max_voxels] / jnp.maximum(counts, 1.0)[:, None]
+    )
     cov = sq[:max_voxels] / jnp.maximum(counts, 1.0)[:, None, None] - (
-        means[:, :, None] * means[:, None, :]
+        rel_means[:, :, None] * rel_means[:, None, :]
     )
     # NDT regularization: floor eigenvalues at a fraction of the voxel size
     eps = (0.05 * spec.resolution) ** 2

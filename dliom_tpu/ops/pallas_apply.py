@@ -220,6 +220,9 @@ def apply_grouped_updates(
     cb = cell_bits(cells_per_group)
     g_total = pool_flat.shape[0] // cells_per_group
     assert g_total << cb < 2**31, "packed key group id overflow"
+    # group ids and record positions ride f32 matmul channels in
+    # build_group_tables — both must stay exactly representable
+    assert g_total < 2**24 and sorted_keys.shape[0] < 2**24
     rows, starts, ends = build_group_tables(
         sorted_keys >> cb, sorted_keys != _SENTINEL, num_groups)
     rows = jnp.where(rows >= 0, rows, jnp.int32(dummy_group))

@@ -52,6 +52,11 @@ def _lattice(
         max(-1.0, 1.0 - resolution**2 / (2.0 * rng**2))
     )
     ang = int(round(angular_search_window / step)) if step > 0 else 0
+    # Bound the rotational lattice: the acos-derived step at long max ranges
+    # makes the full product combinatorial (tens of millions of candidates);
+    # the recovery matcher needs a coarse local sweep, not an exhaustive one
+    # (documented deviation from :64-72).
+    ang = min(ang, 4)
     ts, aas = [], []
     for z in range(-lin, lin + 1):
         for y in range(-lin, lin + 1):
@@ -119,8 +124,27 @@ def match(
         )
         return s * damp, cand_q, cand_t
 
-    scores, qs, ts = jax.vmap(score_one)(off_t, off_q)
+    # Chunked evaluation: a single vmap over all candidates materializes
+    # (C, N, 3) world points — tens of GB at large windows. lax.map over
+    # fixed-size blocks keeps peak memory at (chunk, N, 3).
+    c = off_t.shape[0]
+    chunk = min(256, c)
+    pad = (-c) % chunk
+    # zero angle-axis / zero translation padding scores like the identity
+    # candidate; padded entries are masked out of the argmax below
+    off_t_b = jnp.pad(off_t, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    off_q_b = jnp.pad(
+        off_q, ((0, pad), (0, 0)), constant_values=0.0
+    ).at[c:, 0].set(1.0).reshape(-1, chunk, 4)
+
+    def score_chunk(args):
+        t, q = args
+        return jax.vmap(lambda a, b: score_one(a, b)[0])(t, q)
+
+    scores = jax.lax.map(score_chunk, (off_t_b, off_q_b)).reshape(-1)
+    scores = jnp.where(jnp.arange(scores.shape[0]) < c, scores, -jnp.inf)
     best = jnp.argmax(scores)
+    _, best_q, best_t = score_one(off_t[best], off_q[best])
     return RealTimeMatchResult(
-        pose=Rigid3(qs[best], ts[best]), score=scores[best]
+        pose=Rigid3(best_q, best_t), score=scores[best]
     )

@@ -47,7 +47,6 @@ def compute_histogram(
     points: jnp.ndarray, mask: jnp.ndarray, num_buckets: int = 120
 ) -> jnp.ndarray:
     """Histogram of a (gravity-aligned) cloud; (num_buckets,) float32."""
-    n = points.shape[0]
     z_slice = jnp.round(points[:, 2] / SLICE_HEIGHT).astype(jnp.int32)
     slice_id = jnp.clip(z_slice + _NUM_SLICES // 2, 0, _NUM_SLICES - 1)
     seg = jnp.where(mask, slice_id, _NUM_SLICES)
@@ -95,12 +94,9 @@ def compute_histogram(
     dist = jnp.linalg.norm(delta, axis=-1)
     dirn = jnp.linalg.norm(direction, axis=-1)
     same_slice = (sseg[1:] == sseg[:-1]) & svalid[1:] & svalid[:-1]
-    keep = (
-        same_slice
-        & (dist >= MIN_DISTANCE)
-        & (dist <= MAX_DISTANCE)
-        & (dirn >= MIN_DISTANCE)
-    )
+    # (no dirn gate here: every sorted-valid point already passed the
+    # identical per-point far_enough check above)
+    keep = same_slice & (dist >= MIN_DISTANCE) & (dist <= MAX_DISTANCE)
     angle = jnp.arctan2(delta[:, 1], delta[:, 0])
     ortho = 1.0 - jnp.abs(
         jnp.sum(delta * direction, axis=-1) / jnp.maximum(dist * dirn, 1e-12)
