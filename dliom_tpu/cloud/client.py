@@ -14,13 +14,28 @@ from dliom_tpu.cloud import wire
 
 class MapBuilderStub:
     def __init__(self, host: str, port: int, timeout: float = 60.0):
-        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._addr = (host, port)
+        self._timeout = timeout
+        self._sock = socket.create_connection(self._addr, timeout=timeout)
         self._lock = threading.Lock()
 
     def _call(self, method: str, **params):
         with self._lock:
-            wire.send_msg(self._sock, {"method": method, "params": params})
-            reply = wire.recv_msg(self._sock)
+            try:
+                wire.send_msg(self._sock, {"method": method, "params": params})
+                reply = wire.recv_msg(self._sock)
+            except OSError:
+                # A timed-out/failed call leaves the request/reply stream
+                # desynchronized (the late reply would be read as the NEXT
+                # call's response). Drop the connection so the next call
+                # starts on a clean stream, then re-raise.
+                try:
+                    self._sock.close()
+                finally:
+                    self._sock = socket.create_connection(
+                        self._addr, timeout=self._timeout
+                    )
+                raise
         if reply is None:
             raise ConnectionError("server closed connection")
         if not reply.get("ok"):

@@ -82,6 +82,13 @@ class MapBuilderServer:
                         )
                     elif kind == "finish":
                         self.map_builder.finish_trajectory()
+            except Exception as e:  # noqa: BLE001
+                # one malformed message must not kill the drain thread: the
+                # queue would fill and every sensor RPC would block forever.
+                # Record the error (surfaced by the status RPC) and keep
+                # draining.
+                self.last_error = f"{kind}: {e!r}"
+                self.num_errors = getattr(self, "num_errors", 0) + 1
             finally:
                 if done is not None:
                     done.set()
@@ -163,6 +170,13 @@ class MapBuilderServer:
                 }
         if method == "metrics":
             return {"ok": True, "text": self.map_builder.metrics_text()}
+        if method == "status":
+            return {
+                "ok": True,
+                "queue_depth": self._queue.qsize(),
+                "num_errors": getattr(self, "num_errors", 0),
+                "last_error": getattr(self, "last_error", ""),
+            }
         if method == "write_state":
             from dliom_tpu.io.serialization import save_state
 

@@ -26,6 +26,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from dliom_tpu.io.pointcloud_formats import decode_points
+
 
 def load_kitti_velodyne_bin(path: str) -> np.ndarray:
     """One KITTI velodyne .bin -> (N, 4) x, y, z, intensity."""
@@ -99,7 +101,7 @@ def convert_rosbag(
             "converter inside a ROS environment and copy the .npz over"
         ) from e
 
-    field, scale, _ = POINT_TIME_FIELDS[sensor_type]
+    field = POINT_TIME_FIELDS[sensor_type][0]
     data = {}
     imu_t, imu_a, imu_g = [], [], []
     k = 0
@@ -121,20 +123,35 @@ def convert_rosbag(
             if max_scans and k >= max_scans:
                 continue
             names = [f.name for f in msg.fields]
-            want = ["x", "y", "z"] + ([field] if field in names else [])
+            has_time = field in names
+            want = ["x", "y", "z"] + ([field] if has_time else [])
             rows = list(pc2.read_points(msg, field_names=want, skip_nans=True))
-            arr = np.asarray(rows, np.float64)
-            pts = arr[:, :3].astype(np.float32)
-            if arr.shape[1] > 3:
-                rel = arr[:, 3] * scale
-                rel = rel - rel.max()  # last point = 0
+            # one decoder: route through decode_points (the SensorBridge
+            # analog) so stamp/rebase conventions cannot diverge from the
+            # online ingest path
+            arr64 = np.asarray(rows, np.float64).reshape(len(rows), len(want))
+            if has_time:
+                rec = np.zeros(
+                    len(rows),
+                    dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                           (field, "f8")],
+                )
+                if len(rows):
+                    rec["x"], rec["y"], rec["z"] = (
+                        arr64[:, 0], arr64[:, 1], arr64[:, 2]
+                    )
+                    rec[field] = arr64[:, 3]
+                stamp, pts, rel = decode_points(
+                    rec, sensor_type, msg.header.stamp.to_sec()
+                )
             else:
-                rel = np.zeros(len(pts))
+                stamp, pts, rel = decode_points(
+                    arr64[:, :3].astype(np.float32), "generic",
+                    msg.header.stamp.to_sec(),
+                )
             data[f"scans/{k}/points"] = pts
             data[f"scans/{k}/times"] = rel.astype(np.float32)
-            data[f"scans/{k}/stamp"] = np.float64(
-                msg.header.stamp.to_sec() + (rel.max() if len(rel) else 0.0)
-            )
+            data[f"scans/{k}/stamp"] = np.float64(stamp)
             k += 1
     data["imu/times"] = np.asarray(imu_t, np.float64)
     data["imu/acc"] = np.asarray(imu_a, np.float32)

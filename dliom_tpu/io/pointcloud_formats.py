@@ -47,6 +47,11 @@ def decode_points(
     ok = _finite_mask(xyz)
     names = arr.dtype.names or ()
 
+    if len(xyz) == 0:
+        # empty scans (occlusion / startup / all-NaN frames) must decode to
+        # an empty cloud, not crash on t[-1]
+        return float(header_stamp), xyz, np.zeros(0, np.float32)
+
     if sensor_type == "ouster":
         t = arr["t"].astype(np.float64) * 1e-9
         rel_last = float(t[-1])

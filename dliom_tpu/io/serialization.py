@@ -146,16 +146,18 @@ def load_state(
         rec.frozen = frozen
         pg.submaps.append(rec)
     for i in range(meta["num_nodes"]):
+        hi_cloud = _load_cloud(z, f"node/{i}/high")
+        lo_cloud = _load_cloud(z, f"node/{i}/low")
         pg.nodes.append(
             NodeRecord(
                 time=float(z[f"node/{i}/time"]),
                 local_pose=_arr_pose(z[f"node/{i}/local_pose"]),
                 global_pose=_arr_pose(z[f"node/{i}/global_pose"]),
                 gravity_alignment=z[f"node/{i}/gravity"],
-                high_points=jnp.asarray(_load_cloud(z, f"node/{i}/high")[0]),
-                high_mask=jnp.asarray(_load_cloud(z, f"node/{i}/high")[1]),
-                low_points=jnp.asarray(_load_cloud(z, f"node/{i}/low")[0]),
-                low_mask=jnp.asarray(_load_cloud(z, f"node/{i}/low")[1]),
+                high_points=jnp.asarray(hi_cloud[0]),
+                high_mask=jnp.asarray(hi_cloud[1]),
+                low_points=jnp.asarray(lo_cloud[0]),
+                low_mask=jnp.asarray(lo_cloud[1]),
                 histogram=jnp.asarray(z[f"node/{i}/histogram"]),
                 submap_ids=tuple(z[f"node/{i}/submap_ids"]),
                 frozen=frozen,

@@ -31,6 +31,7 @@ class RangeDataSynchronizer:
         self._buffer: Dict[str, List[Tuple[float, np.ndarray, np.ndarray]]] = {
             s: [] for s in self._ids[1:]
         }
+        self._last_end: Optional[float] = None
 
     @property
     def primary(self) -> str:
@@ -86,6 +87,11 @@ class RangeDataSynchronizer:
             for (s_stamp, s_pts, s_times) in bufs:
                 abs_t = s_stamp + s_times
                 sel = (abs_t >= start) & (abs_t <= end)
+                if self._last_end is not None:
+                    # a partially-consumed cloud stays buffered for the next
+                    # window; exclude what the previous window already took
+                    # (consecutive windows share their boundary instant)
+                    sel &= abs_t > self._last_end
                 if np.any(sel):
                     merged_p.append(s_pts[sel])
                     merged_t.append((abs_t[sel] - end).astype(np.float32))
@@ -97,4 +103,5 @@ class RangeDataSynchronizer:
         pts = np.concatenate(merged_p)
         tms = np.concatenate(merged_t)
         order = np.argsort(tms, kind="stable")
+        self._last_end = end
         return end, pts[order], tms[order]
