@@ -68,12 +68,17 @@ def rpe_rmse(
     gt_positions: np.ndarray,
     delta: int = 10,
 ) -> float:
-    """Relative pose (translation) error over a fixed index delta."""
+    """Relative pose (translation) error over a fixed index delta: RMSE of
+    the relative-displacement ERROR VECTOR norm (comparing only segment
+    lengths would be blind to direction-only drift). Returns 0.0 for
+    trajectories shorter than the delta."""
     est = np.asarray(est_positions, np.float64)
     gt = np.asarray(gt_positions, np.float64)
+    if len(est) <= delta:
+        return 0.0
     de = est[delta:] - est[:-delta]
     dg = gt[delta:] - gt[:-delta]
-    d = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
+    d = np.linalg.norm(de - dg, axis=1)
     return float(np.sqrt(np.mean(d * d)))
 
 

@@ -94,6 +94,7 @@ class MapBuilder:
         self._imu_acc: List[np.ndarray] = []
         self._imu_gyr: List[np.ndarray] = []
         self._last_imu_time: Optional[float] = None
+        self._time_origin: Optional[float] = None
         self._jit_step = jax.jit(functools.partial(lio_step, cfg=tb))
         self._results: List[dict] = []
         # frontend submap id -> pose graph submap id (0 maps to 0 unless a
@@ -247,8 +248,13 @@ class MapBuilder:
 
         cloud = pad_point_cloud(points, point_times, self.tb.max_raw_points // 8)
         dts, accs, gyrs, imask = self._imu_bridge(time)
+        # Rebase to trajectory-relative time before the f32 cast: absolute
+        # ROS-epoch stamps (~1.7e9 s) have 256 s f32 spacing, which would
+        # quantize the motion filter's dt to zero and disable its time gate.
+        if self._time_origin is None:
+            self._time_origin = float(time)
         inp = LioScanInput(
-            time=jnp.float32(time),
+            time=jnp.float32(time - self._time_origin),
             points=cloud.points,
             times=cloud.times,
             mask=cloud.mask,

@@ -257,7 +257,6 @@ def insert_range_data_into_submaps(
     through the compiled graph with no-op updates). Returns (state, finished):
     `finished` is the submap id finished by a spawn this step, or -1.
     """
-    hi, lo = grid_specs(cfg)
     batch = prepare_insertion(
         state, origin_in_local, returns_in_local, returns_mask, cfg, enabled
     )

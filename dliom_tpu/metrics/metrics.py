@@ -31,15 +31,21 @@ class Counter:
 class Gauge:
     def __init__(self):
         self._value = 0.0
+        # increment/decrement are used from the main thread and pool
+        # workers concurrently (queue_length); unlocked += loses updates
+        self._lock = threading.Lock()
 
     def set(self, value: float):
-        self._value = value
+        with self._lock:
+            self._value = value
 
     def increment(self, by: float = 1.0):
-        self._value += by
+        with self._lock:
+            self._value += by
 
     def decrement(self, by: float = 1.0):
-        self._value -= by
+        with self._lock:
+            self._value -= by
 
     @property
     def value(self) -> float:
@@ -93,12 +99,14 @@ class _Family:
         self.description = description
         self._ctor = ctor
         self._children: Dict[Tuple[Tuple[str, str], ...], object] = {}
+        self._lock = threading.Lock()
 
     def add(self, labels: Optional[Dict[str, str]] = None):
         key = tuple(sorted((labels or {}).items()))
-        if key not in self._children:
-            self._children[key] = self._ctor()
-        return self._children[key]
+        with self._lock:  # first-use from two threads must share one child
+            if key not in self._children:
+                self._children[key] = self._ctor()
+            return self._children[key]
 
     def items(self):
         return list(self._children.items())

@@ -6,7 +6,7 @@ full pipeline at maximum speed, run final optimization, export the
 trajectory CSV (`WriteTrajectoryForDLIO`) and a state checkpoint, and report
 accuracy vs ground truth when available.
 
-Dataset format (the "bag" analog): a directory of .npz files or one .npz with
+Dataset format (the "bag" analog): one .npz (or a comma-separated list) with
 
   scans/<k>/points (N, 3) float32, scans/<k>/times (N,), scans/<k>/stamp ()
   imu/times (M,), imu/acc (M, 3), imu/gyr (M, 3)
@@ -57,9 +57,11 @@ def _synthetic_dataset(num_static: int = 8, imu_rate: float = 100.0):
     vels[-1] = (positions[-1] - positions[-2]) / (times[-1] - times[-2])
 
     imu = []
-    # static samples before the first scan (for the static initializer)
-    for i in range(int(1.5 * imu_rate)):
-        imu.append((0.01 * i - 1.5 + times[0], np.array([0, 0, g_norm], np.float32),
+    # static samples before the first scan (for the static initializer) —
+    # ending BEFORE the moving stream below starts at times[0] - 0.3, so
+    # the combined stream stays strictly time-ordered with no duplicates
+    for i in range(int(1.2 * imu_rate)):
+        imu.append((0.01 * i - 1.51 + times[0], np.array([0, 0, g_norm], np.float32),
                     np.zeros(3, np.float32)))
     scans = []
     prev_pose, prev_t = Rigid3.identity(), times[0] - 0.3
@@ -88,7 +90,6 @@ def _synthetic_dataset(num_static: int = 8, imu_rate: float = 100.0):
 
 def _load_npz_dataset(path: str):
     z = np.load(path, allow_pickle=False)
-    num_scans = int(z["num_scans"]) if "num_scans" in z else None
     scans = []
     k = 0
     while True:
@@ -155,12 +156,16 @@ def run(args) -> dict:
             s2, i2, g2 = _load_npz_dataset(p)
             scans.extend(s2)
             imu.extend(i2)
-            if gt is not None and g2 is not None:
+            if g2 is not None:
                 import numpy as _np
 
                 gt = (
-                    _np.concatenate([gt[0], g2[0]]),
-                    _np.concatenate([gt[1], g2[1]]),
+                    g2
+                    if gt is None
+                    else (
+                        _np.concatenate([gt[0], g2[0]]),
+                        _np.concatenate([gt[1], g2[1]]),
+                    )
                 )
         scans.sort(key=lambda s: s[0])
         imu.sort(key=lambda s: s[0])
@@ -274,14 +279,13 @@ def run(args) -> dict:
         gt_t, gt_p = gt
         est_t = np.asarray([t for t, _ in nodes])
         est_p = np.stack([np.asarray(p.translation) for _, p in nodes])
-        ok = (est_t >= gt_t[0]) & (est_t <= gt_t[-1])
-        if ok.sum() >= 3:
-            gt_interp = np.stack(
-                [np.interp(est_t[ok], gt_t, gt_p[:, k]) for k in range(3)], -1
-            )
-            report["ate_rmse_m"] = round(ate_rmse(est_p[ok], gt_interp, align=False), 4)
+        from dliom_tpu.evaluation.ate import associate
+
+        est_cov, gt_interp = associate(est_t, est_p, gt_t, gt_p)
+        if len(est_cov) >= 3:
+            report["ate_rmse_m"] = round(ate_rmse(est_cov, gt_interp, align=False), 4)
             report["ate_rmse_aligned_m"] = round(
-                ate_rmse(est_p[ok], gt_interp, align=True), 4
+                ate_rmse(est_cov, gt_interp, align=True), 4
             )
     return report
 
