@@ -90,13 +90,13 @@ _CHAIN_INTERPRET = False
 
 def _use_pallas_chain() -> bool:
     """The Pallas chain kernel runs on real TPU only; CPU (tests, virtual
-    meshes) keeps the associative_scan path — both are exact."""
+    meshes) keeps the associative_scan path — both are exact. Platform
+    resolution honors mesh-pinned `force_platform` contexts."""
     if FORCE_PALLAS_CHAIN is not None:
         return FORCE_PALLAS_CHAIN
-    d = jax.config.jax_default_device
-    if d is not None:
-        return d.platform == "tpu"
-    return jax.default_backend() == "tpu"
+    from dliom_tpu.common.platform import on_tpu
+
+    return on_tpu()
 
 
 def _pallas_affine_chain(f: jnp.ndarray, q: jnp.ndarray):

@@ -74,12 +74,11 @@ def dense_bank_size(num_cells: int, num_slots: int, apply_groups: int) -> int:
 
 def _interpret() -> bool:
     """Mosaic only compiles for TPU; fall back to interpreter otherwise.
-    `jax_default_device` wins over the registered backend — the test suite
-    pins computations to a virtual CPU mesh while a TPU plugin is loaded."""
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", str(dd)) != "tpu"
-    return jax.default_backend() != "tpu"
+    Resolution lives in common.platform so mesh-aware entry points can pin
+    the decision to the mesh's devices (not the process default backend)."""
+    from dliom_tpu.common.platform import on_tpu
+
+    return not on_tpu()
 
 
 def cell_bits(cells_per_group: int) -> int:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dliom_tpu.common.config import TrajectoryBuilderConfig
+from dliom_tpu.common.platform import force_platform, mesh_platform
 from dliom_tpu.frontend.lio import LioState, lio_step, make_lio_state
 from dliom_tpu.frontend.local_trajectory_builder import (
     FrontendState,
@@ -306,8 +307,15 @@ def sharded_lio_step(
     n_dev = mesh.devices.size
     local = batch // n_dev
 
+    platform = mesh_platform(mesh)
+
     def local_step(state, scans):
-        # identical body to make_batched_lio_step's run, at local batch size
+        # identical body to make_batched_lio_step's run, at local batch size;
+        # kernel dispatch pinned to the mesh's platform at trace time
+        with force_platform(platform):
+            return _local_step(state, scans)
+
+    def _local_step(state, scans):
         state = clear_spawned_slots(cfg, state)
         axes = _bank_axes(cfg, state)
         new_state, results = jax.vmap(
@@ -363,22 +371,38 @@ def shard_over_mesh(tree, mesh: Mesh, axis: str = "seq"):
     return jax.tree.map(put, tree)
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "seq") -> Mesh:
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = "seq",
+    platform: Optional[str] = None,
+) -> Mesh:
+    """Mesh over the first `n_devices` devices of `platform` (default: the
+    process default backend). Pass platform='cpu' to build a virtual host
+    mesh without ever initializing a TPU backend."""
+    avail = jax.devices(platform) if platform else jax.devices()
+    devices = avail[: n_devices or len(avail)]
+    if n_devices and len(devices) < n_devices:
+        raise RuntimeError(
+            f"requested {n_devices} {platform or 'default'} devices, have "
+            f"{len(avail)} (set --xla_force_host_platform_device_count "
+            "before the backend initializes for virtual CPU meshes)"
+        )
     return Mesh(devices, (axis,))
 
 
 def sharded_step(cfg: TrajectoryBuilderConfig, mesh: Mesh, axis: str = "seq"):
     """jit of the batched step with states/scans sharded over `axis`."""
     vstep = batched_step(cfg)
+    platform = mesh_platform(mesh)
 
     def spec_of(x):
         return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
 
     def run(state, scan):
-        state = jax.lax.with_sharding_constraint(
-            state, jax.tree.map(spec_of, state)
-        )
-        return vstep(state, scan)
+        with force_platform(platform):
+            state = jax.lax.with_sharding_constraint(
+                state, jax.tree.map(spec_of, state)
+            )
+            return vstep(state, scan)
 
     return jax.jit(run)
