@@ -23,6 +23,7 @@ half-resolution levels (DiscretizeScan :252-295).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -242,6 +243,14 @@ def match(
         angles = jnp.arange(-n_side, n_side + 1, dtype=jnp.float32) * step
     elif num_angles == 1:
         angles = jnp.zeros(1, jnp.float32)  # MatchWith3DofInitial: initial yaw only
+    elif cfg.angular_search_window >= math.pi - 1e-6:
+        # full circle (MatchFullSubmap): uniform distinct angles INCLUDING
+        # the initial yaw (a symmetric linspace over [-pi, pi] would
+        # duplicate the endpoints and skip 0 for even counts)
+        step = 2.0 * math.pi / num_angles
+        angles = (
+            jnp.arange(num_angles, dtype=jnp.float32) - num_angles // 2
+        ) * step
     else:
         angles = jnp.linspace(
             -cfg.angular_search_window,
@@ -289,4 +298,54 @@ def match(
         rotational_score=rot_scores[scan_idx[pick]],
         low_resolution_score=low_scores[pick],
         found=found,
+    )
+
+
+def match_full_submap(
+    pyramid: Pyramid,
+    spec: GridSpec,
+    low_values: jnp.ndarray,
+    low_spec: GridSpec,
+    high_points: jnp.ndarray,
+    high_mask: jnp.ndarray,
+    low_points: jnp.ndarray,
+    low_mask: jnp.ndarray,
+    node_rotation: jnp.ndarray,  # (4,) gravity-consistent node-in-submap rot
+    histogram: jnp.ndarray,
+    submap_histogram: jnp.ndarray,
+    cfg: FastCorrelativeConfig,
+    min_score: float,
+    *,
+    beam_width: int = 1024,
+) -> CorrelativeResult:
+    """Whole-submap, all-yaw search (MatchFullSubmap,
+    fast_correlative_scan_matcher_3d.cc:199-250): the linear window spans the
+    full grid extent around the submap center, yaw spans ±pi, and nothing is
+    assumed about the initial translation — this is the global-localization /
+    inter-trajectory entry (kidnapped start, unconnected trajectories).
+
+    `node_rotation` supplies roll/pitch only (both frames are
+    gravity-aligned, as in the reference, which composes gravity alignments);
+    any yaw component is irrelevant under the +-pi search. The rotational
+    histogram gates the `cfg.full_submap_num_angles` yaw candidates, exactly
+    as Match does."""
+    res = spec.resolution
+    wide = dataclasses.replace(
+        cfg,
+        linear_xy_search_window=spec.half * res,
+        linear_z_search_window=spec.half * res,
+        angular_search_window=math.pi,
+    )
+    from dliom_tpu.transform.rigid import quat_yaw
+
+    initial = Rigid3(node_rotation, jnp.zeros(3, jnp.float32))
+    return match(
+        pyramid, spec, low_values, low_spec,
+        high_points, high_mask, low_points, low_mask,
+        initial, histogram, submap_histogram,
+        # the histogram gate scores TOTAL yaw = base yaw + candidate angle
+        quat_yaw(node_rotation), wide, min_score,
+        num_angles=int(cfg.full_submap_num_angles),
+        use_rotational_gate=True,
+        beam_width=beam_width,
     )

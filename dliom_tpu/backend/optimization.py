@@ -58,20 +58,38 @@ class PoseGraphData(NamedTuple):
     node_fixed: jnp.ndarray  # (N,)
     # fixed-frame (GPS/navsat) position observations per node
     # (optimization_problem_3d.cc:491-548; the fixed-frame origin's
-    # translation is solved jointly as a 3-vector)
+    # translation is solved jointly as a 3-vector). Residuals get a Huber
+    # loss (huber_scale) via IRLS reweighting in _residuals.
     ff_node: jnp.ndarray  # (F,) int32
     ff_t: jnp.ndarray  # (F, 3) measured position in the fixed frame
     ff_weight: jnp.ndarray  # (F,)
     ff_valid: jnp.ndarray  # (F,)
-    # landmark observations: landmark l seen from node n at relative pose
-    # (landmark_cost_function_3d.h; single-node observation model)
-    lm_node: jnp.ndarray  # (L,) int32
+    # landmark observations (landmark_cost_function_3d.h): the landmark POSE
+    # (rotation + translation) observed in the tracking frame, from a pose
+    # linearly interpolated between the two bracketing nodes at the
+    # observation stamp; landmark world poses are variables
+    lm_node: jnp.ndarray  # (L,) int32 previous (bracketing) node
+    lm_node2: jnp.ndarray  # (L,) int32 next bracketing node
+    lm_alpha: jnp.ndarray  # (L,) interpolation parameter in [0, 1]
     lm_id: jnp.ndarray  # (L,) int32 landmark index
-    lm_rel_t: jnp.ndarray  # (L, 3) landmark position in the node frame
-    lm_weight: jnp.ndarray  # (L,)
+    lm_rel_q: jnp.ndarray  # (L, 4) landmark rotation in the tracking frame
+    lm_rel_t: jnp.ndarray  # (L, 3) landmark position in the tracking frame
+    lm_trans_weight: jnp.ndarray  # (L,)
+    lm_rot_weight: jnp.ndarray  # (L,)
     lm_valid: jnp.ndarray  # (L,)
+    lm_q: jnp.ndarray  # (K, 4) landmark world rotations (variables)
     lm_positions: jnp.ndarray  # (K, 3) landmark world positions (variables)
     lm_pos_valid: jnp.ndarray  # (K,)
+    # node-node relative-pose links: odometry and consecutive local-SLAM
+    # costs (upstream optimization_problem_3d.cc:437-489 — commented out in
+    # the D-LIOM reference; restored behind use_consecutive_node_costs)
+    nn_first: jnp.ndarray  # (Q,) int32
+    nn_second: jnp.ndarray  # (Q,) int32
+    nn_q: jnp.ndarray  # (Q, 4) expected second-in-first rotation
+    nn_t: jnp.ndarray  # (Q, 3)
+    nn_trans_weight: jnp.ndarray  # (Q,)
+    nn_rot_weight: jnp.ndarray  # (Q,)
+    nn_valid: jnp.ndarray  # (Q,)
 
 
 def make_pose_graph_data(
@@ -81,10 +99,14 @@ def make_pose_graph_data(
     max_fixed_frame: int = 256,
     max_landmark_obs: int = 256,
     max_landmarks: int = 64,
+    max_node_links: int = 1024,
 ) -> PoseGraphData:
     qi = jnp.zeros((max_submaps, 4), jnp.float32).at[:, 0].set(1.0)
     qn = jnp.zeros((max_nodes, 4), jnp.float32).at[:, 0].set(1.0)
     qc = jnp.zeros((max_constraints, 4), jnp.float32).at[:, 0].set(1.0)
+    ql = jnp.zeros((max_landmark_obs, 4), jnp.float32).at[:, 0].set(1.0)
+    qk = jnp.zeros((max_landmarks, 4), jnp.float32).at[:, 0].set(1.0)
+    qq = jnp.zeros((max_node_links, 4), jnp.float32).at[:, 0].set(1.0)
     return PoseGraphData(
         submap_q=qi,
         submap_t=jnp.zeros((max_submaps, 3), jnp.float32),
@@ -106,13 +128,36 @@ def make_pose_graph_data(
         ff_weight=jnp.zeros(max_fixed_frame, jnp.float32),
         ff_valid=jnp.zeros(max_fixed_frame, bool),
         lm_node=jnp.zeros(max_landmark_obs, jnp.int32),
+        lm_node2=jnp.zeros(max_landmark_obs, jnp.int32),
+        lm_alpha=jnp.zeros(max_landmark_obs, jnp.float32),
         lm_id=jnp.zeros(max_landmark_obs, jnp.int32),
+        lm_rel_q=ql,
         lm_rel_t=jnp.zeros((max_landmark_obs, 3), jnp.float32),
-        lm_weight=jnp.zeros(max_landmark_obs, jnp.float32),
+        lm_trans_weight=jnp.zeros(max_landmark_obs, jnp.float32),
+        lm_rot_weight=jnp.zeros(max_landmark_obs, jnp.float32),
         lm_valid=jnp.zeros(max_landmark_obs, bool),
+        lm_q=qk,
         lm_positions=jnp.zeros((max_landmarks, 3), jnp.float32),
         lm_pos_valid=jnp.zeros(max_landmarks, bool),
+        nn_first=jnp.zeros(max_node_links, jnp.int32),
+        nn_second=jnp.zeros(max_node_links, jnp.int32),
+        nn_q=qq,
+        nn_t=jnp.zeros((max_node_links, 3), jnp.float32),
+        nn_trans_weight=jnp.zeros(max_node_links, jnp.float32),
+        nn_rot_weight=jnp.zeros(max_node_links, jnp.float32),
+        nn_valid=jnp.zeros(max_node_links, bool),
     )
+
+
+def _relative_pose_error(iq, it, jq, jt, zq, zt, tw, rw):
+    """SpaCostFunction3D residual: h = T_i^-1 * T_j vs measurement z."""
+    h_q = quat_multiply(quat_conjugate(iq), jq)
+    h_t = quat_inverse_rotate(iq, jt - it)
+    e_t = (h_t - zt) * tw[:, None]
+    dq = quat_multiply(quat_conjugate(zq), h_q)
+    dq = jnp.where(dq[:, 0:1] < 0, -dq, dq)
+    e_r = 2.0 * dq[:, 1:4] * rw[:, None]
+    return jnp.concatenate([e_t, e_r], axis=-1)
 
 
 def _residuals(
@@ -120,10 +165,18 @@ def _residuals(
     d_submap: jnp.ndarray,
     d_node: jnp.ndarray,
     d_extra: jnp.ndarray,
+    ff_huber_scale: float = 0.0,
 ):
     """Weighted residuals at perturbed poses; delta layout per pose:
     [dt (3), dtheta (3)], left-multiplicative rotation. `d_extra` holds
-    [fixed-frame-origin dt (3); landmark position deltas (K, 3)]."""
+    [fixed-frame-origin dt (3); landmark dt (K, 3); landmark dtheta (K, 3)].
+
+    `ff_huber_scale > 0` applies a Huber loss to each fixed-frame residual
+    block (reference: ceres::HuberLoss(huber_scale) on fixed-frame costs,
+    optimization_problem_3d.cc:491-548) by IRLS: the robust weight
+    sqrt(rho'(||r||^2)) is computed on the CURRENT residual (stop-gradient)
+    and rescales it, so each GN step solves the standard reweighted normal
+    equations."""
     sq = quat_normalize(
         quat_multiply(quat_from_axis_angle(d_submap[:, 3:6]), data.submap_q)
     )
@@ -133,33 +186,60 @@ def _residuals(
     )
     nt = data.node_t + d_node[:, 0:3]
 
-    csq = sq[data.c_submap]
-    cst = st[data.c_submap]
-    cnq = nq[data.c_node]
-    cnt = nt[data.c_node]
-    # h = T_submap^-1 * T_node
-    h_q = quat_multiply(quat_conjugate(csq), cnq)
-    h_t = quat_inverse_rotate(csq, cnt - cst)
-    e_t = (h_t - data.c_t) * data.c_trans_weight[:, None]
-    dq = quat_multiply(quat_conjugate(data.c_q), h_q)
-    dq = jnp.where(dq[:, 0:1] < 0, -dq, dq)
-    e_r = 2.0 * dq[:, 1:4] * data.c_rot_weight[:, None]
-    r = jnp.concatenate([e_t, e_r], axis=-1)
+    r = _relative_pose_error(
+        sq[data.c_submap], st[data.c_submap],
+        nq[data.c_node], nt[data.c_node],
+        data.c_q, data.c_t, data.c_trans_weight, data.c_rot_weight,
+    )
     r = jnp.where(data.c_valid[:, None], r, 0.0).reshape(-1)
 
+    # node-node relative costs (odometry / consecutive local-SLAM poses)
+    r_nn = _relative_pose_error(
+        nq[data.nn_first], nt[data.nn_first],
+        nq[data.nn_second], nt[data.nn_second],
+        data.nn_q, data.nn_t, data.nn_trans_weight, data.nn_rot_weight,
+    )
+    r_nn = jnp.where(data.nn_valid[:, None], r_nn, 0.0).reshape(-1)
+
     # fixed-frame (GPS) residuals: node position vs measurement + solved
-    # fixed-frame origin translation
+    # fixed-frame origin translation; Huber-robustified per block
     ff_origin = d_extra[0:3]
     ff_nt = nt[data.ff_node]
     r_ff = (ff_nt - (data.ff_t + ff_origin)) * data.ff_weight[:, None]
-    r_ff = jnp.where(data.ff_valid[:, None], r_ff, 0.0).reshape(-1)
+    r_ff = jnp.where(data.ff_valid[:, None], r_ff, 0.0)
+    if ff_huber_scale > 0.0:
+        a = jnp.float32(ff_huber_scale)
+        s = jax.lax.stop_gradient(jnp.sum(r_ff * r_ff, axis=-1))
+        # rho(s) = s for s <= a^2 else 2a sqrt(s) - a^2; sqrt(rho') scaling
+        w = jnp.where(s <= a * a, 1.0, jnp.sqrt(a / jnp.sqrt(jnp.maximum(s, 1e-12))))
+        r_ff = r_ff * w[:, None]
+    r_ff = r_ff.reshape(-1)
 
-    # landmark residuals: world landmark vs node-frame observation
-    lm_pos = data.lm_positions + d_extra[3:].reshape(-1, 3)
-    pred = nt[data.lm_node] + quat_rotate(nq[data.lm_node], data.lm_rel_t)
-    r_lm = (pred - lm_pos[data.lm_id]) * data.lm_weight[:, None]
+    # landmark residuals (landmark_cost_function_3d.h): the landmark's
+    # world POSE vs its observation from the interpolated bracketing-node
+    # pose. Node interpolation: linear translation + normalized quaternion
+    # lerp (nlerp ~ slerp for the small inter-node rotations at scan rate;
+    # documented deviation from InterpolateNodes3D's slerp).
+    k = data.lm_positions.shape[0]
+    lm_t = data.lm_positions + d_extra[3 : 3 + 3 * k].reshape(-1, 3)
+    lm_q = quat_normalize(
+        quat_multiply(
+            quat_from_axis_angle(d_extra[3 + 3 * k :].reshape(-1, 3)),
+            data.lm_q,
+        )
+    )
+    a_ = data.lm_alpha[:, None]
+    q1, q2 = nq[data.lm_node], nq[data.lm_node2]
+    q2 = jnp.where(jnp.sum(q1 * q2, -1, keepdims=True) < 0, -q2, q2)
+    iq = quat_normalize(q1 * (1.0 - a_) + q2 * a_)
+    it = nt[data.lm_node] * (1.0 - a_) + nt[data.lm_node2] * a_
+    r_lm = _relative_pose_error(
+        iq, it, lm_q[data.lm_id], lm_t[data.lm_id],
+        data.lm_rel_q, data.lm_rel_t,
+        data.lm_trans_weight, data.lm_rot_weight,
+    )
     r_lm = jnp.where(data.lm_valid[:, None], r_lm, 0.0).reshape(-1)
-    return jnp.concatenate([r, r_ff, r_lm])
+    return jnp.concatenate([r, r_nn, r_ff, r_lm])
 
 
 def solve(
@@ -168,6 +248,7 @@ def solve(
     iterations: int = 10,
     cg_iterations: int = 64,
     fix_first_submap: bool = True,
+    ff_huber_scale: float = 0.0,
     mesh=None,
 ) -> PoseGraphData:
     """Gauss-Newton with matrix-free PCG on the normal equations.
@@ -207,17 +288,22 @@ def solve(
     node_mask = (data.node_valid & ~data.node_fixed)[:, None].astype(jnp.float32)
 
     k_lm = data.lm_positions.shape[0]
-    extra_dim = 3 + 3 * k_lm
+    extra_dim = 3 + 6 * k_lm
     has_ff = data.ff_valid.any()
     lm_free = jnp.concatenate(
-        [jnp.repeat(has_ff, 3), jnp.repeat(data.lm_pos_valid, 3)]
+        [
+            jnp.repeat(has_ff, 3),
+            jnp.repeat(data.lm_pos_valid, 3),
+            jnp.repeat(data.lm_pos_valid, 3),
+        ]
     ).astype(jnp.float32)
 
     def gn_step(d: PoseGraphData, _):
         def res_flat(deltas):
             ds, dn, de = deltas
             return _residuals(
-                d, ds * submap_mask, dn * node_mask, de * lm_free
+                d, ds * submap_mask, dn * node_mask, de * lm_free,
+                ff_huber_scale=ff_huber_scale,
             ).reshape(-1)
 
         zero = (
@@ -264,6 +350,32 @@ def solve(
                 diag_n = diag_n.at[d.c_node, k].add(
                     jnp.where(d.c_valid, rn, 0.0)
                 )
+            # Analytic diagonal contributions of the non-SPA rows (node-node
+            # links, fixed-frame, landmarks). The jvp trick above needs each
+            # row to touch exactly one variable of the probed block; nn rows
+            # touch TWO nodes, so their diagonals are added in closed form
+            # (weight^2 per axis — columns of a rotation have unit norm;
+            # lever-arm cross terms are dropped: this is a preconditioner,
+            # not the Hessian). Without these, a node held only by nn/ff
+            # rows gets a ~zero diagonal -> a wildly wrong Jacobi scale.
+            tw2 = jnp.where(d.nn_valid, d.nn_trans_weight**2, 0.0)
+            rw2 = jnp.where(d.nn_valid, d.nn_rot_weight**2, 0.0)
+            for idx in (d.nn_first, d.nn_second):
+                diag_n = diag_n.at[idx, 0:3].add(tw2[:, None])
+                diag_n = diag_n.at[idx, 3:6].add(rw2[:, None])
+            fw2 = jnp.where(d.ff_valid, d.ff_weight**2, 0.0)
+            diag_n = diag_n.at[d.ff_node, 0:3].add(fw2[:, None])
+            a_lm = d.lm_alpha
+            ltw2 = jnp.where(d.lm_valid, d.lm_trans_weight**2, 0.0)
+            lrw2 = jnp.where(d.lm_valid, d.lm_rot_weight**2, 0.0)
+            diag_n = diag_n.at[d.lm_node, 0:3].add(
+                (ltw2 * (1.0 - a_lm) ** 2)[:, None]
+            )
+            diag_n = diag_n.at[d.lm_node2, 0:3].add((ltw2 * a_lm**2)[:, None])
+            diag_n = diag_n.at[d.lm_node, 3:6].add(
+                (lrw2 * (1.0 - a_lm) ** 2)[:, None]
+            )
+            diag_n = diag_n.at[d.lm_node2, 3:6].add((lrw2 * a_lm**2)[:, None])
             return diag_s, diag_n
 
         diag_s, diag_n = col_sq()
@@ -318,9 +430,15 @@ def solve(
                 quat_multiply(quat_from_axis_angle(dn[:, 3:6]), d.node_q)
             ),
             node_t=d.node_t + dn[:, 0:3],
-            # landmark positions persist; the fixed-frame origin delta is
+            # landmark poses persist; the fixed-frame origin delta is
             # exactly linear and re-solved each iteration (marginalized)
-            lm_positions=d.lm_positions + de[3:].reshape(-1, 3),
+            lm_positions=d.lm_positions + de[3 : 3 + 3 * k_lm].reshape(-1, 3),
+            lm_q=quat_normalize(
+                quat_multiply(
+                    quat_from_axis_angle(de[3 + 3 * k_lm :].reshape(-1, 3)),
+                    d.lm_q,
+                )
+            ),
         )
         return new, jnp.sum(r0 * r0)
 

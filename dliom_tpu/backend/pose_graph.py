@@ -10,19 +10,21 @@ Architecture split (SURVEY.md §2.4): the reference runs constraint search on
 a ThreadPool Task DAG with mutex-guarded state; here a host-side Python
 orchestrator owns plain-array bookkeeping and launches three kinds of
 compiled device programs — (de)compression of finished submap grids, the
-correlative matcher + GN refiner, and the PCG pose-graph solve. The loop
-proposal path is the reference's close-submap-with-initial-value search
-(pose_graph_options.proto max_radius_eable_loop_detection /
-num_close_submaps_loop_with_initial_value; the SURF submap-image proposal
-path for high-drift loops is a planned addition): every
-`every_nodes_to_find_constraint`-th node of the finishing submap is matched
-against spatially close older submaps via MatchWith3DofInitial + refinement
+correlative matcher + GN refiner, and the PCG pose-graph solve. Loop
+proposals come from TWO paths, as in the reference: the
+close-submap-with-initial-value search (pose_graph_options.proto
+max_radius_eable_loop_detection / num_close_submaps_loop_with_initial_value)
+and the submap-image proposal path for high-drift loops (`_image_proposals`,
+the FFT-NCC substitute for SURF/FLANN — constraint_builder_3d.cc:436-532).
+Every `every_nodes_to_find_constraint`-th node of the finishing submap is
+matched against each candidate submap via MatchWith3DofInitial + refinement
 (ComputeConstraint, constraint_builder_3d.cc:202-347).
 """
 
 from __future__ import annotations
 
 import functools
+import logging
 import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -52,10 +54,16 @@ from dliom_tpu.transform.rigid import (
     quat_yaw,
 )
 
+_LOG = logging.getLogger("dliom_tpu.pose_graph")
+
 
 @dataclass
 class NodeRecord:
-    """TrajectoryNode: constant data + local pose (trajectory_node.h)."""
+    """TrajectoryNode: constant data + local pose (trajectory_node.h).
+
+    Ids stay GLOBAL flat ints (array-friendly for the batched SPA solve);
+    `trajectory_id` carries the reference's NodeId.trajectory_id half
+    (mapping/id.h) — global ids never recycle, so the pair is recoverable."""
 
     time: float
     local_pose: Rigid3  # in the local (frontend) frame
@@ -67,7 +75,8 @@ class NodeRecord:
     histogram: jnp.ndarray  # (H,)
     submap_ids: Tuple[int, ...]  # submaps this node was inserted into
     global_pose: Rigid3 = None  # optimized
-    frozen: bool = False  # loaded-state node (pure localization)
+    frozen: bool = False  # frozen-trajectory node (pure localization)
+    trajectory_id: int = 0
 
 
 @dataclass
@@ -80,8 +89,31 @@ class SubmapRecord:
     node_ids: List[int] = field(default_factory=list)
     finished: bool = False
     image: Optional[SubmapImage] = None  # top-down projection (C10)
-    frozen: bool = False  # loaded-state submap (pure localization)
+    frozen: bool = False  # frozen-trajectory submap (pure localization)
     trimmed: bool = False  # heavy data dropped by a trimmer
+    trajectory_id: int = 0
+    index_in_trajectory: int = 0  # SubmapId.submap_index analog
+
+
+def _interpolate_odometry(
+    samples: List[Tuple[float, Rigid3]], t: float
+) -> Optional[Rigid3]:
+    """Pose at time t from a time-sorted odometry buffer (slerp + lerp, the
+    transform_interpolation_buffer analog); None outside the buffer."""
+    if not samples or t < samples[0][0] or t > samples[-1][0]:
+        return None
+    from dliom_tpu.transform.rigid import quat_slerp
+
+    for i in range(1, len(samples)):
+        if samples[i][0] >= t:
+            t0, p0 = samples[i - 1]
+            t1, p1 = samples[i]
+            a = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
+            return Rigid3(
+                quat_slerp(p0.rotation, p1.rotation, jnp.float32(a)),
+                p0.translation * (1.0 - a) + p1.translation * a,
+            )
+    return samples[-1][1]
 
 
 @dataclass
@@ -124,6 +156,13 @@ class PoseGraph:
         self.nodes: List[NodeRecord] = []
         self.submaps: List[SubmapRecord] = []
         self.constraints: List[Constraint] = []
+        self._constraint_index: set = set()  # {(submap_id, node_id)}
+        # --- multi-trajectory bookkeeping (map_builder.cc:98-169,
+        # pose_graph_3d.cc:113-144, TrajectoryConnectivityState) ---
+        self._trajectory_states: Dict[int, str] = {}  # ACTIVE|FINISHED|FROZEN
+        self._traj_submap_counts: Dict[int, int] = {}
+        self._conn_parent: Dict[int, int] = {}  # union-find over trajectories
+        self._last_connection: Dict[Tuple[int, int], float] = {}
         self._nodes_since_optimization = 0
         self._num_histogram = tb_cfg.rotational_histogram_size
         self._hi_spec, self._lo_spec = grid_specs(tb_cfg.submaps)
@@ -136,8 +175,11 @@ class PoseGraph:
         # auxiliary observations (OptimizationProblem3D retains GPS/landmark
         # costs, optimization_problem_3d.cc:491-548)
         self.fixed_frame_observations: List[Tuple[int, np.ndarray, float]] = []
-        self.landmark_observations: List[Tuple[int, int, np.ndarray, float]] = []
+        # (node, node2, alpha, lid, rel_q, rel_t, tw, rw)
+        self.landmark_observations: List[Tuple] = []
         self._landmark_ids: Dict[str, int] = {}
+        # node-node relative odometry links (first, second, Rigid3)
+        self.odometry_links: List[Tuple[int, int, Rigid3]] = []
 
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
@@ -149,12 +191,84 @@ class PoseGraph:
         that pre-compress on device (map_builder.py)."""
         return self._compress_capacity // 4
 
-    def add_submap(self, local_pose: Rigid3) -> int:
+    # ----- trajectory lifecycle (MapBuilder::AddTrajectoryBuilder /
+    # FinishTrajectory / FreezeTrajectory, map_builder.cc:98-169;
+    # PoseGraph3D trajectory states + connectivity) -----
+
+    def add_trajectory(self, frozen: bool = False) -> int:
+        """Register a trajectory id. Ids are dense ints; connectivity starts
+        as a singleton component (TrajectoryConnectivityState::Add)."""
+        tid = len(self._trajectory_states)
+        self._trajectory_states[tid] = "FROZEN" if frozen else "ACTIVE"
+        self._traj_submap_counts[tid] = 0
+        self._conn_parent[tid] = tid
+        return tid
+
+    def _ensure_trajectory(self, tid: int) -> None:
+        while tid >= len(self._trajectory_states):
+            self.add_trajectory()
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self._ensure_trajectory(trajectory_id)
+        self._trajectory_states[trajectory_id] = "FINISHED"
+
+    def freeze_trajectory(self, trajectory_id: int) -> None:
+        """FreezeTrajectory: poses of its nodes/submaps never move again."""
+        self._ensure_trajectory(trajectory_id)
+        self._trajectory_states[trajectory_id] = "FROZEN"
+        for s in self.submaps:
+            if s.trajectory_id == trajectory_id:
+                s.frozen = True
+        for n in self.nodes:
+            if n.trajectory_id == trajectory_id:
+                n.frozen = True
+
+    def trajectory_states(self) -> Dict[int, str]:
+        return dict(self._trajectory_states)
+
+    def _find(self, tid: int) -> int:
+        root = tid
+        while self._conn_parent[root] != root:
+            root = self._conn_parent[root]
+        while self._conn_parent[tid] != root:  # path compression
+            self._conn_parent[tid], tid = root, self._conn_parent[tid]
+        return root
+
+    def connect_trajectories(self, a: int, b: int, time: float) -> None:
+        """TrajectoryConnectivityState::Connect: union + last-connection
+        stamp (pose_graph_3d.cc ComputeConstraint result handling)."""
+        self._ensure_trajectory(max(a, b))
+        self._conn_parent[self._find(a)] = self._find(b)
+        key = (min(a, b), max(a, b))
+        self._last_connection[key] = max(
+            self._last_connection.get(key, float("-inf")), time
+        )
+
+    def trajectories_connected(self, a: int, b: int) -> bool:
+        if a == b:
+            return True
+        if a >= len(self._trajectory_states) or b >= len(self._trajectory_states):
+            return False
+        return self._find(a) == self._find(b)
+
+    def last_connection_time(self, a: int, b: int) -> float:
+        """Most recent INTER-constraint stamp between two trajectories
+        (-inf if never directly connected)."""
+        if a == b:
+            return float("inf")
+        return self._last_connection.get((min(a, b), max(a, b)), float("-inf"))
+
+    def add_submap(self, local_pose: Rigid3, trajectory_id: int = 0) -> int:
+        self._ensure_trajectory(trajectory_id)
+        idx = self._traj_submap_counts[trajectory_id]
+        self._traj_submap_counts[trajectory_id] = idx + 1
         self.submaps.append(
             SubmapRecord(
                 local_pose=local_pose,
                 global_pose=local_pose,
                 histogram=np.zeros(self._num_histogram, np.float32),
+                trajectory_id=trajectory_id,
+                index_in_trajectory=idx,
             )
         )
         return len(self.submaps) - 1
@@ -197,7 +311,9 @@ class PoseGraph:
         newly_finished_submap_id: int = -1,
         finished_grids=None,
     ) -> int:
-        """AddNode + ComputeConstraintsForNode (pose_graph_3d.cc:335-399)."""
+        """AddNode + ComputeConstraintsForNode (pose_graph_3d.cc:335-399).
+        The node's trajectory_id must match its insertion submaps'."""
+        self._ensure_trajectory(node.trajectory_id)
         node_id = len(self.nodes)
         node.submap_ids = tuple(insertion_submap_ids)
         # global pose seeded through the first insertion submap
@@ -211,7 +327,7 @@ class PoseGraph:
         for sid in insertion_submap_ids:
             sub = self.submaps[sid]
             rel = sub.local_pose.inverse().compose(node.local_pose)
-            self.constraints.append(
+            self._append_constraint(
                 Constraint(
                     submap_id=sid,
                     node_id=node_id,
@@ -267,16 +383,71 @@ class PoseGraph:
         )
 
     def add_landmark_observation(
-        self, node_id: int, landmark_id: str, position_in_tracking, weight: float = 1e2
+        self,
+        node_id: int,
+        landmark_id: str,
+        position_in_tracking,
+        weight: float = 1e2,
+        *,
+        rotation_in_tracking=None,
+        rotation_weight: float = 0.0,
+        node_id2: Optional[int] = None,
+        alpha: float = 0.0,
     ) -> None:
-        """Landmark seen from a node at a relative position
-        (AddLandmarkData; single-node observation model)."""
+        """Landmark observed from the pose interpolated between bracketing
+        nodes `node_id`/`node_id2` at `alpha` (AddLandmarkData +
+        landmark_cost_function_3d.h). The observation carries the landmark's
+        full pose in the tracking frame: `rotation_in_tracking` (default
+        identity) constrains the landmark's world rotation when
+        `rotation_weight > 0`; with the defaults this degrades gracefully to
+        the translation-only single-node model."""
         if landmark_id not in self._landmark_ids:
             self._landmark_ids[landmark_id] = len(self._landmark_ids)
         lid = self._landmark_ids[landmark_id]
-        self.landmark_observations.append(
-            (node_id, lid, np.asarray(position_in_tracking, np.float32), float(weight))
+        rq = (
+            np.asarray([1.0, 0.0, 0.0, 0.0], np.float32)
+            if rotation_in_tracking is None
+            else np.asarray(rotation_in_tracking, np.float32)
         )
+        self.landmark_observations.append(
+            (
+                node_id,
+                node_id if node_id2 is None else node_id2,
+                float(alpha),
+                lid,
+                rq,
+                np.asarray(position_in_tracking, np.float32),
+                float(weight),
+                float(rotation_weight),
+            )
+        )
+
+    def add_odometry_between(
+        self,
+        node_id: int,
+        node_time: float,
+        odometry: List[Tuple[float, Rigid3]],
+        trajectory_id: int = 0,
+    ) -> None:
+        """Record the odometry-implied relative pose between this node and
+        its predecessor on the same trajectory
+        (CalculateOdometryBetweenNodes, optimization_problem_3d.cc:590-607).
+        The link becomes an SPA cost when
+        optimization_problem.use_consecutive_node_costs is set (upstream's
+        fix_z_in_3d block — commented out in the D-LIOM reference, restored
+        here behind the flag); otherwise it is retained for queries only."""
+        prev = None
+        for nid in range(node_id - 1, -1, -1):
+            if self.nodes[nid].trajectory_id == trajectory_id:
+                prev = nid
+                break
+        if prev is None:
+            return
+        p0 = _interpolate_odometry(odometry, self.nodes[prev].time)
+        p1 = _interpolate_odometry(odometry, node_time)
+        if p0 is None or p1 is None:
+            return
+        self.odometry_links.append((prev, node_id, p0.inverse().compose(p1)))
 
     def landmark_poses(self) -> Dict[str, np.ndarray]:
         out = {}
@@ -289,14 +460,25 @@ class PoseGraph:
 
     def _close_submaps(self, submap_id: int) -> List[int]:
         """Older finished submaps within range (max_radius /
-        num_close_submaps_loop_with_initial_value)."""
+        num_close_submaps_loop_with_initial_value).
+
+        DOCUMENTED DEVIATION from pose_graph_3d.cc: the effective radius is
+        `max_radius_enable_loop_detection * max(1, num_close/5)` — the radius
+        scales with the candidate budget so a generous candidate count (e.g.
+        the viral preset's 30) widens the search to where drifted loops
+        actually sit (5 m would only ever rediscover neighbors). With the
+        default num_close <= 5 this is exactly the reference semantics. See
+        PARITY.md C20."""
         me = self.submaps[submap_id]
         out = []
         for sid, s in enumerate(self.submaps):
             if sid == submap_id or not s.finished or s.high is None or s.trimmed:
                 continue
-            if abs(sid - submap_id) <= 1:
-                continue  # adjacent submaps share nodes (not loops)
+            if (
+                s.trajectory_id == me.trajectory_id
+                and abs(s.index_in_trajectory - me.index_in_trajectory) <= 1
+            ):
+                continue  # adjacent same-trajectory submaps share nodes
             d = float(
                 jnp.linalg.norm(
                     s.global_pose.translation - me.global_pose.translation
@@ -400,21 +582,69 @@ class PoseGraph:
                 lambda i, a, b, c, d: refine_fn(i, g_hi, g_lo, a, b, c, d)
             )(initial, hp, hm, lp, lm)
 
+        # Whole-submap all-yaw search (MatchFullSubmap): the global
+        # localization / inter-trajectory entry — no translation prior, yaw
+        # candidates gated by the rotational histogram.
+        @functools.partial(jax.jit, static_argnames=("min_score",))
+        def match_full_batch_fn(
+            pyr, g_lo, hp, hm, lp, lm, rot, hist, submap_hist, min_score
+        ):
+            hp, hm, lp, lm, rot, hist = shard_batch(
+                (hp, hm, lp, lm, rot, hist)
+            )
+            return jax.vmap(
+                lambda a, b, c, d, r, f: fc.match_full_submap(
+                    pyr, hi, g_lo, lo, a, b, c, d, r, f,
+                    submap_hist, fc_cfg, min_score, beam_width=1024,
+                )
+            )(hp, hm, lp, lm, rot, hist)
+
         self._jit_cache["decompress"] = decompress_and_pyramid
         self._jit_cache["match"] = match_fn
         self._jit_cache["refine"] = refine_fn
         self._jit_cache["match_batch"] = match_batch_fn
         self._jit_cache["refine_batch"] = refine_batch_fn
+        self._jit_cache["match_full_batch"] = match_full_batch_fn
         return match_fn, refine_fn
+
+    def _global_candidates(self, from_id: int) -> List[int]:
+        """Finished submaps of OTHER trajectories that are either not yet
+        connected to ours or whose last connection is older than
+        `global_constraint_search_after_n_seconds` — these get the
+        whole-submap global search (MaybeAddGlobalConstraint semantics,
+        the reference's global_sampling_ratio path). Proximity is useless
+        here: disconnected trajectories share no frame."""
+        from_sub = self.submaps[from_id]
+        from_t = from_sub.trajectory_id
+        if from_sub.node_ids:
+            now = self.nodes[from_sub.node_ids[-1]].time
+        else:
+            now = float("inf")
+        out = []
+        for sid, s in enumerate(self.submaps):
+            if sid == from_id or not s.finished or s.high is None or s.trimmed:
+                continue
+            if s.trajectory_id == from_t:
+                continue
+            stale = (
+                now - self.last_connection_time(from_t, s.trajectory_id)
+                > self.cfg.global_constraint_search_after_n_seconds
+            )
+            if not self.trajectories_connected(from_t, s.trajectory_id) or stale:
+                out.append(sid)
+        return out[-self.cfg.num_close_submaps_loop_with_initial_value:]
 
     def _compute_constraints_for_submap(self, from_id: int) -> int:
         """ComputeConstraintsBetweenSubmaps (constraint_builder_3d.cc:162):
         every `every_nodes_to_find_constraint`-th node of the finishing
-        submap is matched against each close older submap."""
+        submap is matched against each close older submap; submaps of
+        unconnected (or long-unconnected) trajectories get the whole-submap
+        global search instead."""
         added = 0
         match_fn, refine_fn = self._matcher_fns()
         decompress_fn = self._jit_cache["decompress"]
-        every = max(1, self.cfg.constraint_builder.every_nodes_to_find_constraint)
+        cb = self.cfg.constraint_builder
+        every = max(1, cb.every_nodes_to_find_constraint)
         from_sub = self.submaps[from_id]
         sampled = from_sub.node_ids[::every]
         # image-based proposals for far (high-drift) submaps: the SURF path
@@ -424,11 +654,26 @@ class PoseGraph:
         for to_id in image_proposals:
             if to_id not in candidates:
                 candidates.append(to_id)
+        global_candidates = self._global_candidates(from_id)
+        candidates = [c for c in candidates if c not in global_candidates]
         match_batch = self._jit_cache["match_batch"]
         refine_batch = self._jit_cache["refine_batch"]
         for to_id in candidates:
             to_sub = self.submaps[to_id]
-            node_ids = [n for n in sampled if not self._has_constraint(to_id, n)]
+            # max_constraint_distance gates each node-submap pair
+            # (constraint_builder MaybeAddConstraint's distance check)
+            node_ids = [
+                n
+                for n in sampled
+                if not self._has_constraint(to_id, n)
+                and float(
+                    jnp.linalg.norm(
+                        self.nodes[n].global_pose.translation
+                        - to_sub.global_pose.translation
+                    )
+                )
+                <= cb.max_constraint_distance
+            ]
             if not node_ids:
                 continue
             g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
@@ -483,7 +728,7 @@ class PoseGraph:
             scores = np.asarray(res.score)
             for j, i in enumerate(idx):
                 with self._mutex:
-                    self.constraints.append(
+                    self._append_constraint_locked(
                         Constraint(
                             submap_id=to_id,
                             node_id=node_ids[i],
@@ -495,6 +740,97 @@ class PoseGraph:
                             tag="INTER",
                             score=float(scores[i]),
                         )
+                    )
+                if cb.log_matches:
+                    _LOG.info(
+                        "loop constraint: node %d -> submap %d score %.3f",
+                        node_ids[i], to_id, float(scores[i]),
+                    )
+                if self._metrics:
+                    self._metrics["constraints_found"].add().increment()
+                    self._metrics["constraint_scores"].add().observe(
+                        float(scores[i])
+                    )
+                added += 1
+
+        # ---- global search: whole-submap all-yaw match against submaps of
+        # unconnected (or stale-connected) trajectories, sampled at
+        # global_sampling_ratio and gated by global_localization_min_score
+        # (MaybeAddGlobalConstraint / MatchFullSubmap) ----
+        match_full = self._jit_cache["match_full_batch"]
+        stride = max(1, int(round(1.0 / max(self.cfg.global_sampling_ratio, 1e-6))))
+        stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
+        for to_id in global_candidates:
+            to_sub = self.submaps[to_id]
+            node_ids = [
+                n for n in sampled[::stride] if not self._has_constraint(to_id, n)
+            ]
+            if not node_ids:
+                continue
+            g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
+            submap_hist = jnp.asarray(to_sub.histogram)
+            nodes = [self.nodes[n] for n in node_ids]
+            if self._metrics:
+                for _ in node_ids:
+                    self._metrics["constraints_searched"].add().increment()
+            # roll/pitch-consistent rotation guess from the gravity-aligned
+            # global estimates; yaw error is irrelevant under the ±pi search
+            rots = stack(
+                [
+                    np.asarray(
+                        quat_multiply(
+                            quat_conjugate(to_sub.global_pose.rotation),
+                            n.global_pose.rotation,
+                        )
+                    )
+                    for n in nodes
+                ]
+            )
+            res = match_full(
+                pyr, g_lo,
+                stack([n.high_points for n in nodes]),
+                stack([n.high_mask for n in nodes]),
+                stack([n.low_points for n in nodes]),
+                stack([n.low_mask for n in nodes]),
+                rots,
+                stack([n.histogram for n in nodes]),
+                submap_hist,
+                min_score=float(
+                    self.cfg.constraint_builder.global_localization_min_score
+                ),
+            )
+            found = np.asarray(res.found)
+            if not found.any():
+                continue
+            idx = np.flatnonzero(found)
+            refined = refine_batch(
+                jax.tree.map(lambda x: x[jnp.asarray(idx)], res.pose),
+                g_hi, g_lo,
+                stack([nodes[i].high_points for i in idx]),
+                stack([nodes[i].high_mask for i in idx]),
+                stack([nodes[i].low_points for i in idx]),
+                stack([nodes[i].low_mask for i in idx]),
+            )
+            scores = np.asarray(res.score)
+            for j, i in enumerate(idx):
+                with self._mutex:
+                    self._append_constraint_locked(
+                        Constraint(
+                            submap_id=to_id,
+                            node_id=node_ids[i],
+                            relative=jax.tree.map(
+                                lambda x: np.asarray(x[j]), refined.pose
+                            ),
+                            translation_weight=cb.loop_closure_translation_weight,
+                            rotation_weight=cb.loop_closure_rotation_weight,
+                            tag="INTER",
+                            score=float(scores[i]),
+                        )
+                    )
+                if cb.log_matches:
+                    _LOG.info(
+                        "GLOBAL constraint: node %d -> submap %d score %.3f",
+                        node_ids[i], to_id, float(scores[i]),
                     )
                 if self._metrics:
                     self._metrics["constraints_found"].add().increment()
@@ -524,7 +860,14 @@ class PoseGraph:
         candidates = [
             sid
             for sid, s in enumerate(self.submaps)
-            if s.finished and s.image is not None and sid < from_id - 1
+            if s.finished
+            and s.image is not None
+            and sid < from_id
+            and not (
+                s.trajectory_id == from_sub.trajectory_id
+                and abs(s.index_in_trajectory - from_sub.index_in_trajectory)
+                <= 1
+            )
         ]
         candidates = candidates[-cb.max_image_proposal_candidates:]
         if not candidates:
@@ -551,12 +894,35 @@ class PoseGraph:
                 out[to_id] = jax.tree.map(np.asarray, prop)
         return out
 
-    def _has_constraint(self, submap_id: int, node_id: int) -> bool:
+    def _append_constraint(self, c: Constraint) -> None:
         with self._mutex:
-            return any(
-                c.submap_id == submap_id and c.node_id == node_id
-                for c in self.constraints
-            )
+            self._append_constraint_locked(c)
+
+    def _append_constraint_locked(self, c: Constraint) -> None:
+        self.constraints.append(c)
+        self._constraint_index.add((c.submap_id, c.node_id))
+        # an INTER constraint connects its trajectories (pose_graph_3d.cc
+        # HandleWorkQueue -> trajectory_connectivity_state_.Connect)
+        if c.tag == "INTER":
+            t_sub = self.submaps[c.submap_id].trajectory_id
+            node = self.nodes[c.node_id]
+            if t_sub != node.trajectory_id:
+                self.connect_trajectories(t_sub, node.trajectory_id, node.time)
+
+    def reindex_constraints(self) -> None:
+        """Rebuild the (submap, node) membership index after bulk constraint
+        assignment (state loading)."""
+        with self._mutex:
+            self._constraint_index = {
+                (c.submap_id, c.node_id) for c in self.constraints
+            }
+
+    def _has_constraint(self, submap_id: int, node_id: int) -> bool:
+        """O(1) membership via a maintained (submap, node) index — the
+        linear scan was O(C) per query inside the background search, a real
+        host stall at max_constraints-scale graphs."""
+        with self._mutex:
+            return (submap_id, node_id) in self._constraint_index
 
     # ----- optimization (HandleWorkQueue -> RunOptimization,
     # pose_graph_3d.cc:444-515, 722) -----
@@ -585,6 +951,57 @@ class PoseGraph:
         sfx = np.zeros(S, bool)
         for i, sub in enumerate(self.submaps):
             sfx[i] = sub.frozen
+        # Gauge fixing per connected component: the reference holds the
+        # (single) first submap constant (optimization_problem_3d.cc:293);
+        # with multiple trajectories a component without any frozen/fixed
+        # member leaves the GN normal equations singular, so the first
+        # submap of each unanchored component is held fixed.
+        parent = list(range(len(self.submaps)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        first_sub_of_node: Dict[int, int] = {}
+        for c in self.constraints:
+            if c.node_id in first_sub_of_node:
+                parent[find(first_sub_of_node[c.node_id])] = find(c.submap_id)
+            else:
+                first_sub_of_node[c.node_id] = c.submap_id
+        # Anchoring rules: (1) frozen submaps anchor their component;
+        # (2) the FIRST GPS-observed node's component gets its lowest-id
+        # submap fixed (unless frozen-anchored) — this pins the solved
+        # fixed-frame origin, whose residuals otherwise make (origin, poses)
+        # a joint gauge; (3) further GPS components stay free (GPS + pinned
+        # origin anchors their translation; rotation gauge rides the CG
+        # damping, matching pre-multi-trajectory behavior); (4) every other
+        # component gets its lowest-id submap fixed (the reference fixes
+        # the single first submap, optimization_problem_3d.cc:293).
+        anchored = set()
+        for i, sub in enumerate(self.submaps):
+            if sub.frozen:
+                anchored.add(find(i))
+        gps_comps = set()
+        for nid, _, _ in self.fixed_frame_observations:
+            if nid in first_sub_of_node:
+                r = find(first_sub_of_node[nid])
+                if r in anchored or r in gps_comps:
+                    continue
+                if not gps_comps:  # first GPS component: pin the origin
+                    for i in range(len(self.submaps)):
+                        if find(i) == r:
+                            sfx[i] = True
+                            anchored.add(r)
+                            break
+                gps_comps.add(r)
+        anchored |= gps_comps
+        for i in range(len(self.submaps)):
+            r = find(i)
+            if r not in anchored:
+                sfx[i] = True
+                anchored.add(r)
         nfx = np.zeros(N, bool)
         for i, node in enumerate(self.nodes):
             nfx[i] = node.frozen
@@ -608,22 +1025,67 @@ class PoseGraph:
         for i, (nid, pos, w) in enumerate(self.fixed_frame_observations[-F:]):
             ffn[i], fft[i], ffw[i], ffv[i] = nid, pos, w, True
         L = data.lm_node.shape[0]
-        lmn = np.zeros(L, np.int32); lmi = np.zeros(L, np.int32)
-        lmr = np.zeros((L, 3), np.float32); lmw = np.zeros(L, np.float32)
+        lmn = np.zeros(L, np.int32); lmn2 = np.zeros(L, np.int32)
+        lma = np.zeros(L, np.float32); lmi = np.zeros(L, np.int32)
+        lmq = np.zeros((L, 4), np.float32); lmq[:, 0] = 1
+        lmr = np.zeros((L, 3), np.float32)
+        lmtw = np.zeros(L, np.float32); lmrw = np.zeros(L, np.float32)
         lmv = np.zeros(L, bool)
         K = data.lm_positions.shape[0]
         lmp = np.zeros((K, 3), np.float32)
+        lmpq = np.zeros((K, 4), np.float32); lmpq[:, 0] = 1
         lmpv = np.zeros(K, bool)
-        for i, (nid, lid, rel, w) in enumerate(self.landmark_observations[-L:]):
+        for i, (nid, nid2, alpha, lid, rq, rel, tw, rw) in enumerate(
+            self.landmark_observations[-L:]
+        ):
             # ids beyond the landmark-position capacity are dropped, NOT
             # clamped: a clamped gather would alias them onto landmark K-1
-            lmn[i], lmi[i], lmr[i], lmw[i] = nid, min(lid, K - 1), rel, w
+            lmn[i], lmn2[i], lma[i] = nid, nid2, alpha
+            lmi[i], lmq[i], lmr[i] = min(lid, K - 1), rq, rel
+            lmtw[i], lmrw[i] = tw, rw
             lmv[i] = lid < K
             if lid < K and not lmpv[lid]:
                 # initialize the landmark at its first observation's estimate
                 node = self.nodes[nid]
                 lmp[lid] = np.asarray(node.global_pose.apply(jnp.asarray(rel)))
+                lmpq[lid] = np.asarray(
+                    quat_multiply(node.global_pose.rotation, jnp.asarray(rq))
+                )
                 lmpv[lid] = True
+        # node-node links: odometry (+ consecutive local-SLAM relatives) when
+        # use_consecutive_node_costs is enabled (upstream fix_z_in_3d block)
+        Q = data.nn_first.shape[0]
+        nnf = np.zeros(Q, np.int32); nns = np.zeros(Q, np.int32)
+        nnq = np.zeros((Q, 4), np.float32); nnq[:, 0] = 1
+        nnt = np.zeros((Q, 3), np.float32)
+        nntw = np.zeros(Q, np.float32); nnrw = np.zeros(Q, np.float32)
+        nnv = np.zeros(Q, bool)
+        op = self.cfg.optimization_problem
+        if op.use_consecutive_node_costs:
+            links: List[Tuple[int, int, Rigid3, float, float]] = [
+                (a, b, rel, op.odometry_translation_weight,
+                 op.odometry_rotation_weight)
+                for a, b, rel in self.odometry_links
+            ]
+            prev_by_traj: Dict[int, int] = {}
+            for nid, node in enumerate(self.nodes):
+                p = prev_by_traj.get(node.trajectory_id)
+                if p is not None and not node.frozen:
+                    rel = (
+                        self.nodes[p].local_pose.inverse().compose(
+                            node.local_pose
+                        )
+                    )
+                    links.append(
+                        (p, nid, rel, op.local_slam_pose_translation_weight,
+                         op.local_slam_pose_rotation_weight)
+                    )
+                prev_by_traj[node.trajectory_id] = nid
+            for i, (a, b, rel, tw, rw) in enumerate(links[-Q:]):
+                nnf[i], nns[i] = a, b
+                nnq[i] = np.asarray(rel.rotation)
+                nnt[i] = np.asarray(rel.translation)
+                nntw[i], nnrw[i], nnv[i] = tw, rw, True
         return data._replace(
             submap_q=jnp.asarray(sq), submap_t=jnp.asarray(st),
             submap_valid=jnp.asarray(sv),
@@ -636,10 +1098,17 @@ class PoseGraph:
             submap_fixed=jnp.asarray(sfx), node_fixed=jnp.asarray(nfx),
             ff_node=jnp.asarray(ffn), ff_t=jnp.asarray(fft),
             ff_weight=jnp.asarray(ffw), ff_valid=jnp.asarray(ffv),
-            lm_node=jnp.asarray(lmn), lm_id=jnp.asarray(lmi),
-            lm_rel_t=jnp.asarray(lmr), lm_weight=jnp.asarray(lmw),
+            lm_node=jnp.asarray(lmn), lm_node2=jnp.asarray(lmn2),
+            lm_alpha=jnp.asarray(lma), lm_id=jnp.asarray(lmi),
+            lm_rel_q=jnp.asarray(lmq), lm_rel_t=jnp.asarray(lmr),
+            lm_trans_weight=jnp.asarray(lmtw), lm_rot_weight=jnp.asarray(lmrw),
             lm_valid=jnp.asarray(lmv),
-            lm_positions=jnp.asarray(lmp), lm_pos_valid=jnp.asarray(lmpv),
+            lm_q=jnp.asarray(lmpq), lm_positions=jnp.asarray(lmp),
+            lm_pos_valid=jnp.asarray(lmpv),
+            nn_first=jnp.asarray(nnf), nn_second=jnp.asarray(nns),
+            nn_q=jnp.asarray(nnq), nn_t=jnp.asarray(nnt),
+            nn_trans_weight=jnp.asarray(nntw), nn_rot_weight=jnp.asarray(nnrw),
+            nn_valid=jnp.asarray(nnv),
         )
 
     def wait_for_all_computations(self) -> None:
@@ -648,6 +1117,11 @@ class PoseGraph:
             self._pool.wait_all()
 
     def run_optimization(self, iterations: Optional[int] = None) -> None:
+        """Solve the SPA problem. `iterations=None` uses the configured
+        max_num_iterations; `iterations <= 0` (explicit or configured) skips
+        the solve — but still clears the optimize-every-n counter, so a
+        non-positive configuration disables optimization instead of
+        re-triggering it on every subsequent node."""
         self.wait_for_all_computations()
         if not self.constraints or len(self.submaps) < 2:
             self._nodes_since_optimization = 0
@@ -656,14 +1130,25 @@ class PoseGraph:
             iterations = self.cfg.optimization_problem.max_num_iterations
         iters = iterations
         if iters <= 0:
+            self._nodes_since_optimization = 0
             return
         if "solve" not in self._jit_cache:
+            # gauge anchoring moved into _build_problem's submap_fixed flags
+            # (component-aware); fix_first_submap would redundantly pin
+            # submap 0 even when its component is anchored by a frozen map
             self._jit_cache["solve"] = jax.jit(
                 functools.partial(
-                    opt.solve, cg_iterations=64, mesh=self._mesh
+                    opt.solve, cg_iterations=64, mesh=self._mesh,
+                    fix_first_submap=False,
+                    ff_huber_scale=float(
+                        self.cfg.optimization_problem.huber_scale
+                    ),
                 ),
                 static_argnames=("iterations",),
             )
+        import time as _wall
+
+        t0 = _wall.perf_counter()
         out = self._jit_cache["solve"](self._build_problem(), iterations=iters)
         self._last_landmark_positions = np.asarray(out.lm_positions)
         sq = np.asarray(out.submap_q); st = np.asarray(out.submap_t)
@@ -673,6 +1158,40 @@ class PoseGraph:
         for i, node in enumerate(self.nodes):
             node.global_pose = Rigid3(jnp.asarray(nq[i]), jnp.asarray(nt[i]))
         self._nodes_since_optimization = 0
+        if self.cfg.optimization_problem.log_solver_summary:
+            _LOG.info(
+                "SPA solve: %d GN iters, %d submaps, %d nodes, %d constraints"
+                " in %.3f s",
+                iters, len(self.submaps), len(self.nodes),
+                len(self.constraints), _wall.perf_counter() - t0,
+            )
+        if self.cfg.log_residual_histograms:
+            self._log_residual_histogram()
+
+    def _log_residual_histogram(self) -> None:
+        """Post-solve per-constraint translation residual histogram
+        (pose_graph.lua log_residual_histograms; reference logs Ceres
+        residual distributions after HandleWorkQueue)."""
+        errs = []
+        for c in self.constraints:
+            sub = self.submaps[c.submap_id]
+            node = self.nodes[c.node_id]
+            h = sub.global_pose.inverse().compose(node.global_pose)
+            errs.append(
+                float(
+                    jnp.linalg.norm(h.translation - c.relative.translation)
+                )
+            )
+        if not errs:
+            return
+        hist, edges = np.histogram(np.asarray(errs), bins=10)
+        _LOG.info(
+            "constraint translation residuals: %s",
+            ", ".join(
+                f"[{edges[i]:.2f},{edges[i+1]:.2f}):{hist[i]}"
+                for i in range(len(hist))
+            ),
+        )
 
     def run_final_optimization(self) -> None:
         """RunFinalOptimization (max_num_final_iterations, :722). One GN

@@ -13,7 +13,11 @@ from dliom_tpu.cloud import wire
 
 
 class MapBuilderStub:
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    # Default generous: the first add_range_data triggers the LIO step's XLA
+    # compile (tens of seconds cold, worse on a loaded host) and
+    # finish_trajectory runs the final optimization — a tight RPC timeout
+    # turns host load into spurious stream desyncs.
+    def __init__(self, host: str, port: int, timeout: float = 300.0):
         self._addr = (host, port)
         self._timeout = timeout
         self._sock = socket.create_connection(self._addr, timeout=timeout)
@@ -44,39 +48,78 @@ class MapBuilderStub:
 
     # ----- MapBuilder surface -----
 
-    def add_imu_data(self, time, linear_acceleration, angular_velocity):
+    def add_trajectory(self, range_sensor_ids=None) -> int:
+        """AddTrajectory RPC (add_trajectory_handler.cc): a new trajectory
+        on the server's map; returns its id for subsequent sensor calls."""
+        params = {}
+        if range_sensor_ids is not None:
+            params["range_sensor_ids"] = list(range_sensor_ids)
+        return int(self._call("add_trajectory", **params)["trajectory_id"])
+
+    def add_imu_data(
+        self, time, linear_acceleration, angular_velocity, trajectory_id=0
+    ):
         self._call(
             "add_imu_data",
             time=float(time),
             acc=np.asarray(linear_acceleration, np.float32),
             gyr=np.asarray(angular_velocity, np.float32),
+            trajectory_id=int(trajectory_id),
         )
 
-    def add_range_data(self, time, points, point_times=None, sensor_id=None):
-        params = {"time": float(time), "points": np.asarray(points, np.float32)}
+    def add_range_data(
+        self, time, points, point_times=None, sensor_id=None, trajectory_id=0
+    ):
+        params = {
+            "time": float(time),
+            "points": np.asarray(points, np.float32),
+            "trajectory_id": int(trajectory_id),
+        }
         if point_times is not None:
             params["times"] = np.asarray(point_times, np.float32)
         if sensor_id is not None:
             params["sensor_id"] = sensor_id
         self._call("add_range_data", **params)
 
-    def add_fixed_frame_pose_data(self, time, position):
+    def add_fixed_frame_pose_data(self, time, position, trajectory_id=0):
         self._call(
             "add_fixed_frame_pose_data",
             time=float(time),
             position=np.asarray(position, np.float32),
+            trajectory_id=int(trajectory_id),
         )
 
-    def add_landmark_data(self, time, landmark_id, position_in_tracking):
+    def add_odometry_data(self, time, rotation, translation, trajectory_id=0):
+        self._call(
+            "add_odometry_data",
+            time=float(time),
+            rotation=np.asarray(rotation, np.float32),
+            translation=np.asarray(translation, np.float32),
+            trajectory_id=int(trajectory_id),
+        )
+
+    def add_landmark_data(
+        self, time, landmark_id, position_in_tracking, trajectory_id=0
+    ):
         self._call(
             "add_landmark_data",
             time=float(time),
             id=str(landmark_id),
             position=np.asarray(position_in_tracking, np.float32),
+            trajectory_id=int(trajectory_id),
         )
 
-    def finish_trajectory(self):
-        self._call("finish_trajectory")
+    def finish_trajectory(self, trajectory_id=None):
+        if trajectory_id is None:
+            self._call("finish_trajectory")
+        else:
+            self._call("finish_trajectory", trajectory_id=int(trajectory_id))
+
+    def trajectory_states(self) -> dict:
+        return {
+            int(k): v
+            for k, v in self._call("trajectory_states")["states"].items()
+        }
 
     # ----- queries -----
 

@@ -61,9 +61,11 @@ class MapBuilderServer:
             kind, payload, done = item
             try:
                 with self._lock:
+                    tid = int(payload.get("trajectory_id", 0))
                     if kind == "imu":
                         self.map_builder.add_imu_data(
-                            payload["time"], payload["acc"], payload["gyr"]
+                            payload["time"], payload["acc"], payload["gyr"],
+                            trajectory_id=tid,
                         )
                     elif kind == "range":
                         self.map_builder.add_range_data(
@@ -71,17 +73,33 @@ class MapBuilderServer:
                             payload["points"],
                             payload.get("times"),
                             payload.get("sensor_id"),
+                            trajectory_id=tid,
                         )
                     elif kind == "fixed_frame":
                         self.map_builder.add_fixed_frame_pose_data(
-                            payload["time"], payload["position"]
+                            payload["time"], payload["position"],
+                            trajectory_id=tid,
+                        )
+                    elif kind == "odometry":
+                        from dliom_tpu.transform.rigid import Rigid3
+                        import jax.numpy as jnp
+
+                        pose = Rigid3(
+                            jnp.asarray(payload["rotation"]),
+                            jnp.asarray(payload["translation"]),
+                        )
+                        self.map_builder.add_odometry_data(
+                            payload["time"], pose, trajectory_id=tid
                         )
                     elif kind == "landmark":
                         self.map_builder.add_landmark_data(
-                            payload["time"], payload["id"], payload["position"]
+                            payload["time"], payload["id"], payload["position"],
+                            trajectory_id=tid,
                         )
                     elif kind == "finish":
-                        self.map_builder.finish_trajectory()
+                        self.map_builder.finish_trajectory(
+                            payload.get("trajectory_id")
+                        )
             except Exception as e:  # noqa: BLE001
                 # one malformed message must not kill the drain thread: the
                 # queue would fill and every sensor RPC would block forever.
@@ -126,17 +144,33 @@ class MapBuilderServer:
         method = msg.get("method")
         p = msg.get("params", {})
         if method in ("add_imu_data", "add_range_data",
-                      "add_fixed_frame_pose_data", "add_landmark_data"):
+                      "add_fixed_frame_pose_data", "add_landmark_data",
+                      "add_odometry_data"):
             kind = {"add_imu_data": "imu", "add_range_data": "range",
                     "add_fixed_frame_pose_data": "fixed_frame",
-                    "add_landmark_data": "landmark"}[method]
+                    "add_landmark_data": "landmark",
+                    "add_odometry_data": "odometry"}[method]
             self._queue.put((kind, p, None))
             return {"ok": True}
+        if method == "add_trajectory":
+            # synchronous (add_trajectory_handler): the id must return
+            with self._lock:
+                tid = self.map_builder.add_trajectory_builder(
+                    p.get("range_sensor_ids")
+                )
+            return {"ok": True, "trajectory_id": tid}
         if method == "finish_trajectory":
             done = threading.Event()
-            self._queue.put(("finish", {}, done))
+            self._queue.put(("finish", p, done))
             done.wait()
             return {"ok": True}
+        if method == "trajectory_states":
+            with self._lock:
+                states = self.map_builder.pose_graph.trajectory_states()
+            return {
+                "ok": True,
+                "states": {str(k): v for k, v in states.items()},
+            }
         if method == "node_poses":
             with self._lock:
                 nodes = self.map_builder.optimized_node_poses()

@@ -106,6 +106,11 @@ class RealTimeCorrelativeConfig:
     angular_search_window: float = 0.017453292519943295  # math.rad(1)
     translation_delta_cost_weight: float = 1e-1
     rotation_delta_cost_weight: float = 1e-1
+    # TPU deviation knob: cap on rotational lattice steps per axis. The
+    # reference enumerates the full acos-derived window (:64-72), which is
+    # combinatorial at long max ranges; requesting a window wider than this
+    # cap allows logs a truncation warning (ops/real_time_correlative.py).
+    max_angular_steps: int = 4
 
 
 @dataclass(frozen=True)
@@ -175,8 +180,11 @@ class TrajectoryBuilderConfig:
     real_time_correlative_scan_matcher: RealTimeCorrelativeConfig = field(
         default_factory=RealTimeCorrelativeConfig
     )
+    # NOTE (dead-key policy): imu_gravity_time_constant is not carried — it
+    # parameterizes the upstream ImuTracker/PoseExtrapolator, which is
+    # vestigial in the D-LIOM 3D path (SURVEY C33: declared, never
+    # constructed); prediction comes from IMU preintegration instead.
     motion_filter: MotionFilterConfig = field(default_factory=MotionFilterConfig)
-    imu_gravity_time_constant: float = 0.1
     rotational_histogram_size: int = 120
     submaps: SubmapsConfig = field(default_factory=SubmapsConfig)
     imu: ImuConfig = field(default_factory=ImuConfig)
@@ -203,6 +211,10 @@ class FastCorrelativeConfig:
     linear_xy_search_window: float = 15.0
     linear_z_search_window: float = 8.0
     angular_search_window: float = math.radians(45.0)
+    # TPU capacity knob: yaw candidates of the all-yaw MatchFullSubmap
+    # search (the reference derives a step from the scan extent; a static
+    # count keeps the compiled lattice shape fixed).
+    full_submap_num_angles: int = 32
 
 
 @dataclass(frozen=True)
@@ -219,7 +231,16 @@ class LoopCeresConfig:
 @dataclass(frozen=True)
 class ConstraintBuilderConfig:
     # pose_graph.lua constraint_builder + basic_config_3d.lua overrides
-    sampling_ratio: float = 0.05
+    # NOTE (dead-key policy): keys that are defined but UNREAD in the
+    # reference itself are not carried here — `sampling_ratio` (the upstream
+    # node-vs-submap sampler path is commented out in D-LIOM,
+    # pose_graph_3d.cc:368-381; every_nodes_to_find_constraint is the active
+    # sampler) and the OpenCV SURF-path knobs (cv_binary_threshold,
+    # cv_structure_element_size, minimum_good_match_num,
+    # good_match_ratio_of_distance, ransac_thresh_of_2d_transform_estimate,
+    # scale_estimated_tolerance — replaced by the image_proposal_* knobs of
+    # the FFT-NCC substitute below). tests/test_config.py enforces that
+    # every remaining key is read by some code path.
     max_constraint_distance: float = 50.0
     min_score: float = 0.45
     global_localization_min_score: float = 0.45
@@ -227,13 +248,6 @@ class ConstraintBuilderConfig:
     loop_closure_rotation_weight: float = 1e2
     log_matches: bool = True
     every_nodes_to_find_constraint: int = 3
-    # submap-image proposal options (constraint_builder_options.proto:47-56)
-    cv_binary_threshold: int = 200
-    cv_structure_element_size: int = 3
-    minimum_good_match_num: int = 5
-    good_match_ratio_of_distance: float = 0.5
-    ransac_thresh_of_2d_transform_estimate: float = 3.0
-    scale_estimated_tolerance: float = 0.1
     # --- TPU image-proposal substitute for the SURF path (C10): dense FFT
     # correlation over candidate yaws; min normalized-correlation score plays
     # the role of minimum_good_match_num/RANSAC gates ---
@@ -250,16 +264,23 @@ class ConstraintBuilderConfig:
 
 @dataclass(frozen=True)
 class OptimizationProblemConfig:
-    # pose_graph.lua optimization_problem + basic_config_3d.lua
-    huber_scale: float = 1e2
-    acceleration_weight: float = 1e3
-    rotation_weight: float = 3e5
+    # pose_graph.lua optimization_problem + basic_config_3d.lua.
+    # NOTE (dead-key policy): acceleration_weight / rotation_weight (the IMU
+    # cost blocks) are not carried — their code is commented out in the
+    # reference (optimization_problem_3d.cc:350-489). The odometry and
+    # local-slam consecutive-node costs from the same commented block ARE
+    # restored here behind `use_consecutive_node_costs`.
+    huber_scale: float = 1e2  # Huber loss on fixed-frame costs (:491-548)
     local_slam_pose_translation_weight: float = 1e5
     local_slam_pose_rotation_weight: float = 1e5
     odometry_translation_weight: float = 1e5
     odometry_rotation_weight: float = 1e5
+    use_consecutive_node_costs: bool = False
+    # fixed-frame observations are position-only (GPS/navsat carries no
+    # orientation through the bridge), so only the translation weight
+    # exists; the reference's rotation weight applies to oriented
+    # fixed-frame poses it never receives from navsat either.
     fixed_frame_pose_translation_weight: float = 1e1
-    fixed_frame_pose_rotation_weight: float = 1e2
     log_solver_summary: bool = False
     max_num_iterations: int = 10
 
@@ -280,10 +301,12 @@ class PoseGraphConfig:
     global_sampling_ratio: float = 0.1
     log_residual_histograms: bool = False
     global_constraint_search_after_n_seconds: float = 10.0
-    # D-LIOM additions (pose_graph_options.proto:59-64)
+    # D-LIOM additions (pose_graph_options.proto:59-64).
+    # NOTE (dead-key policy): nodes_space_to_perform_loop_detection is not
+    # carried — its only reference use sits in a commented-out block
+    # (pose_graph_3d.cc:368-381, the node-vs-submap search path).
     max_radius_enable_loop_detection: float = 10.0
     num_close_submaps_loop_with_initial_value: int = 5
-    nodes_space_to_perform_loop_detection: float = 1.0
     # --- TPU capacity knobs ---
     max_submaps: int = 512
     max_nodes: int = 8192
@@ -292,10 +315,13 @@ class PoseGraphConfig:
 
 @dataclass(frozen=True)
 class MapBuilderConfig:
-    # map_builder.lua
+    # map_builder.lua.
+    # NOTE (dead-key policy): collate_by_trajectory is not carried — it
+    # selects TrajectoryCollator vs Collator in the reference's single
+    # shared-queue design; ingestion here is per-trajectory by construction
+    # (each trajectory builder owns its OrderedMultiQueue).
     use_trajectory_builder_3d: bool = True
     num_background_threads: int = 8
-    collate_by_trajectory: bool = False
 
 
 @dataclass(frozen=True)

@@ -212,6 +212,7 @@ def step(
             translation_delta_cost_weight=rtc_cfg.translation_delta_cost_weight,
             rotation_delta_cost_weight=rtc_cfg.rotation_delta_cost_weight,
             max_scan_range=cfg.max_range,
+            max_angular_steps=rtc_cfg.max_angular_steps,
             base=(2 * state.submaps.lane + mslot)
             if cfg.submaps.use_brick_grid
             else (2 * state.submaps.lane + mslot) * hi_spec.num_cells,

@@ -68,6 +68,9 @@ def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -
         data[f"submap/{i}/global_pose"] = _pose_arr(s.global_pose)
         data[f"submap/{i}/finished"] = np.asarray(s.finished)
         data[f"submap/{i}/node_ids"] = np.asarray(s.node_ids, np.int32)
+        data[f"submap/{i}/trajectory"] = np.asarray(
+            [s.trajectory_id, s.index_in_trajectory], np.int32
+        )
         if s.histogram is not None:
             data[f"submap/{i}/histogram"] = np.asarray(s.histogram)
         if s.finished and s.high is not None:
@@ -97,6 +100,7 @@ def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -
             data[f"node/{i}/{tag}_capacity"] = np.int32(np.asarray(pts).shape[0])
         data[f"node/{i}/histogram"] = np.asarray(n.histogram)
         data[f"node/{i}/submap_ids"] = np.asarray(n.submap_ids, np.int32)
+        data[f"node/{i}/trajectory"] = np.int32(n.trajectory_id)
 
     c = pose_graph.constraints
     data["constraints/submap"] = np.asarray([x.submap_id for x in c], np.int32)
@@ -115,22 +119,58 @@ def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -
 def load_state(
     path: str, config: Optional[EngineConfig] = None, frozen: bool = False
 ) -> PoseGraph:
-    """LoadState (map_builder.cc:209-367). With frozen=True, constraints are
-    restored but the trajectory is excluded from re-optimization (pure
-    localization uses this as the reference map)."""
+    """LoadState into a fresh PoseGraph (map_builder.cc:209-367). With
+    frozen=True, constraints are restored but the loaded trajectories are
+    excluded from re-optimization (pure localization uses this as the
+    reference map)."""
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["meta"]).decode())
     config = config or load_config(meta.get("preset", "basic"))
     pg = PoseGraph(config.pose_graph, config.trajectory_builder)
+    load_state_into(pg, path, config, frozen=frozen)
+    return pg
+
+
+def load_state_into(
+    pg: PoseGraph,
+    path: str,
+    config: Optional[EngineConfig] = None,
+    frozen: bool = False,
+) -> dict:
+    """Append a saved state to an EXISTING pose graph, remapping loaded
+    trajectory ids onto freshly registered ones and offsetting node/submap
+    ids past the graph's current contents (map_builder.cc:220-234's
+    trajectory remapping). Returns {loaded_tid: new_tid}."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode())
+    sub_off = len(pg.submaps)
+    node_off = len(pg.nodes)
+    tid_map: dict = {}
+
+    def map_tid(loaded: int) -> int:
+        if loaded not in tid_map:
+            tid_map[loaded] = pg.add_trajectory(frozen=frozen)
+        return tid_map[loaded]
+
     for i in range(meta["num_submaps"]):
+        if f"submap/{i}/trajectory" in z:
+            tid_l, idx = (int(v) for v in z[f"submap/{i}/trajectory"])
+        else:  # legacy (schema 1 pre-trajectory) states: one trajectory
+            tid_l, idx = 0, i
+        tid = map_tid(tid_l)
         rec = SubmapRecord(
             local_pose=_arr_pose(z[f"submap/{i}/local_pose"]),
             global_pose=_arr_pose(z[f"submap/{i}/global_pose"]),
             finished=bool(z[f"submap/{i}/finished"]),
-            node_ids=list(z[f"submap/{i}/node_ids"]),
+            node_ids=[int(n) + node_off for n in z[f"submap/{i}/node_ids"]],
             histogram=z[f"submap/{i}/histogram"]
             if f"submap/{i}/histogram" in z
             else None,
+            trajectory_id=tid,
+            index_in_trajectory=idx,
+        )
+        pg._traj_submap_counts[tid] = max(
+            pg._traj_submap_counts.get(tid, 0), idx + 1
         )
         if f"submap/{i}/high_idx" in z:
             rec.high = CompressedGrid(
@@ -148,6 +188,9 @@ def load_state(
     for i in range(meta["num_nodes"]):
         hi_cloud = _load_cloud(z, f"node/{i}/high")
         lo_cloud = _load_cloud(z, f"node/{i}/low")
+        tid_l = (
+            int(z[f"node/{i}/trajectory"]) if f"node/{i}/trajectory" in z else 0
+        )
         pg.nodes.append(
             NodeRecord(
                 time=float(z[f"node/{i}/time"]),
@@ -159,20 +202,31 @@ def load_state(
                 low_points=jnp.asarray(lo_cloud[0]),
                 low_mask=jnp.asarray(lo_cloud[1]),
                 histogram=jnp.asarray(z[f"node/{i}/histogram"]),
-                submap_ids=tuple(z[f"node/{i}/submap_ids"]),
+                submap_ids=tuple(
+                    int(s) + sub_off for s in z[f"node/{i}/submap_ids"]
+                ),
                 frozen=frozen,
+                trajectory_id=map_tid(tid_l),
             )
         )
     n_c = meta["num_constraints"]
     for i in range(n_c):
         pg.constraints.append(
             Constraint(
-                submap_id=int(z["constraints/submap"][i]),
-                node_id=int(z["constraints/node"][i]),
+                submap_id=int(z["constraints/submap"][i]) + sub_off,
+                node_id=int(z["constraints/node"][i]) + node_off,
                 relative=_arr_pose(z["constraints/pose"][i]),
                 translation_weight=float(z["constraints/tw"][i]),
                 rotation_weight=float(z["constraints/rw"][i]),
                 tag="INTER" if bool(z["constraints/inter"][i]) else "INTRA",
             )
         )
-    return pg
+    pg.reindex_constraints()
+    # loaded INTER constraints re-establish trajectory connectivity
+    for c in pg.constraints[-n_c:] if n_c else []:
+        if c.tag == "INTER":
+            t_sub = pg.submaps[c.submap_id].trajectory_id
+            t_node = pg.nodes[c.node_id].trajectory_id
+            if t_sub != t_node:
+                pg.connect_trajectories(t_sub, t_node, pg.nodes[c.node_id].time)
+    return tid_map

@@ -138,3 +138,151 @@ def corkscrew_trajectory() -> List[Tuple[float, Rigid3]]:
         )
         out.append((t, pose))
     return out
+
+
+def _np_quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _np_quat_conjugate(q: np.ndarray) -> np.ndarray:
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _np_quat_slerp(a: np.ndarray, b: np.ndarray, s: float) -> np.ndarray:
+    d = float(np.dot(a, b))
+    if d < 0:
+        b, d = -b, -d
+    if d > 1.0 - 1e-9:
+        out = a + s * (b - a)
+    else:
+        th = np.arccos(np.clip(d, -1.0, 1.0))
+        out = (np.sin((1 - s) * th) * a + np.sin(s * th) * b) / np.sin(th)
+    return out / np.linalg.norm(out)
+
+
+def _np_quat_to_axis_angle(q: np.ndarray) -> np.ndarray:
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    v = q[1:4]
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        return 2.0 * v
+    return (2.0 * np.arctan2(n, q[0])) * v / n
+
+
+@dataclass
+class ImuNoise:
+    """IMU error model for fidelity harnesses (the reference's imu_options
+    noise densities, proto/imu_options.proto): white measurement noise,
+    bias random walk, initial bias offsets. All std-devs are PER-SAMPLE at
+    the simulator's rate (multiply a density by sqrt(rate) to convert)."""
+
+    acc_noise: float = 0.0  # m/s^2 per sample
+    gyr_noise: float = 0.0  # rad/s per sample
+    acc_bias_walk: float = 0.0  # m/s^2 per sqrt(s)
+    gyr_bias_walk: float = 0.0  # rad/s per sqrt(s)
+    acc_bias0: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    gyr_bias0: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+class ImuSimulator:
+    """Stateful IMU synthesis along a pose trajectory: constant body rate +
+    constant world acceleration per interval (exact for the test
+    trajectories' sampling), with an ImuNoise model applied on top. Bias
+    states persist across calls (a true random walk, not per-call noise).
+    Pure numpy — host data generation must never dispatch device ops."""
+
+    def __init__(
+        self,
+        rate: float = 100.0,
+        noise: ImuNoise | None = None,
+        gravity: float = 9.80511,
+        seed: int = 0,
+    ):
+        self.rate = rate
+        self.noise = noise or ImuNoise()
+        self.gravity = gravity
+        self._rng = np.random.default_rng(seed)
+        self.ba = np.asarray(self.noise.acc_bias0, np.float64).copy()
+        self.bg = np.asarray(self.noise.gyr_bias0, np.float64).copy()
+
+    def _measure(self, true_acc: np.ndarray, true_gyr: np.ndarray, dt: float):
+        n = self.noise
+        self.ba += self._rng.normal(0, n.acc_bias_walk * np.sqrt(dt), 3)
+        self.bg += self._rng.normal(0, n.gyr_bias_walk * np.sqrt(dt), 3)
+        acc = true_acc + self.ba + self._rng.normal(0, n.acc_noise, 3)
+        gyr = true_gyr + self.bg + self._rng.normal(0, n.gyr_noise, 3)
+        return acc, gyr
+
+    def static_samples(self, duration: float, attitude_error_axis_angle=None):
+        """Resting samples for static initialization; optional gravity
+        misalignment (the IMU mount is tilted by the given axis-angle)."""
+        n = max(2, int(round(duration * self.rate)))
+        dt = duration / n
+        g_body = np.array([0.0, 0.0, self.gravity])
+        if attitude_error_axis_angle is not None:
+            aa = np.asarray(attitude_error_axis_angle, np.float64)
+            th = np.linalg.norm(aa)
+            if th > 0:
+                q = np.concatenate(
+                    [[np.cos(th / 2)], np.sin(th / 2) * aa / th]
+                )
+                g_body = _np_quat_to_matrix(q).T @ g_body
+        accs, gyrs = [], []
+        for _ in range(n):
+            a, g = self._measure(g_body, np.zeros(3), dt)
+            accs.append(a)
+            gyrs.append(g)
+        return (
+            np.asarray(accs, np.float32),
+            np.asarray(gyrs, np.float32),
+            np.full(n, dt, np.float32),
+        )
+
+    def between(
+        self,
+        pose_a: Rigid3,
+        pose_b: Rigid3,
+        v_a: np.ndarray,
+        v_b: np.ndarray,
+        dt_total: float,
+        capacity: int,
+    ):
+        """Samples over [t_a, t_b], padded to `capacity`. Returns
+        (dts, accs, gyrs, mask) as jnp arrays ready for LioScanInput."""
+        n = max(2, int(round(dt_total * self.rate)))
+        sub = dt_total / n
+        qa = np.asarray(pose_a.rotation, np.float64)
+        qb = np.asarray(pose_b.rotation, np.float64)
+        dq = _np_quat_multiply(_np_quat_conjugate(qa), qb)
+        omega = _np_quat_to_axis_angle(dq) / dt_total
+        a_world = (np.asarray(v_b, np.float64) - np.asarray(v_a, np.float64)) / dt_total
+        g_world = np.array([0.0, 0.0, -self.gravity])
+        dts = np.full(n, sub, np.float32)
+        accs = np.zeros((n, 3), np.float32)
+        gyrs = np.zeros((n, 3), np.float32)
+        for i in range(n):
+            s = (i + 0.5) / n
+            q_t = _np_quat_slerp(qa, qb, s)
+            a_true = _np_quat_to_matrix(q_t).T @ (a_world - g_world)
+            a, g = self._measure(a_true, omega, sub)
+            accs[i] = a
+            gyrs[i] = g
+        pad = capacity - n
+        assert pad >= 0, (n, capacity)
+        return (
+            jnp.asarray(np.pad(dts, (0, pad))),
+            jnp.asarray(np.pad(accs, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(gyrs, ((0, pad), (0, 0)))),
+            jnp.asarray(np.arange(capacity) < n),
+        )

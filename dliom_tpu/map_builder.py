@@ -2,24 +2,30 @@
 
 Counterpart of the reference's `MapBuilder` + `GlobalTrajectoryBuilder` +
 `CollatedTrajectoryBuilder` stack (`cartographer/mapping/map_builder.cc:73-169`,
-`internal/global_trajectory_builder.cc`): owns the frontend (LIO step), the
-pose graph, and the sensor-ingest state machine, and routes per-scan results
-from local to global SLAM.
+`internal/global_trajectory_builder.cc`): owns the pose graph and N
+per-trajectory frontend chains (AddTrajectoryBuilder -> trajectory_id), and
+routes per-scan results from local to global SLAM.
 
-Sensor ingestion: IMU samples buffer host-side between scans (the reference's
-Collator merges time-ordered streams; a single-trajectory builder only needs
-the IMU bridge per scan). The first `frames_for_static_initialization` scans
-feed the static initializer (InitializeStatic,
-local_trajectory_builder_3d.cc:203-229); afterwards every scan runs the
-compiled LIO step, and results flow to PoseGraph.add_node with finished
-submap grids captured from the device before the deferred spawn recycles
-their slot.
+Sensor ingestion (per trajectory): IMU samples buffer host-side between scans
+(the reference's Collator merges time-ordered streams; each trajectory
+builder only needs the IMU bridge per scan). The first
+`frames_for_static_initialization` scans feed the static initializer
+(InitializeStatic, local_trajectory_builder_3d.cc:203-229); afterwards every
+scan runs the compiled LIO step, and results flow to PoseGraph.add_node with
+finished submap grids captured from the device before the deferred spawn
+recycles their slot.
+
+Multi-trajectory: every trajectory owns its frontend state (LIO window, two
+active submaps, sensor buffers) but shares the pose graph, metrics, thread
+pool, and — when configs match — the compiled LIO step. Inter-trajectory
+loop closure and connectivity live in backend/pose_graph.py
+(map_builder.cc:98-169, pose_graph_3d.cc trajectory connectivity).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,46 +50,31 @@ from dliom_tpu.sensor.types import pad_point_cloud
 from dliom_tpu.transform.rigid import Rigid3
 
 
-class MapBuilder:
-    """Single-trajectory online mapping (MapBuilderInterface surface)."""
+class _TrajectoryBuilder:
+    """One CollatedTrajectoryBuilder -> GlobalTrajectoryBuilder ->
+    LocalTrajectoryBuilder3D chain (map_builder.cc:98-169): per-trajectory
+    sensor state machine + frontend, forwarding into the shared pose graph
+    under this trajectory's id."""
 
     def __init__(
         self,
-        config: EngineConfig,
-        range_sensor_ids: Optional[List[str]] = None,
-        use_background_threads: bool = False,
-        use_native_collator: bool = False,
-        mesh=None,
+        parent: "MapBuilder",
+        trajectory_id: int,
+        range_sensor_ids: List[str],
+        use_native_collator: bool,
+        config: Optional[EngineConfig] = None,
     ):
-        """`range_sensor_ids`: one entry per LiDAR (the first is the primary
-        the others merge into, RangeDataSynchronizer). With
-        `use_background_threads`, loop-constraint search runs on the native
-        task pool (MAP_BUILDER.num_background_threads). With
-        `use_native_collator`, sensor ingest routes through the native
-        OrderedMultiQueue (sensor::Collator, collated_trajectory_builder.cc),
-        so out-of-order arrival across sensors is merged to one
-        time-ordered stream before dispatch. `mesh`: optional
-        `jax.sharding.Mesh` — loop-constraint search shards its node batch
-        over the mesh's chips (see backend/pose_graph.py)."""
-        self.config = config
-        tb = config.trajectory_builder
-        self.tb = tb
-        self._metrics = register_all_metrics(global_registry())
-        pool = None
-        if use_background_threads:
-            from dliom_tpu.native import TaskThreadPool
-
-            pool = TaskThreadPool(config.map_builder.num_background_threads)
-        self._pool = pool
-        self.pose_graph = PoseGraph(
-            config.pose_graph, tb, pool=pool, metrics=self._metrics, mesh=mesh
+        self.parent = parent
+        self.trajectory_id = trajectory_id
+        self.config = config or parent.config
+        self.tb = self.config.trajectory_builder
+        self._synchronizer = RangeDataSynchronizer(
+            range_sensor_ids, self.tb.scan_period
         )
-        ids = range_sensor_ids or [
-            f"points{i}" for i in range(max(1, config.num_point_clouds))
-        ]
-        self._synchronizer = RangeDataSynchronizer(ids, tb.scan_period)
         self._dyn_init = (
-            DynamicInitializer(tb) if tb.enable_ndt_initialization else None
+            DynamicInitializer(self.tb)
+            if self.tb.enable_ndt_initialization
+            else None
         )
         self._lio: Optional[LioState] = None
         self._initialized = False
@@ -95,22 +86,28 @@ class MapBuilder:
         self._imu_gyr: List[np.ndarray] = []
         self._last_imu_time: Optional[float] = None
         self._time_origin: Optional[float] = None
-        self._jit_step = jax.jit(functools.partial(lio_step, cfg=tb))
+        if config is None or config is parent.config:
+            self._jit_step = parent._jit_step  # shared compile
+        else:
+            self._jit_step = jax.jit(functools.partial(lio_step, cfg=self.tb))
         self._results: List[dict] = []
-        # frontend submap id -> pose graph submap id (0 maps to 0 unless a
-        # state was loaded first; then live ids append after the loaded ones)
-        self._known_submaps = 0
-        self._loaded_offset = 0
-        self._pure_localization = False
+        # frontend submap id -> pose graph submap id
+        self._pg_submap_ids: List[int] = []
         self._ff_buffer: List[Tuple[float, np.ndarray]] = []
         self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
+        self._odom_buffer: List[Tuple[float, Rigid3]] = []
         self._jit_aux: dict = {}
-        self._rate_timers: dict = {}
         self._collator = None
+        self.finished = False
+        # num_accumulated_range_data > 1: merged scans accumulate (in the
+        # tracking frame at their own stamps; deskew handles intra-scan
+        # motion) until N are gathered (local_trajectory_builder_3d.cc:454)
+        self._accum_points: List[np.ndarray] = []
+        self._accum_times: List[np.ndarray] = []
         if use_native_collator:
             from dliom_tpu.native import OrderedMultiQueue
 
-            self._collator = OrderedMultiQueue(["imu"] + list(ids))
+            self._collator = OrderedMultiQueue(["imu"] + list(range_sensor_ids))
 
     # ----- sensor ingest -----
 
@@ -129,7 +126,7 @@ class MapBuilder:
                     out = res
         return out
 
-    def add_imu_data(self, time: float, linear_acceleration, angular_velocity):
+    def add_imu_data(self, time, linear_acceleration, angular_velocity):
         """SensorBridge::HandleImuMessage -> AddImuData."""
         if self._collator is not None:
             self._collator.add(
@@ -139,8 +136,8 @@ class MapBuilder:
             return
         self._handle_imu_data(time, linear_acceleration, angular_velocity)
 
-    def _handle_imu_data(self, time: float, linear_acceleration, angular_velocity):
-        self._rate_timers.setdefault("imu", RateTimer()).pulse(time)
+    def _handle_imu_data(self, time, linear_acceleration, angular_velocity):
+        self.parent._pulse(self.trajectory_id, "imu", time)
         acc = np.asarray(linear_acceleration, np.float32)
         gyr = np.asarray(angular_velocity, np.float32)
         if not self._initialized:
@@ -151,6 +148,13 @@ class MapBuilder:
         self._imu_times.append(float(time))
         self._imu_acc.append(acc)
         self._imu_gyr.append(gyr)
+
+    def add_odometry_data(self, time, pose: Rigid3):
+        """Odometry ingest (SensorBridge::HandleOdometryMessage ->
+        AddOdometryData). Buffered; consecutive-node relative odometry
+        costs attach in the pose graph when enabled
+        (optimization_problem_3d.cc:437-489)."""
+        self._odom_buffer.append((float(time), pose))
 
     def _imu_bridge(self, scan_time: float):
         """Consume buffered samples up to scan_time into a fixed-capacity
@@ -189,11 +193,7 @@ class MapBuilder:
         )
 
     def add_range_data(
-        self,
-        time: float,
-        points: np.ndarray,
-        point_times: Optional[np.ndarray] = None,
-        sensor_id: Optional[str] = None,
+        self, time, points, point_times=None, sensor_id=None
     ) -> Optional[dict]:
         if self._collator is not None:
             self._collator.add(
@@ -205,17 +205,13 @@ class MapBuilder:
         return self._handle_range_data(time, points, point_times, sensor_id)
 
     def _handle_range_data(
-        self,
-        time: float,
-        points: np.ndarray,
-        point_times: Optional[np.ndarray] = None,
-        sensor_id: Optional[str] = None,
+        self, time, points, point_times=None, sensor_id=None
     ) -> Optional[dict]:
         """SensorBridge::HandlePointCloud2Message -> AddRangeData. Secondary
         LiDARs buffer into the synchronizer; the primary triggers a step with
         the merged cloud. Returns a MatchingResult dict once initialized."""
         sensor_id = sensor_id or self._synchronizer.primary
-        self._rate_timers.setdefault(sensor_id, RateTimer()).pulse(time)
+        self.parent._pulse(self.trajectory_id, sensor_id, time)
         merged = self._synchronizer.add_range_data(
             sensor_id, time, points, point_times,
             synthesize_times=self.tb.manual_deskew_stamps,
@@ -246,6 +242,27 @@ class MapBuilder:
             if not self._initialized:
                 return None
 
+        # num_accumulated_range_data (local_trajectory_builder_3d.cc:454-492):
+        # gather N synchronized scans before one frontend step. Per-point
+        # times rebase onto the LAST scan's end (earlier scans get negative
+        # offsets), matching the accumulation-window deskew convention.
+        n_acc = max(1, self.tb.num_accumulated_range_data)
+        if n_acc > 1:
+            if point_times is None:
+                point_times = np.zeros(len(points), np.float32)
+            self._accum_points.append(np.asarray(points, np.float32))
+            self._accum_times.append(
+                np.asarray(point_times, np.float32) + float(time)
+            )
+            if len(self._accum_points) < n_acc:
+                return None
+            points = np.concatenate(self._accum_points)
+            point_times = (
+                np.concatenate(self._accum_times) - float(time)
+            ).astype(np.float32)
+            self._accum_points.clear()
+            self._accum_times.clear()
+
         cloud = pad_point_cloud(points, point_times, self.tb.max_raw_points // 8)
         dts, accs, gyrs, imask = self._imu_bridge(time)
         # Rebase to trajectory-relative time before the f32 cast: absolute
@@ -268,10 +285,9 @@ class MapBuilder:
         t0 = _wall.perf_counter()
         self._lio, res = self._jit_step(self._lio, inp)
         self._forward_to_pose_graph(time, res)
-        self._metrics["local_slam_latency"].add().set(_wall.perf_counter() - t0)
-        self._metrics["scan_matcher_cost"].add().observe(
-            float(res.scan.matcher_cost)
-        )
+        m = self.parent._metrics
+        m["local_slam_latency"].add().set(_wall.perf_counter() - t0)
+        m["scan_matcher_cost"].add().observe(float(res.scan.matcher_cost))
         dropped_total = None
         for bank in (
             self._lio.frontend.submaps.high_brick,
@@ -279,10 +295,16 @@ class MapBuilder:
         ):
             if bank is not None:
                 dropped_total = (dropped_total or 0.0) + float(bank.dropped[0])
+        dd = self._lio.frontend.submaps.dense_dropped
+        if dd is not None:
+            # dense grouped-apply drops count in the same gauge (both are
+            # "grid update groups lost to capacity" — no silent truncation)
+            dropped_total = (dropped_total or 0.0) + float(dd[0])
         if dropped_total is not None:
-            self._metrics["brick_groups_dropped"].add().set(dropped_total)
+            m["brick_groups_dropped"].add().set(dropped_total)
         out = {
             "time": time,
+            "trajectory_id": self.trajectory_id,
             "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),
             "velocity": np.asarray(res.velocity),
             "failed": bool(res.failed),
@@ -312,41 +334,48 @@ class MapBuilder:
 
     def _sync_submaps(self, res: LioResult):
         """Mirror frontend submap spawns into the pose graph."""
+        pg = self.parent.pose_graph
         submaps = self._lio.frontend.submaps
         num_created = int(submaps.num_created)
         pending = bool(submaps.pending_spawn)
-        while self._known_submaps < num_created:
-            sid = self._known_submaps
-            slot = sid % 2
+        while len(self._pg_submap_ids) < num_created:
+            slot = len(self._pg_submap_ids) % 2
             pose = Rigid3(
                 jnp.asarray(np.asarray(submaps.pose_rotation[slot])),
                 jnp.asarray(np.asarray(submaps.pose_translation[slot])),
             )
-            self.pose_graph.add_submap(pose)
-            self._known_submaps += 1
-        if pending and self._known_submaps == num_created:
-            # the next step will spawn submap num_created with the pending pose
+            self._pg_submap_ids.append(
+                pg.add_submap(pose, trajectory_id=self.trajectory_id)
+            )
+        if pending and len(self._pg_submap_ids) == num_created:
+            # the next step spawns submap num_created with the pending pose
             pose = Rigid3(
                 jnp.asarray(np.asarray(submaps.pending_rotation)),
                 jnp.asarray(np.asarray(submaps.pending_translation)),
             )
-            self.pose_graph.add_submap(pose)
-            self._known_submaps += 1
+            self._pg_submap_ids.append(
+                pg.add_submap(pose, trajectory_id=self.trajectory_id)
+            )
 
-    def add_fixed_frame_pose_data(self, time: float, position):
+    def add_fixed_frame_pose_data(self, time, position):
         """GPS/navsat ingest (SensorBridge::HandleNavSatFixMessage ->
         AddFixedFramePoseData). Samples buffer until a node near their stamp
         exists; the position is linearly interpolated at node time."""
         self._ff_buffer.append((float(time), np.asarray(position, np.float32)))
 
-    def add_landmark_data(self, time: float, landmark_id: str, position_in_tracking):
+    def add_landmark_data(self, time, landmark_id, position_in_tracking):
         """Landmark ingest (SensorBridge::HandleLandmarkMessage). The
         observation attaches to the node nearest its stamp."""
         self._lm_buffer.append(
-            (float(time), str(landmark_id), np.asarray(position_in_tracking, np.float32))
+            (
+                float(time),
+                str(landmark_id),
+                np.asarray(position_in_tracking, np.float32),
+            )
         )
 
     def _attach_aux_observations(self, node_id: int, node_time: float):
+        pg = self.parent.pose_graph
         # fixed-frame: interpolate buffered samples at the node's stamp
         if self._ff_buffer:
             ts = [t for t, _ in self._ff_buffer]
@@ -355,7 +384,7 @@ class MapBuilder:
                 pos = np.stack(
                     [np.interp(node_time, ts, ps[:, k]) for k in range(3)]
                 ).astype(np.float32)
-                self.pose_graph.add_fixed_frame_pose(node_id, pos)
+                pg.add_fixed_frame_pose(node_id, pos)
             # drop samples older than the node (keep one for bracketing)
             while len(self._ff_buffer) > 1 and self._ff_buffer[1][0] <= node_time:
                 self._ff_buffer.pop(0)
@@ -363,17 +392,30 @@ class MapBuilder:
         keep = []
         for t, lid, rel in self._lm_buffer:
             if t <= node_time + 0.5 * self.tb.scan_period:
-                self.pose_graph.add_landmark_observation(node_id, lid, rel)
+                pg.add_landmark_observation(node_id, lid, rel)
             else:
                 keep.append((t, lid, rel))
         self._lm_buffer = keep
+        # odometry: relative pose between the previous and this node,
+        # interpolated from the odometry buffer at both stamps
+        # (OptimizationProblem3D::CalculateOdometryBetweenNodes)
+        if self._odom_buffer:
+            pg.add_odometry_between(
+                node_id, node_time, self._odom_buffer,
+                trajectory_id=self.trajectory_id,
+            )
+            # drop samples no future node can need (keep one for bracketing)
+            while len(self._odom_buffer) > 1 and self._odom_buffer[1][0] <= node_time:
+                self._odom_buffer.pop(0)
 
-    def _forward_to_pose_graph(self, time: float, res: LioResult):
+    def _forward_to_pose_graph(self, time, res: LioResult):
         if not bool(res.scan.inserted):
             return
         self._sync_submaps(res)
         ids = tuple(
-            int(i) for i in np.asarray(res.scan.insertion_submap_ids) if int(i) >= 0
+            int(i)
+            for i in np.asarray(res.scan.insertion_submap_ids)
+            if int(i) >= 0
         )
         node = NodeRecord(
             time=time,
@@ -385,9 +427,11 @@ class MapBuilder:
             low_mask=res.scan.low_mask,
             histogram=res.scan.histogram,
             submap_ids=ids,
+            trajectory_id=self.trajectory_id,
         )
         finished = int(res.scan.finished_submap)
         grids = None
+        pg = self.parent.pose_graph
         if finished >= 0:
             # the finishing submap's grids are intact until the next step
             slot = finished % 2
@@ -406,7 +450,7 @@ class MapBuilder:
 
                     bspec = brick_spec(self.tb.submaps)
                     hi_spec, _ = grid_specs(self.tb.submaps)
-                    cap = self.pose_graph._compress_capacity
+                    cap = pg._compress_capacity
                     self._jit_aux["compress_brick"] = jax.jit(
                         lambda bank, s: compress_brick(bank, bspec, s, hi_spec, cap)
                     )
@@ -420,7 +464,7 @@ class MapBuilder:
                     from dliom_tpu.mapping.submap import brick_spec_low
 
                     lbspec = brick_spec_low(self.tb.submaps)
-                    lcap = self.pose_graph.low_compress_capacity
+                    lcap = pg.low_compress_capacity
                     self._jit_aux["compress_brick_low"] = jax.jit(
                         lambda bank, s: compress_brick(
                             bank, lbspec, s, lo_spec_c, lcap
@@ -432,25 +476,160 @@ class MapBuilder:
             else:
                 low = submaps.low_values[slot * lo_c : (slot + 1) * lo_c]
             grids = (high, low)
-        off = self._loaded_offset
-        self.pose_graph.add_node(
+        pg.add_node(
             node,
-            tuple(i + off for i in ids),
-            newly_finished_submap_id=(finished + off) if finished >= 0 else -1,
+            tuple(self._pg_submap_ids[i] for i in ids),
+            newly_finished_submap_id=(
+                self._pg_submap_ids[finished] if finished >= 0 else -1
+            ),
             finished_grids=grids,
         )
-        self._attach_aux_observations(len(self.pose_graph.nodes) - 1, time)
-        if self._pure_localization:
-            self.pose_graph.trim_to_last_submaps(3)
+        self._attach_aux_observations(len(pg.nodes) - 1, time)
+        if self.parent._pure_localization:
+            pg.trim_to_last_submaps(3)
 
-    # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
-
-    def finish_trajectory(self):
+    def finish(self):
+        """FinishTrajectory(trajectory_id): flush the collator, mark the
+        trajectory finished in the pose graph. No final optimization here —
+        that is MapBuilder.finish_trajectory()/pose_graph.run_final_...'s
+        job (offline_node.cc calls RunFinalOptimization separately)."""
+        if self.finished:
+            return
         if self._collator is not None:
-            # FinishTrajectory flushes remaining queued data in time order
             for name in ["imu"] + list(self._synchronizer.sensor_ids):
                 self._collator.finish_queue(name)
             self._drain_collator()
+        self.parent.pose_graph.finish_trajectory(self.trajectory_id)
+        self.finished = True
+
+    @property
+    def initialized(self) -> bool:
+        return self._initialized
+
+
+class MapBuilder:
+    """Multi-trajectory mapping API (MapBuilderInterface surface). The
+    original single-trajectory surface (add_imu_data(...) etc. without a
+    trajectory id) operates on trajectory 0, which is created eagerly."""
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        range_sensor_ids: Optional[List[str]] = None,
+        use_background_threads: bool = False,
+        use_native_collator: bool = False,
+        mesh=None,
+    ):
+        """`range_sensor_ids`: one entry per LiDAR (the first is the primary
+        the others merge into, RangeDataSynchronizer). With
+        `use_background_threads`, loop-constraint search runs on the native
+        task pool (MAP_BUILDER.num_background_threads). With
+        `use_native_collator`, sensor ingest routes through the native
+        OrderedMultiQueue (sensor::Collator, collated_trajectory_builder.cc),
+        so out-of-order arrival across sensors is merged to one
+        time-ordered stream before dispatch. `mesh`: optional
+        `jax.sharding.Mesh` — loop-constraint search shards its node batch
+        over the mesh's chips (see backend/pose_graph.py)."""
+        if not config.map_builder.use_trajectory_builder_3d:
+            raise ValueError(
+                "only the 3D pipeline is built (the 2D pipeline is gated off"
+                " in every dlio config — SURVEY C39); set"
+                " map_builder.use_trajectory_builder_3d=True"
+            )
+        self.config = config
+        tb = config.trajectory_builder
+        self.tb = tb
+        self._metrics = register_all_metrics(global_registry())
+        pool = None
+        if use_background_threads:
+            from dliom_tpu.native import TaskThreadPool
+
+            pool = TaskThreadPool(config.map_builder.num_background_threads)
+        self._pool = pool
+        self.pose_graph = PoseGraph(
+            config.pose_graph, tb, pool=pool, metrics=self._metrics, mesh=mesh
+        )
+        self._jit_step = jax.jit(functools.partial(lio_step, cfg=tb))
+        self._default_sensor_ids = range_sensor_ids or [
+            f"points{i}" for i in range(max(1, config.num_point_clouds))
+        ]
+        self._use_native_collator = use_native_collator
+        self._trajectories: Dict[int, _TrajectoryBuilder] = {}
+        self._pure_localization = False
+        self._rate_timers: dict = {}
+        # trajectory 0 exists from the start (single-trajectory back-compat)
+        self.add_trajectory_builder(self._default_sensor_ids)
+
+    # ----- trajectory lifecycle (AddTrajectoryBuilder, map_builder.cc:98) --
+
+    def add_trajectory_builder(
+        self,
+        range_sensor_ids: Optional[List[str]] = None,
+        config: Optional[EngineConfig] = None,
+    ) -> int:
+        """Create a new trajectory (its own frontend + sensor chain) sharing
+        this map. Returns the trajectory id. `config` optionally overrides
+        the frontend options for this trajectory (per-trajectory
+        TrajectoryBuilderOptions); sharing the default config shares the
+        compiled LIO step."""
+        tid = self.pose_graph.add_trajectory()
+        self._trajectories[tid] = _TrajectoryBuilder(
+            self,
+            tid,
+            range_sensor_ids or self._default_sensor_ids,
+            self._use_native_collator,
+            config=config,
+        )
+        return tid
+
+    def trajectory(self, trajectory_id: int) -> _TrajectoryBuilder:
+        return self._trajectories[trajectory_id]
+
+    def _pulse(self, trajectory_id: int, sensor: str, time: float):
+        key = sensor if trajectory_id == 0 else f"t{trajectory_id}/{sensor}"
+        self._rate_timers.setdefault(key, RateTimer()).pulse(time)
+
+    # ----- sensor ingest (trajectory 0 by default) -----
+
+    def add_imu_data(
+        self, time, linear_acceleration, angular_velocity, trajectory_id: int = 0
+    ):
+        self._trajectories[trajectory_id].add_imu_data(
+            time, linear_acceleration, angular_velocity
+        )
+
+    def add_range_data(
+        self, time, points, point_times=None, sensor_id=None, trajectory_id: int = 0
+    ) -> Optional[dict]:
+        return self._trajectories[trajectory_id].add_range_data(
+            time, points, point_times, sensor_id
+        )
+
+    def add_fixed_frame_pose_data(self, time, position, trajectory_id: int = 0):
+        self._trajectories[trajectory_id].add_fixed_frame_pose_data(time, position)
+
+    def add_landmark_data(
+        self, time, landmark_id, position_in_tracking, trajectory_id: int = 0
+    ):
+        self._trajectories[trajectory_id].add_landmark_data(
+            time, landmark_id, position_in_tracking
+        )
+
+    def add_odometry_data(self, time, pose: Rigid3, trajectory_id: int = 0):
+        self._trajectories[trajectory_id].add_odometry_data(time, pose)
+
+    # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
+
+    def finish_trajectory(self, trajectory_id: Optional[int] = None):
+        """With an id: finish that trajectory only (no final optimization —
+        other trajectories may still be mapping). Without: finish all
+        trajectories, run the final optimization, and release the pool
+        (FinishAllTrajectories + RunFinalOptimization, offline_node.cc)."""
+        if trajectory_id is not None:
+            self._trajectories[trajectory_id].finish()
+            return
+        for t in self._trajectories.values():
+            t.finish()
         self.pose_graph.run_final_optimization()
         if self._pool is not None:
             self._pool.close()
@@ -470,17 +649,25 @@ class MapBuilder:
 
     # ----- queries -----
 
-    def local_trajectory(self) -> List[dict]:
-        return list(self._results)
+    def local_trajectory(self, trajectory_id: int = 0) -> List[dict]:
+        return list(self._trajectories[trajectory_id]._results)
 
-    def optimized_node_poses(self) -> List[Tuple[float, Rigid3]]:
+    def optimized_node_poses(
+        self, trajectory_id: Optional[int] = None
+    ) -> List[Tuple[float, Rigid3]]:
         return [
-            (n.time, n.global_pose) for n in self.pose_graph.nodes
+            (n.time, n.global_pose)
+            for n in self.pose_graph.nodes
+            if trajectory_id is None or n.trajectory_id == trajectory_id
         ]
 
     @property
     def initialized(self) -> bool:
-        return self._initialized
+        return self._trajectories[0].initialized
+
+    @property
+    def num_trajectory_builders(self) -> int:
+        return len(self._trajectories)
 
 
 def map_builder_from_state(
@@ -490,19 +677,15 @@ def map_builder_from_state(
     **kwargs,
 ) -> "MapBuilder":
     """Resume or localize against a saved map (MapBuilder::LoadState,
-    map_builder.cc:209-367). With `pure_localization`, loaded submaps and
-    nodes are frozen (their poses never move) and the live trajectory is
-    trimmed to the reference's 3 newest submaps
-    (PureLocalizationTrimmer, map_builder.cc:147-151)."""
-    from dliom_tpu.io.serialization import load_state
+    map_builder.cc:209-367). Loaded trajectories are REMAPPED onto fresh
+    trajectory ids of this builder (map_builder.cc:220-234), then the live
+    trajectory (id of the last add_trajectory_builder call) maps against
+    them. With `pure_localization`, loaded trajectories are frozen (their
+    poses never move) and the live trajectory is trimmed to the reference's
+    3 newest submaps (PureLocalizationTrimmer, map_builder.cc:147-151)."""
+    from dliom_tpu.io.serialization import load_state_into
 
     builder = MapBuilder(config, **kwargs)
-    loaded = load_state(path, config, frozen=pure_localization)
-    pg = builder.pose_graph
-    pg.submaps = loaded.submaps
-    pg.nodes = loaded.nodes
-    pg.constraints = loaded.constraints
-    builder._known_submaps = 0  # live submaps append after the loaded ones
-    builder._loaded_offset = len(pg.submaps)
+    load_state_into(builder.pose_graph, path, config, frozen=pure_localization)
     builder._pure_localization = pure_localization
     return builder

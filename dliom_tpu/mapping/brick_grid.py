@@ -388,8 +388,15 @@ def _insert_brick_slots(
         )
         dummy = s_count * npg - 1
         rows_pool = jnp.where(pool_row >= 0, row_slot * npg + pool_row, dummy)
-        # dropped (pool-full) and absent steps: empty record ranges so their
-        # records never reach the parking row
+        # Dropped (pool-full) and absent steps: empty record ranges so their
+        # records never reach the parking row. Pool-full drops can interleave
+        # parking steps BETWEEN real steps (pool_row = -1 mid-sequence);
+        # that is benign BY CONSTRUCTION: an empty-range step's kernel pass
+        # is a value-idempotent read-modify-write (zero modifications, the
+        # block is written back bit-identically), so non-adjacent revisits of
+        # the parking block cannot race with themselves (ops/pallas_apply.py
+        # module docstring documents the same invariant). `fresh` is also
+        # forced 0 for dropped steps (alloc requires pool_row >= 0).
         ends = jnp.where(pool_row >= 0, ends, starts)
         # no silent truncation: count every touched group whose updates were
         # lost (apply-capacity overflow or pool-full), aggregated in lane 0

@@ -70,6 +70,11 @@ class ActiveSubmaps(NamedTuple):
     # Brick-grid low-res path (cfg.use_brick_grid_low): replaces low_values
     # for full max-range low-resolution coverage. None on the dense path.
     low_brick: Optional[BrickBank] = None
+    # Dense grouped-apply drop counter, (1,) int32: touched groups lost to
+    # an undersized dense_apply_groups capacity accumulate here (the dense
+    # analog of BrickBank.dropped — no silent truncation on either path).
+    # Shared bank-level state: lanes of a batched state aggregate into it.
+    dense_dropped: jnp.ndarray = None
 
 
 def grid_specs(cfg: SubmapsConfig) -> Tuple[GridSpec, GridSpec]:
@@ -143,6 +148,7 @@ def make_active_submaps(cfg: SubmapsConfig) -> ActiveSubmaps:
         pending_rotation=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
         pending_translation=jnp.zeros(3, jnp.float32),
         lane=jnp.int32(0),
+        dense_dropped=jnp.zeros(1, jnp.int32),
     )
 
 
@@ -263,7 +269,7 @@ def insert_range_data_into_submaps(
     state = state._replace(
         **write_insertion_batch(
             state.high_values, state.low_values, state.high_brick, batch, cfg,
-            low_brick=state.low_brick,
+            low_brick=state.low_brick, dense_dropped=state.dense_dropped,
         )
     )
     # Spawn marking happens afterwards (the spawn itself executes at the
@@ -279,12 +285,16 @@ def write_insertion_batch(
     batch: InsertionBatch,
     cfg: SubmapsConfig,
     low_brick: Optional[BrickBank] = None,
+    dense_dropped: Optional[jnp.ndarray] = None,
 ) -> dict:
     """Apply an InsertionBatch to the grid banks. `batch` may hold 2 slots
     (single sequence) or 2*B slots flattened from B sequences — the flat
-    kernels handle any slot count with one sort/gather/scatter."""
+    kernels handle any slot count with one sort/gather/scatter.
+    `dense_dropped`: the running (1,) drop counter; dense grouped-apply
+    overflow drops accumulate into it (brick drops live in the banks)."""
     hi, lo = grid_specs(cfg)
     ins = cfg.range_data_inserter
+    drop_inc = jnp.int32(0)
     if cfg.use_brick_grid:
         new_brick = _insert_brick_slots(
             high_brick, batch.origins, batch.points, batch.hi_masks,
@@ -296,12 +306,13 @@ def write_insertion_batch(
         new_high = high_values
     else:
         new_brick = high_brick
-        new_high = _insert_slots(
+        new_high, d = _insert_slots(
             high_values, batch.origins, batch.points, batch.hi_masks, spec=hi,
             hit_probability=ins.hit_probability,
             miss_probability=ins.miss_probability,
             num_free_space_voxels=ins.num_free_space_voxels,
         )
+        drop_inc = drop_inc + d
     if cfg.use_brick_grid_low:
         new_low_brick = _insert_brick_slots(
             low_brick, batch.origins, batch.points, batch.masks,
@@ -313,16 +324,22 @@ def write_insertion_batch(
         new_low = low_values
     else:
         new_low_brick = low_brick
-        new_low = _insert_slots(
+        new_low, d = _insert_slots(
             low_values, batch.origins, batch.points, batch.masks, spec=lo,
             hit_probability=ins.hit_probability,
             miss_probability=ins.miss_probability,
             num_free_space_voxels=ins.num_free_space_voxels,
         )
-    return dict(
+        drop_inc = drop_inc + d
+    out = dict(
         high_values=new_high, high_brick=new_brick,
         low_values=new_low, low_brick=new_low_brick,
     )
+    if dense_dropped is not None:
+        # aggregate in element 0 (the (batch,) shape exists only to keep the
+        # counter mesh-shardable; see parallel/batch.py)
+        out["dense_dropped"] = dense_dropped.at[0].add(drop_inc)
+    return out
 
 
 def apply_pending_spawn(

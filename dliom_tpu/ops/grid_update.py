@@ -22,6 +22,7 @@ with update-once semantics").
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,13 +146,17 @@ def _insert_slots(
     hit_probability: float,
     miss_probability: float,
     num_free_space_voxels: int,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Insert one scan batch into S slots with a single sort + gather +
     scatter over the combined record set. S = 2 covers the two active
     submaps (ActiveSubmaps3D inserts every scan into both, submap_3d.cc:
     303-309); S = 2*B covers B vmapped sequences — the batching rule
     flattens into this same kernel because scatters on >1-D operands leave
-    XLA's in-place path (see insert_range_data)."""
+    XLA's in-place path (see insert_range_data).
+
+    Returns (values, dropped): `dropped` is the scalar int32 count of
+    touched groups lost to the grouped-apply capacity this insert (always 0
+    on the plain scatter path, which has no capacity)."""
     hit_odds = hit_probability / (1.0 - hit_probability)
     miss_odds = miss_probability / (1.0 - miss_probability)
     k = int(num_free_space_voxels)
@@ -218,7 +223,7 @@ def _insert_slots(
             hit_odds=hit_odds,
             miss_odds=miss_odds,
             dummy_group=values.shape[0] // DENSE_CELLS_PER_GROUP - 1,
-        )
+        )  # (values, dropped)
 
     # lexicographic (cell, kind) sort: hits first within a cell group.
     # Pack into ONE int32 key when the range fits (sorting one operand
@@ -244,8 +249,11 @@ def _insert_slots(
         pv.apply_odds(current, miss_odds),
         pv.apply_odds(current, hit_odds),
     )
-    return values.at[s_lin].set(
-        updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
+    return (
+        values.at[s_lin].set(
+            updated.astype(GRID_DTYPE), mode="drop", indices_are_sorted=True
+        ),
+        jnp.int32(0),
     )
 
 
@@ -273,7 +281,7 @@ def _dual_with_batch_rule(spec: GridSpec, hp: float, mp: float, k: int):
         hits = bc(hits, in_batched[2])
         masks = bc(masks, in_batched[3])
         s = hits.shape[1]
-        out = _insert_slots(
+        out, dropped = _insert_slots(
             values.reshape(-1),
             origins.reshape(axis_size * s, 3),
             hits.reshape(axis_size * s, *hits.shape[2:]),
@@ -281,7 +289,9 @@ def _dual_with_batch_rule(spec: GridSpec, hp: float, mp: float, k: int):
             spec=spec, hit_probability=hp, miss_probability=mp,
             num_free_space_voxels=k,
         )
-        return out.reshape(axis_size, -1), True
+        # the flat kernel aggregates drops across lanes; report the total on
+        # every lane (unbatched scalar) rather than losing it
+        return (out.reshape(axis_size, -1), dropped), (True, False)
 
     return f
 
@@ -296,9 +306,10 @@ def insert_range_data_dual(
     hit_probability: float = 0.55,
     miss_probability: float = 0.49,
     num_free_space_voxels: int = 2,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Insert one scan into BOTH submap slots (see _insert_slots). vmap-safe:
-    batching flattens into the same single-sort flat kernel."""
+    batching flattens into the same single-sort flat kernel. Returns
+    (values, dropped) — see _insert_slots."""
     return _dual_with_batch_rule(
         spec, float(hit_probability), float(miss_probability),
         int(num_free_space_voxels),

@@ -14,17 +14,19 @@ step. This module replaces it with a row-granular design:
   * a Pallas kernel walks one touched group per grid step: the group's
     block is DMA'd HBM->VMEM by the pipeline (PrefetchScalarGridSpec index
     map), and per-cell hit/miss decisions are computed WITHOUT any scatter
-    via an encoded one-hot matmul on the MXU:
+    via one-hot matmuls on the MXU with SEPARATE hit and miss channels:
 
-        count[cell] = n_miss[cell] + 1024 * n_hit[cell]
-                    = sum_rec onehot_hi(rec) (x) onehot_lo(rec) * w(rec)
+        n_hit[cell]  = sum_rec onehot_hi(rec) * is_hit(rec)  (x) onehot_lo(rec)
+        n_miss[cell] = sum_rec onehot_hi(rec) * is_miss(rec) (x) onehot_lo(rec)
 
-    with cell = hi*128 + lo factored so the count lands directly in the
-    block's (cells/128, 128) shape. `count >= 1024` -> at least one hit
-    record (hit update), `count >= 1` -> any record (miss update), else
-    keep — exactly the "update once, hits first" rule (the kUpdateMarker
-    analog): duplicate records collapse into the same decision, so no
-    per-cell dedup pass is needed at all.
+    with cell = hi*128 + lo factored so the counts land directly in the
+    block's (cells/128, 128) shape (the two hi-side channels stack on the
+    output axis of a single dot_general). `n_hit >= 1` -> hit update,
+    `n_hit + n_miss >= 1` -> miss update, else keep — exactly the "update
+    once, hits first" rule (the kUpdateMarker analog): duplicate records
+    collapse into the same decision, so no per-cell dedup pass is needed at
+    all, and counts are exact for any per-cell record multiplicity (f32
+    integers up to 2^24; record counts are asserted below that).
 
 Records per group are consumed in 128-wide slices by a dynamic-trip-count
 `fori_loop`, so per-group work is proportional to its record count (no
@@ -32,9 +34,15 @@ static per-group record cap).
 
 Capacity model: at most `num_groups` distinct groups are applied per insert
 (the touched-group working set of one scan); overflow groups are dropped
-WHOLE (mirroring the brick pool's drop-on-full policy). The caller must
-reserve one never-allocated `dummy_group` in the bank — unused grid steps
-park there (trailing, identical index: no pipeline hazard).
+WHOLE (mirroring the brick pool's drop-on-full policy) and COUNTED — no
+silent truncation; `apply_grouped_updates` returns the drop count alongside
+the bank. The caller must reserve one never-allocated `dummy_group` in the
+bank — unused grid steps park there. Parking steps (and any dropped step a
+caller maps onto a parking row mid-sequence, as the brick grid does on
+pool-full) carry EMPTY record ranges, so the kernel writes their block back
+value-identically: revisiting the parking block non-adjacently is benign by
+construction — every visit is a value-idempotent read-modify-write with
+zero modifications.
 
 Measured on TPU v5e (49k records, ~16k-brick working set): 16384-cell
 groups at 1024-group capacity apply in ~1.0 ms vs ~3.3 ms for the XLA
@@ -53,7 +61,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dliom_tpu.mapping import probability as pv
 
 _SENTINEL = jnp.int32(2**31 - 1)
-_HIT_WEIGHT = 1024.0  # counts-encoding factor; n_miss per cell must stay below
 
 # Group size for DENSE banks (16 KiB int16 blocks measured fastest on v5e).
 # Dense banks on the grouped path carry ONE extra group of padding at their
@@ -177,24 +184,37 @@ def _make_kernel(hit_odds: float, miss_odds: float, cells_per_group: int):
             )
             valid = (gidx >= w0) & (gidx < jnp.minimum(w0 + 128, e))
             cell = (keys >> 1) & (cells_per_group - 1)
-            is_hit = (keys & 1) == 1
+            is_hit = ((keys & 1) == 1) & valid
+            is_miss = ((keys & 1) == 0) & valid
             hi = cell >> 7
             lo = cell & 127
-            w = jnp.where(is_hit, _HIT_WEIGHT, 1.0) * valid.astype(jnp.float32)
             cmp_hi = jax.lax.broadcasted_iota(jnp.int32, (2, 128, sub), 2)
             cmp_lo = jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2)
             # f32 one-hots: Mosaic rejects bf16 matmul operands here ("Bad
-            # lhs type"), and exact integer counts are required anyway
-            oh_hi = (hi[:, :, None] == cmp_hi).astype(jnp.float32) * w[:, :, None]
+            # lhs type"), and exact integer counts are required anyway.
+            # Hit and miss channels stack on the hi-side output axis of ONE
+            # dot_general, so per-cell hit/miss counts stay separate and
+            # exact at any multiplicity (no saturating weight encoding).
+            oh_hi = (hi[:, :, None] == cmp_hi).astype(jnp.float32)
+            oh_hi2 = jnp.concatenate(
+                [
+                    oh_hi * is_hit.astype(jnp.float32)[:, :, None],
+                    oh_hi * is_miss.astype(jnp.float32)[:, :, None],
+                ],
+                axis=2,
+            )
             oh_lo = (lo[:, :, None] == cmp_lo).astype(jnp.float32)
             return cnt + jax.lax.dot_general(
-                oh_hi.reshape(256, sub), oh_lo.reshape(256, 128),
+                oh_hi2.reshape(256, 2 * sub), oh_lo.reshape(256, 128),
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-        cnt = jax.lax.fori_loop(0, trips, trip, jnp.zeros((sub, 128), jnp.float32))
+        cnt = jax.lax.fori_loop(
+            0, trips, trip, jnp.zeros((2 * sub, 128), jnp.float32)
+        )
+        n_hit, n_miss = cnt[:sub], cnt[sub:]
         cur = jnp.where(fresh_ref[i] != 0, 0, pool_blk[0].astype(jnp.int32))
-        hit_m = cnt >= _HIT_WEIGHT
-        any_m = cnt >= 1.0
+        hit_m = n_hit >= 1.0
+        any_m = (n_hit + n_miss) >= 1.0
         upd_hit = pv.apply_odds(cur, hit_odds)
         upd_miss = pv.apply_odds(cur, miss_odds)
         new = jnp.where(hit_m, upd_hit, jnp.where(any_m, upd_miss, cur))
@@ -212,25 +232,40 @@ def apply_grouped_updates(
     hit_odds: float,
     miss_odds: float,
     dummy_group: int,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply one insert's packed-key update records to the bank (the dense
     banks' entry: group id == pool row). `dummy_group` must be a group that
-    real updates never touch (unused steps park there)."""
+    real updates never touch (unused steps park there).
+
+    Returns (bank, dropped): `dropped` counts touched groups beyond the
+    `num_groups` apply capacity whose updates were lost whole — callers must
+    surface it (the dense-path analog of the brick pool's `dropped` gauge;
+    no silent truncation)."""
     cb = cell_bits(cells_per_group)
     g_total = pool_flat.shape[0] // cells_per_group
     assert g_total << cb < 2**31, "packed key group id overflow"
     # group ids and record positions ride f32 matmul channels in
     # build_group_tables — both must stay exactly representable
     assert g_total < 2**24 and sorted_keys.shape[0] < 2**24
-    rows, starts, ends = build_group_tables(
-        sorted_keys >> cb, sorted_keys != _SENTINEL, num_groups)
+    group_of = sorted_keys >> cb
+    valid = sorted_keys != _SENTINEL
+    rows, starts, ends = build_group_tables(group_of, valid, num_groups)
+    heads_total = jnp.sum(
+        (
+            jnp.concatenate([jnp.ones(1, bool), group_of[1:] != group_of[:-1]])
+            & valid
+        ).astype(jnp.int32)
+    )
+    kept = jnp.sum((rows >= 0).astype(jnp.int32))
+    dropped = jnp.maximum(heads_total - kept, 0)
     rows = jnp.where(rows >= 0, rows, jnp.int32(dummy_group))
     # the kernel masks keys to the cell bits, so packed keys pass through
-    return apply_grouped_rows(
+    out = apply_grouped_rows(
         pool_flat, rows, starts, ends, sorted_keys,
         cells_per_group=cells_per_group, hit_odds=hit_odds,
         miss_odds=miss_odds,
     )
+    return out, dropped
 
 
 def apply_grouped_rows(

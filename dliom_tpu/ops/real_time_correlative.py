@@ -42,6 +42,7 @@ def _lattice(
     linear_search_window: float,
     angular_search_window: float,
     max_scan_range: float,
+    max_angular_steps: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Static candidate offsets: translations (C, 3) and angle-axis (C, 3)
     (GenerateExhaustiveSearchTransforms :56-97)."""
@@ -55,8 +56,19 @@ def _lattice(
     # Bound the rotational lattice: the acos-derived step at long max ranges
     # makes the full product combinatorial (tens of millions of candidates);
     # the recovery matcher needs a coarse local sweep, not an exhaustive one
-    # (documented deviation from :64-72).
-    ang = min(ang, 4)
+    # (documented deviation from :64-72). The cap is a config knob
+    # (real_time_correlative_scan_matcher.max_angular_steps) and truncation
+    # is surfaced, never silent.
+    if ang > max_angular_steps:
+        import warnings
+
+        warnings.warn(
+            f"real-time correlative: angular_search_window requests {ang} "
+            f"steps/axis; truncating the lattice to max_angular_steps="
+            f"{max_angular_steps} (raise the config knob for a wider sweep)",
+            stacklevel=2,
+        )
+        ang = max_angular_steps
     ts, aas = [], []
     for z in range(-lin, lin + 1):
         for y in range(-lin, lin + 1):
@@ -84,6 +96,7 @@ def match(
     translation_delta_cost_weight: float = 1e-1,
     rotation_delta_cost_weight: float = 1e-1,
     max_scan_range: float = 60.0,
+    max_angular_steps: int = 4,
     base=0,
 ) -> RealTimeMatchResult:
     """Exhaustive local search (Match :34-53 + ScoreCandidate :99-117).
@@ -91,7 +104,8 @@ def match(
     `values`/`base`: flat grid (bank) + slot offset, as in the Ceres matcher.
     """
     off_t, off_aa = _lattice(
-        spec.resolution, linear_search_window, angular_search_window, max_scan_range
+        spec.resolution, linear_search_window, angular_search_window,
+        max_scan_range, max_angular_steps,
     )
     off_t = jnp.asarray(off_t)  # (C, 3)
     off_q = jax.vmap(quat_from_axis_angle)(jnp.asarray(off_aa))  # (C, 4)

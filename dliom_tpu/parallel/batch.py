@@ -116,7 +116,10 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
         high_brick=brick,
         low_values=low_values,
         low_brick=low_brick,
+        # bank-level counter; aggregated in lane 0 (mesh-shardable shape,
+        # same convention as BrickBank.dropped)
         lane=jnp.arange(batch, dtype=jnp.int32),
+        dense_dropped=jnp.zeros(batch, jnp.int32),
     )
     return state._replace(frontend=state.frontend._replace(submaps=sm))
 
@@ -129,6 +132,7 @@ def _bank_axes(cfg: TrajectoryBuilderConfig, state: LioState):
     sm_axes = sm_axes._replace(
         high_values=None,
         low_values=None,
+        dense_dropped=None,
         high_brick=(
             None
             if sm_axes.high_brick is None
@@ -268,6 +272,7 @@ def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
             **write_insertion_batch(
                 sm.high_values, sm.low_values, sm.high_brick, flat,
                 cfg.submaps, low_brick=sm.low_brick,
+                dense_dropped=sm.dense_dropped,
             )
         )
         new_state = new_state._replace(
@@ -335,6 +340,7 @@ def sharded_lio_step(
             **write_insertion_batch(
                 sm.high_values, sm.low_values, sm.high_brick, flat,
                 cfg.submaps, low_brick=sm.low_brick,
+                dense_dropped=sm.dense_dropped,
             )
         )
         return (

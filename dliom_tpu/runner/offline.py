@@ -216,6 +216,10 @@ def run(args) -> dict:
 
     nodes = builder.optimized_node_poses()
     report = {
+        # frame names ride along for downstream tooling (the TF tree's
+        # map_frame/tracking_frame, node_constants.h)
+        "map_frame": cfg.map_frame,
+        "tracking_frame": cfg.tracking_frame,
         "num_scans": len(scans),
         "num_matched": n_results,
         "num_nodes": len(nodes),
@@ -230,6 +234,11 @@ def run(args) -> dict:
             args.output_csv, [t for t, _ in nodes], [p for _, p in nodes]
         )
         report["trajectory_csv"] = args.output_csv
+    if getattr(args, "output_pbstream", None):
+        from dliom_tpu.io.pbstream import write_pbstream
+
+        write_pbstream(args.output_pbstream, builder.pose_graph)
+        report["pbstream_file"] = args.output_pbstream
     if nodes and args.output_kitti:
         from dliom_tpu.evaluation.ate import write_kitti_trajectory
 
@@ -301,6 +310,10 @@ def main(argv=None):
                     help="JSON dict of config overrides")
     ap.add_argument("--output-csv", default=None)
     ap.add_argument("--output-state", default=None)
+    ap.add_argument("--output-pbstream", default=None,
+                    help="reference-schema pbstream export "
+                         "(offline_node.cc -save_pbstream analog; readable "
+                         "by cartographer pbstream tooling)")
     ap.add_argument("--output-ply", default=None,
                     help="export the aggregate map point cloud (assets writer)")
     ap.add_argument("--output-xray", default=None,

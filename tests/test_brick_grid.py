@@ -30,9 +30,9 @@ def _insert_both(pts, masks, origins):
         functools.partial(insert_range_data_brick_dual, spec=SPEC)
     )(bank, origins, pts, masks)
     dense = jnp.zeros(2 * DENSE.num_cells, GRID_DTYPE)
-    dense = jax.jit(functools.partial(insert_range_data_dual, spec=DENSE))(
-        dense, origins, pts, masks
-    )
+    dense, _dropped = jax.jit(
+        functools.partial(insert_range_data_dual, spec=DENSE)
+    )(dense, origins, pts, masks)
     return bank, dense
 
 

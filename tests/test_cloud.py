@@ -3,15 +3,19 @@ stream a short sequence over the wire, query poses, write state remotely."""
 
 import os
 import tempfile
+import time
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_map_builder import _config, _feed_static_imu, G
 from dliom_tpu.cloud import MapBuilderServer, MapBuilderStub
 from dliom_tpu.io.synthetic import SyntheticWorld
 from dliom_tpu.map_builder import MapBuilder
 from dliom_tpu.transform.rigid import Rigid3
+
+pytestmark = pytest.mark.slow
 
 
 def test_server_end_to_end():
@@ -40,9 +44,11 @@ def test_server_end_to_end():
             stub.add_range_data(t, pts, ptimes)
             stub.add_fixed_frame_pose_data(t, [0.05 * scan_idx, 0.0, 0.0])
             # wait for the SLAM thread to drain before deciding progress
+            # (sleep between polls: a hot ping loop starves the SLAM thread
+            # on a loaded host — the round-1 flake)
             stub.finish_queue = None
             while stub.ping() > 0:
-                pass
+                time.sleep(0.02)
             if server.map_builder.initialized and init:
                 scan_idx += 1
             tries += 1

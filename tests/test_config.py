@@ -71,3 +71,45 @@ def test_every_field_reachable_by_override():
                 load_config("basic", d)
 
     walk(load_config("basic"))
+
+
+def test_every_config_key_is_read_by_code():
+    """Anti-parity-theater regression (the inverse of
+    LuaParameterDictionary's unused-key detection): every field in the
+    config tree must be referenced by some non-config code path. A field
+    that only exists in config.py is a dead key — wire it or delete it
+    (see the dead-key policy notes in common/config.py)."""
+    import dataclasses
+    import pathlib
+    import re
+
+    from dliom_tpu.common import config as cfgmod
+
+    root = pathlib.Path(cfgmod.__file__).resolve().parents[1]
+    source = ""
+    for p in root.rglob("*.py"):
+        if p.name == "config.py":
+            continue
+        source += p.read_text()
+    # the repo-level entry points read capacity knobs too
+    for extra in ("__graft_entry__.py", "bench.py"):
+        ep = root.parents[0] / extra
+        if ep.exists():
+            source += ep.read_text()
+
+    def walk(cls, prefix=""):
+        for f in dataclasses.fields(cls):
+            sub = None
+            if f.default_factory is not dataclasses.MISSING:
+                inst = f.default_factory()
+                if dataclasses.is_dataclass(inst):
+                    sub = type(inst)
+            yield prefix + f.name, f.name
+            if sub is not None:
+                yield from walk(sub, prefix + f.name + ".")
+
+    dead = []
+    for path, name in walk(cfgmod.EngineConfig):
+        if not re.search(rf"\b{re.escape(name)}\b", source):
+            dead.append(path)
+    assert not dead, f"dead config keys (defined but never read): {dead}"

@@ -335,3 +335,5 @@ def test_corkscrew_with_both_brick_grids():
         prev_expected = expected_pose
     assert max_t_err < 0.1, max_t_err
     assert int(state.submaps.low_brick.dropped[0]) == 0
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e (see pytest.ini)

@@ -194,7 +194,7 @@ def test_collated_ingest_and_gps_landmarks():
     # GPS + landmark observations were attached to nodes
     assert len(builder.pose_graph.fixed_frame_observations) >= 4
     assert len(builder.pose_graph.landmark_observations) >= 4
-    assert builder._collator.num_dropped == 0
+    assert builder.trajectory(0)._collator.num_dropped == 0
     builder.finish_trajectory()
     assert "beacon" in builder.pose_graph.landmark_poses()
 
@@ -243,3 +243,7 @@ def test_map_builder_with_brick_grid():
         for i, (_, pose) in enumerate(nodes)
     ]
     assert max(errs) < 0.1, errs
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e (see pytest.ini)

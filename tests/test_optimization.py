@@ -220,10 +220,95 @@ def test_landmark_positions_estimated():
     lmp[0] = true_lm + np.array([0.5, -0.3, 0.2])  # perturbed initial
     lmpv = np.zeros(K, bool); lmpv[0] = True
     data = data._replace(
-        lm_node=jnp.asarray(lmn), lm_id=jnp.asarray(lmi),
-        lm_rel_t=jnp.asarray(lmr), lm_weight=jnp.asarray(lmw),
+        lm_node=jnp.asarray(lmn), lm_node2=jnp.asarray(lmn),
+        lm_alpha=jnp.zeros(L, jnp.float32), lm_id=jnp.asarray(lmi),
+        lm_rel_t=jnp.asarray(lmr), lm_trans_weight=jnp.asarray(lmw),
+        lm_rot_weight=jnp.zeros(L, jnp.float32),
         lm_valid=jnp.asarray(lmv),
         lm_positions=jnp.asarray(lmp), lm_pos_valid=jnp.asarray(lmpv),
     )
     out = jax.jit(lambda d: solve(d, iterations=6, cg_iterations=48))(data)
     np.testing.assert_allclose(np.asarray(out.lm_positions[0]), true_lm, atol=0.05)
+
+
+def test_consecutive_node_links_constrain_nodes():
+    """Node-node relative costs (odometry / consecutive local-SLAM poses,
+    upstream optimization_problem_3d.cc:437-489): a chain of nodes with only
+    one node constrained to a submap must be pulled into place by the
+    node-node links."""
+    rng = np.random.default_rng(21)
+    data = make_pose_graph_data(8, 16, 32)
+    # submap 0 fixed at origin; node 0 tied to it at identity
+    data = data._replace(
+        submap_valid=data.submap_valid.at[0].set(True),
+        node_valid=data.node_valid.at[:4].set(True),
+        c_valid=data.c_valid.at[0].set(True),
+        c_submap=data.c_submap.at[0].set(0),
+        c_node=data.c_node.at[0].set(0),
+        c_trans_weight=data.c_trans_weight.at[0].set(100.0),
+        c_rot_weight=data.c_rot_weight.at[0].set(100.0),
+    )
+    # true node k at (k, 0, 0); links say +1 m in x each step
+    nnf = np.array([0, 1, 2], np.int32)
+    nns = np.array([1, 2, 3], np.int32)
+    nnt = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (3, 1))
+    data = data._replace(
+        nn_first=data.nn_first.at[:3].set(jnp.asarray(nnf)),
+        nn_second=data.nn_second.at[:3].set(jnp.asarray(nns)),
+        nn_t=data.nn_t.at[:3].set(jnp.asarray(nnt)),
+        nn_trans_weight=data.nn_trans_weight.at[:3].set(50.0),
+        nn_rot_weight=data.nn_rot_weight.at[:3].set(50.0),
+        nn_valid=data.nn_valid.at[:3].set(True),
+        # perturbed initial node positions
+        node_t=data.node_t.at[:4].set(
+            jnp.asarray(rng.normal(0, 0.5, (4, 3)).astype(np.float32))
+            + jnp.asarray([[k, 0.0, 0.0] for k in range(4)], jnp.float32)
+        ),
+    )
+    out = jax.jit(lambda d: solve(d, iterations=6, cg_iterations=48))(data)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out.node_t[k]), [k, 0.0, 0.0], atol=0.05
+        )
+
+
+def test_huber_downweights_gps_outlier():
+    """huber_scale on fixed-frame costs: one wild GPS outlier must not drag
+    the trajectory (robust), while without Huber it visibly does."""
+    data = make_pose_graph_data(8, 16, 32)
+    data = data._replace(
+        submap_valid=data.submap_valid.at[0].set(True),
+        node_valid=data.node_valid.at[:4].set(True),
+        node_t=data.node_t.at[:4].set(
+            jnp.asarray([[k, 0.0, 0.0] for k in range(4)], jnp.float32)
+        ),
+        # chain the nodes rigidly so the GPS terms fight one shared offset
+        nn_first=data.nn_first.at[:3].set(jnp.asarray([0, 1, 2])),
+        nn_second=data.nn_second.at[:3].set(jnp.asarray([1, 2, 3])),
+        nn_t=data.nn_t.at[:3].set(
+            jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (3, 1))
+        ),
+        nn_trans_weight=data.nn_trans_weight.at[:3].set(1e3),
+        nn_rot_weight=data.nn_rot_weight.at[:3].set(1e3),
+        nn_valid=data.nn_valid.at[:3].set(True),
+    )
+    # good GPS at nodes 0-2 (measuring truth); outlier at node 3 (+20 m in y)
+    ff_t = np.array(
+        [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 20.0, 0]], np.float32
+    )
+    data = data._replace(
+        ff_node=data.ff_node.at[:4].set(jnp.arange(4)),
+        ff_t=data.ff_t.at[:4].set(jnp.asarray(ff_t)),
+        ff_weight=data.ff_weight.at[:4].set(10.0),
+        ff_valid=data.ff_valid.at[:4].set(True),
+    )
+    robust = jax.jit(
+        lambda d: solve(d, iterations=8, cg_iterations=48, ff_huber_scale=1.0)
+    )(data)
+    naive = jax.jit(
+        lambda d: solve(d, iterations=8, cg_iterations=48)
+    )(data)
+    err_robust = float(jnp.abs(robust.node_t[3, 1]))
+    err_naive = float(jnp.abs(naive.node_t[3, 1]))
+    assert err_robust < 1.0, err_robust
+    assert err_naive > 3.0, err_naive  # quadratic loss follows the outlier

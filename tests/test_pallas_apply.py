@@ -73,18 +73,61 @@ def test_dense_grouped_apply_matches_xla_insert():
     vx = jnp.zeros(2 * spec_x.num_cells, jnp.int16)
     vp = jnp.zeros(2 * spec_p.num_cells + DENSE_CELLS_PER_GROUP, jnp.int16)
     for _ in range(3):
-        vx = _insert_slots(vx, jnp.asarray(origins), jnp.asarray(hits),
-                           jnp.asarray(masks), spec=spec_x,
-                           hit_probability=0.55, miss_probability=0.49,
-                           num_free_space_voxels=2)
-        vp = _insert_slots(vp, jnp.asarray(origins), jnp.asarray(hits),
-                           jnp.asarray(masks), spec=spec_p,
-                           hit_probability=0.55, miss_probability=0.49,
-                           num_free_space_voxels=2)
+        vx, dx = _insert_slots(vx, jnp.asarray(origins), jnp.asarray(hits),
+                               jnp.asarray(masks), spec=spec_x,
+                               hit_probability=0.55, miss_probability=0.49,
+                               num_free_space_voxels=2)
+        vp, dp = _insert_slots(vp, jnp.asarray(origins), jnp.asarray(hits),
+                               jnp.asarray(masks), spec=spec_p,
+                               hit_probability=0.55, miss_probability=0.49,
+                               num_free_space_voxels=2)
+        assert int(dx) == 0 and int(dp) == 0  # capacity not exceeded here
     vp = np.asarray(vp)
     np.testing.assert_array_equal(np.asarray(vx), vp[: 2 * spec_x.num_cells])
     assert (vp[2 * spec_x.num_cells :] == 0).all()  # padding untouched
     assert (vp != 0).sum() > 0
+
+
+def test_dense_grouped_overflow_is_counted():
+    """Dense grouped-apply overflow must be REPORTED (no silent truncation):
+    dropped = touched groups beyond the apply capacity, and dropped groups'
+    cells stay untouched (never half-applied)."""
+    from dliom_tpu.mapping.grid import GridSpec
+    from dliom_tpu.ops.grid_update import _insert_slots
+    from dliom_tpu.ops.pallas_apply import DENSE_CELLS_PER_GROUP
+
+    # extent 32 -> 2 slots * 32^3 = 65536 cells = 4 groups; capacity 1
+    spec_tiny = GridSpec(resolution=0.5, extent=32, apply_groups=1)
+    spec_full = GridSpec(resolution=0.5, extent=32, apply_groups=4)
+    rng = np.random.default_rng(9)
+    hits = rng.normal(0, 6.0, (2, 512, 3)).astype(np.float32)
+    masks = np.ones((2, 512), bool)
+    origins = np.zeros((2, 3), np.float32)
+    args = (jnp.asarray(origins), jnp.asarray(hits), jnp.asarray(masks))
+
+    v0 = jnp.zeros(2 * spec_tiny.num_cells + DENSE_CELLS_PER_GROUP, jnp.int16)
+    v_tiny, d_tiny = _insert_slots(
+        v0, *args, spec=spec_tiny, hit_probability=0.55,
+        miss_probability=0.49, num_free_space_voxels=2)
+    v_full, d_full = _insert_slots(
+        v0, *args, spec=spec_full, hit_probability=0.55,
+        miss_probability=0.49, num_free_space_voxels=2)
+    assert int(d_full) == 0
+    touched_full = {
+        int(g)
+        for g in np.flatnonzero(
+            np.asarray(v_full).reshape(-1, DENSE_CELLS_PER_GROUP).any(axis=1)
+        )
+    }
+    assert int(d_tiny) == len(touched_full) - 1  # kept exactly one group
+    groups_tiny = np.asarray(v_tiny).reshape(-1, DENSE_CELLS_PER_GROUP)
+    kept = np.flatnonzero(groups_tiny.any(axis=1))
+    assert len(kept) == 1 and int(kept[0]) in touched_full
+    # the kept group matches the full-capacity insert exactly
+    np.testing.assert_array_equal(
+        groups_tiny[kept[0]],
+        np.asarray(v_full).reshape(-1, DENSE_CELLS_PER_GROUP)[kept[0]],
+    )
 
 
 def test_group_overflow_drops_whole_groups():

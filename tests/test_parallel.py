@@ -267,3 +267,7 @@ def test_sharded_lio_step_runs():
         state, res = stepf(state, scan)
     assert res.scan.local_pose.translation.shape == (B, 3)
     assert bool(jnp.all(jnp.isfinite(res.scan.local_pose.translation)))
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e (see pytest.ini)

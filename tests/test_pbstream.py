@@ -1,0 +1,181 @@
+"""pbstream write-path interop tests.
+
+The strongest available oracle: compile the REFERENCE'S OWN .proto schema
+(read-only, at test time, via protoc --descriptor_set_out) and parse the
+file we emit with the real protobuf runtime — byte-level schema compliance,
+not self-round-tripping. Skipped when protoc or the reference tree is
+unavailable; the container-format test always runs.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dliom_tpu.backend.pose_graph import PoseGraph
+from dliom_tpu.io.pbstream import (
+    PbstreamReader,
+    from_universal_ticks,
+    to_universal_ticks,
+    write_pbstream,
+)
+from dliom_tpu.transform.rigid import Rigid3
+from tests.test_multi_trajectory import _grids
+from tests.test_pose_graph import _cfg, _make_node, _world_cloud
+
+_REF = "/root/reference/src/cartographer"
+_HAVE_ORACLE = os.path.isdir(_REF) and os.system("which protoc > /dev/null") == 0
+
+
+def _sample_graph():
+    cfg = _cfg()
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    pg.add_trajectory()
+    rng = np.random.default_rng(33)
+    points = _world_cloud(rng, 400)
+    s0 = pg.add_submap(Rigid3.identity())
+    pg.add_node(_make_node(cfg, points, Rigid3.identity()), (s0,))
+    g_hi, g_lo = _grids(cfg, points)
+    pg.finish_submap(s0, g_hi, g_lo)
+    s1 = pg.add_submap(Rigid3.translation_only(jnp.asarray([2.0, 0.5, 0.0])))
+    n1 = _make_node(
+        cfg, points, Rigid3.translation_only(jnp.asarray([2.0, 0.5, 0.0]))
+    )
+    n1.time = 12.25
+    pg.add_node(n1, (s1,))
+    return cfg, pg, points
+
+
+def test_container_format_and_message_count():
+    _, pg, _ = _sample_graph()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.pbstream")
+        write_pbstream(path, pg)
+        blobs = list(PbstreamReader(path))
+    # header, pose graph, options, 2 submaps, 2 nodes, 1 trajectory data
+    assert len(blobs) == 3 + 2 + 2 + 1
+    assert all(isinstance(b, bytes) for b in blobs)
+
+
+def test_time_conversion_roundtrip():
+    t = 1723908000.1234567
+    assert abs(from_universal_ticks(to_universal_ticks(t)) - t) < 1e-6
+
+
+@pytest.mark.skipif(not _HAVE_ORACLE, reason="reference protos/protoc absent")
+def test_reference_schema_parses_our_output():
+    cfg, pg, points = _sample_graph()
+    with tempfile.TemporaryDirectory() as d:
+        ds = os.path.join(d, "schema.ds")
+        subprocess.run(
+            [
+                "protoc", f"-I{_REF}", "--include_imports",
+                f"--descriptor_set_out={ds}",
+                "cartographer/mapping/proto/serialization.proto",
+            ],
+            check=True,
+        )
+        from google.protobuf import descriptor_pb2, descriptor_pool
+        from google.protobuf import message_factory
+
+        pool = descriptor_pool.DescriptorPool()
+        fds = descriptor_pb2.FileDescriptorSet()
+        with open(ds, "rb") as f:
+            fds.ParseFromString(f.read())
+        for fd in fds.file:
+            pool.Add(fd)
+
+        def msg(name):
+            return message_factory.GetMessageClass(
+                pool.FindMessageTypeByName(name)
+            )
+
+        Header = msg("cartographer.mapping.proto.SerializationHeader")
+        Data = msg("cartographer.mapping.proto.SerializedData")
+
+        path = os.path.join(d, "out.pbstream")
+        write_pbstream(path, pg)
+        blobs = list(PbstreamReader(path))
+
+        header = Header.FromString(blobs[0])
+        assert header.format_version == 1
+
+        parsed = [Data.FromString(b) for b in blobs[1:]]
+        kinds = [p.WhichOneof("data") for p in parsed]
+        assert kinds[0] == "pose_graph"
+        assert kinds[1] == "all_trajectory_builder_options"
+        assert kinds.count("submap") == 2
+        assert kinds.count("node") == 2
+        assert kinds.count("trajectory_data") == 1
+
+        pgp = parsed[0].pose_graph
+        assert len(pgp.trajectory) == 1
+        traj = pgp.trajectory[0]
+        assert len(traj.node) == 2 and len(traj.submap) == 2
+        # poses survive exactly
+        np.testing.assert_allclose(
+            [traj.submap[1].pose.translation.x,
+             traj.submap[1].pose.translation.y],
+            [2.0, 0.5], atol=1e-6,
+        )
+        assert traj.node[1].node_index == 1
+        assert abs(from_universal_ticks(traj.node[1].timestamp) - 12.25) < 1e-6
+        # constraints: 2 INTRA
+        assert len(pgp.constraint) == 2
+        assert all(c.tag == 0 for c in pgp.constraint)
+        assert pgp.constraint[1].node_id.node_index == 1
+        assert pgp.constraint[1].submap_id.submap_index == 1
+
+        # submap 0 carries both hybrid grids; values/indices match the
+        # compressed source
+        sub0 = next(p.submap for p in parsed if p.WhichOneof("data") == "submap"
+                    and p.submap.submap_id.submap_index == 0)
+        grid = sub0.submap_3d.high_resolution_hybrid_grid
+        assert grid.resolution == pytest.approx(
+            cfg.trajectory_builder.submaps.high_resolution
+        )
+        count = int(pg.submaps[0].high.count)
+        assert len(grid.values) == count
+        assert len(grid.x_indices) == count
+        assert all(1 <= v <= 32767 for v in grid.values)
+        assert sub0.submap_3d.finished
+
+        # node clouds decode through the reference block layout
+        node0 = next(p.node for p in parsed if p.WhichOneof("data") == "node"
+                     and p.node.node_id.node_index == 0)
+        cloud = node0.node_data.high_resolution_point_cloud
+        n_valid = int(np.asarray(pg.nodes[0].high_mask).sum())
+        assert cloud.num_points == n_valid
+        # unpack per the reference layout: [count, bx, by, bz, points...]
+        data = list(cloud.point_data)
+        total, i = 0, 0
+        pts = []
+        while i < len(data):
+            cnt, bx, by, bz = data[i : i + 4]
+            i += 4
+            for p in data[i : i + cnt]:
+                x = (p & 1023) + (bx << 10)
+                y = ((p >> 10) & 1023) + (by << 10)
+                z = ((p >> 20) & 1023) + (bz << 10)
+                pts.append((x, y, z))
+            i += cnt
+            total += cnt
+        assert total == n_valid
+        got = np.asarray(pts, np.float64) * 0.001
+        want = np.asarray(pg.nodes[0].high_points)[
+            np.asarray(pg.nodes[0].high_mask)
+        ]
+        # same point set within quantization (order differs: block-sorted);
+        # sort BOTH by (x, y, z)
+        def xyz_sorted(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        got_sorted = xyz_sorted(got)
+        want_sorted = xyz_sorted(np.round(want.astype(np.float64) / 0.001) * 0.001)
+        np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-3)
+        assert len(node0.node_data.rotational_scan_matcher_histogram) == (
+            cfg.trajectory_builder.rotational_histogram_size
+        )
