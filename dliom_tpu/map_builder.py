@@ -99,6 +99,7 @@ class _TrajectoryBuilder:
         self._jit_aux: dict = {}
         self._collator = None
         self.finished = False
+        self._prev_node = None  # (pose-graph node id, time) of the last node
         # num_accumulated_range_data > 1: merged scans accumulate (in the
         # tracking frame at their own stamps; deskew handles intra-scan
         # motion) until N are gathered (local_trajectory_builder_3d.cc:454)
@@ -388,11 +389,24 @@ class _TrajectoryBuilder:
             # drop samples older than the node (keep one for bracketing)
             while len(self._ff_buffer) > 1 and self._ff_buffer[1][0] <= node_time:
                 self._ff_buffer.pop(0)
-        # landmarks: attach observations stamped at/before this node
+        # landmarks: attach observations stamped at/before this node with
+        # the observing pose interpolated between the bracketing nodes
+        # (landmark_cost_function_3d.h interpolation_parameter); without a
+        # previous node the observation pins to this node (alpha = 1 on the
+        # degenerate bracket)
         keep = []
+        prev = self._prev_node  # (node_id, time) of this trajectory or None
         for t, lid, rel in self._lm_buffer:
             if t <= node_time + 0.5 * self.tb.scan_period:
-                pg.add_landmark_observation(node_id, lid, rel)
+                if prev is not None and prev[1] < node_time:
+                    alpha = float(
+                        np.clip((t - prev[1]) / (node_time - prev[1]), 0.0, 1.0)
+                    )
+                    pg.add_landmark_observation(
+                        prev[0], lid, rel, node_id2=node_id, alpha=alpha
+                    )
+                else:
+                    pg.add_landmark_observation(node_id, lid, rel)
             else:
                 keep.append((t, lid, rel))
         self._lm_buffer = keep
@@ -485,6 +499,7 @@ class _TrajectoryBuilder:
             finished_grids=grids,
         )
         self._attach_aux_observations(len(pg.nodes) - 1, time)
+        self._prev_node = (len(pg.nodes) - 1, time)
         if self.parent._pure_localization:
             pg.trim_to_last_submaps(3)
 

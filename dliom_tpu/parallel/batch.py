@@ -244,10 +244,11 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
     return state._replace(frontend=state.frontend._replace(submaps=sm))
 
 
-def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
-    """Compiled multi-sequence LIO step: (state[B], scans[B]) -> (state[B],
-    results[B]) with all B sequences' grid traffic in single flat kernels.
-    Donate the state for in-place bank updates."""
+def batched_lio_body(cfg: TrajectoryBuilderConfig, batch: int):
+    """The (un-jitted) multi-sequence LIO step body: (state[B], scans[B]) ->
+    (state[B], results[B]) with all B sequences' grid traffic in single
+    flat kernels. Shared by the per-step entry, the chunked entry, and the
+    shard_map local step."""
 
     def run(state: LioState, scans):
         # 1. spawn clears from the previous step's pending flags (flat)
@@ -280,7 +281,27 @@ def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
         )
         return new_state, results
 
-    return jax.jit(run, donate_argnums=0)
+    return run
+
+
+def make_batched_lio_step(cfg: TrajectoryBuilderConfig, batch: int):
+    """Compiled multi-sequence LIO step. Donate the state for in-place bank
+    updates."""
+    return jax.jit(batched_lio_body(cfg, batch), donate_argnums=0)
+
+
+def make_batched_lio_chunk(cfg: TrajectoryBuilderConfig, batch: int, chunk: int):
+    """Chunked multi-sequence step: lax.scan over `chunk` stacked scan
+    batches per dispatch (scans leaves carry a leading (chunk, B, ...)
+    axis) — amortizes per-dispatch host overhead like make_jit_lio_chunk
+    does for the single-sequence bench."""
+    body = batched_lio_body(cfg, batch)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state, scans):
+        return jax.lax.scan(body, state, scans)
+
+    return run
 
 
 def make_sharded_lio_state(

@@ -247,3 +247,144 @@ def test_map_builder_with_brick_grid():
 import pytest  # noqa: E402
 
 pytestmark = pytest.mark.slow  # compile-heavy e2e (see pytest.ini)
+
+
+def _drive_trajectory(builder, world, tid, n_scans=6, x_step=0.05, t0=0.0):
+    """Static-init then map n_scans on trajectory `tid`."""
+    t = t0
+    k = 0
+    scan_idx = 0
+    while scan_idx < n_scans:
+        for i in range(30):
+            builder.add_imu_data(
+                t + i * 0.01, [0.0, 0.0, G], [0.0, 0.0, 0.0],
+                trajectory_id=tid,
+            )
+        t += 0.30
+        init = builder.trajectory(tid).initialized
+        pose = (
+            Rigid3.identity()
+            if not init
+            else Rigid3.translation_only(
+                jnp.asarray([x_step * scan_idx, 0.0, 0.0], jnp.float32)
+            )
+        )
+        pts, ptimes = world.cast_scan(pose)
+        builder.add_range_data(t, pts, ptimes, trajectory_id=tid)
+        if builder.trajectory(tid).initialized and init:
+            scan_idx += 1
+        k += 1
+        assert k < 40
+    return t
+
+
+def test_map_builder_two_trajectories():
+    """AddTrajectoryBuilder parity (map_builder.cc:98-169): two trajectories
+    share one pose graph; nodes/submaps carry their ids; finishing one
+    leaves the other mapping."""
+    cfg = _config()
+    builder = MapBuilder(cfg)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+    t1 = builder.add_trajectory_builder()
+    assert builder.num_trajectory_builders == 2
+
+    _drive_trajectory(builder, world, 0, n_scans=5, t0=0.0)
+    _drive_trajectory(builder, world, t1, n_scans=5, t0=0.0)
+
+    tids_nodes = {n.trajectory_id for n in builder.pose_graph.nodes}
+    tids_subs = {s.trajectory_id for s in builder.pose_graph.submaps}
+    assert tids_nodes == {0, t1}
+    assert tids_subs == {0, t1}
+    # per-trajectory queries split correctly
+    n0 = builder.optimized_node_poses(trajectory_id=0)
+    n1 = builder.optimized_node_poses(trajectory_id=t1)
+    assert len(n0) >= 4 and len(n1) >= 4
+    assert len(n0) + len(n1) == len(builder.pose_graph.nodes)
+
+    builder.finish_trajectory(t1)
+    assert builder.pose_graph.trajectory_states()[t1] == "FINISHED"
+    assert builder.pose_graph.trajectory_states()[0] == "ACTIVE"
+    builder.finish_trajectory()  # all + final optimization
+
+
+def test_num_accumulated_range_data():
+    """num_accumulated_range_data > 1 (local_trajectory_builder_3d.cc:454):
+    N merged scans accumulate into ONE frontend step."""
+    cfg = _config().override(
+        {"trajectory_builder": {"num_accumulated_range_data": 2}}
+    )
+    builder = MapBuilder(cfg)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+    t = 0.0
+    results = []
+    for scan_idx in range(10):
+        for i in range(30):
+            builder.add_imu_data(t + i * 0.01, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+        t += 0.30
+        pts, ptimes = world.cast_scan(Rigid3.identity())
+        res = builder.add_range_data(t, pts, ptimes)
+        results.append(res)
+    # the first frames feed the initializer; once initialized, a result
+    # appears only every SECOND scan
+    post_init = [r for r in results[5:]]
+    produced = [r for r in post_init if r is not None]
+    assert produced, "no accumulated steps produced"
+    assert len(produced) <= (len(post_init) + 1) // 2
+
+
+def test_odometry_ingest_builds_links():
+    """add_odometry_data -> consecutive-node odometry links
+    (CalculateOdometryBetweenNodes) recorded on the pose graph."""
+    cfg = _config().override(
+        {
+            "pose_graph": {
+                "optimization_problem": {"use_consecutive_node_costs": True}
+            }
+        }
+    )
+    builder = MapBuilder(cfg)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+    t = 0.0
+    scan_idx = 0
+    k = 0
+    while scan_idx < 6:
+        for i in range(30):
+            ti = t + i * 0.01
+            builder.add_imu_data(ti, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+            # odometry stream at 100 Hz: x = 0.05 * scan progress
+            builder.add_odometry_data(
+                ti,
+                Rigid3.translation_only(
+                    jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32)
+                ),
+            )
+        t += 0.30
+        init = builder.initialized
+        pose = (
+            Rigid3.identity()
+            if not init
+            else Rigid3.translation_only(
+                jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32)
+            )
+        )
+        # bracket the scan stamp (interpolation needs odometry at/after it)
+        builder.add_odometry_data(
+            t,
+            Rigid3.translation_only(
+                jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32)
+            ),
+        )
+        pts, ptimes = world.cast_scan(pose)
+        builder.add_range_data(t, pts, ptimes)
+        if builder.initialized and init:
+            scan_idx += 1
+        k += 1
+        assert k < 40
+    links = builder.pose_graph.odometry_links
+    assert len(links) >= 3
+    a, b, rel = links[-1]
+    assert b == a + 1 or b > a
+    # consecutive odometry says ~0.05 m forward between nodes
+    assert abs(float(rel.translation[0]) - 0.05) < 0.03
+    # with use_consecutive_node_costs the SPA consumes them
+    builder.pose_graph.run_optimization(iterations=2)

@@ -312,3 +312,33 @@ def test_huber_downweights_gps_outlier():
     err_naive = float(jnp.abs(naive.node_t[3, 1]))
     assert err_robust < 1.0, err_robust
     assert err_naive > 3.0, err_naive  # quadratic loss follows the outlier
+
+
+def test_final_optimization_converges_within_capped_iterations():
+    """Evidence for the 400 -> 50 final-iteration cap (run_final_optimization):
+    on a LARGE drifted chain with loop closures, the solution at the capped
+    iteration count must already sit at the converged fixed point — i.e.
+    more GN outer iterations change nothing material. One GN outer here
+    runs 64 preconditioned-CG inners, so 50 outers are NOT comparable to 50
+    Ceres LM iterations."""
+    rng = np.random.default_rng(17)
+    data, true_submaps, true_nodes = _build_problem(
+        rng, num_submaps=10, nodes_per_submap=6, perturb=2.0
+    )
+    at_cap = jax.jit(
+        lambda d: solve(d, iterations=50, cg_iterations=64)
+    )(data)
+    beyond = jax.jit(
+        lambda d: solve(d, iterations=80, cg_iterations=64)
+    )(data)
+    err_cap = max(
+        float(jnp.linalg.norm(at_cap.submap_t[i] - p.translation))
+        for i, p in enumerate(true_submaps)
+    )
+    # converged to truth at the cap...
+    assert err_cap < 0.05, err_cap
+    # ...and already at the fixed point: further iterations are a no-op
+    drift_beyond = float(
+        jnp.max(jnp.abs(at_cap.submap_t[:10] - beyond.submap_t[:10]))
+    )
+    assert drift_beyond < 1e-3, drift_beyond

@@ -283,3 +283,46 @@ def test_landmark_observations_via_pose_graph_api():
     pg.run_optimization(iterations=6)
     got = pg.landmark_poses()["lm0"]
     np.testing.assert_allclose(got, true_lm, atol=0.05)
+
+
+@pytest.mark.slow
+def test_host_bookkeeping_soak_5k_nodes():
+    """Host-path scalability soak (round-1 weak #6): 5k nodes / ~100
+    submaps of INTRA bookkeeping plus constraint-index queries must stay
+    comfortably sub-linear-in-C per operation (the old linear
+    _has_constraint scan made this loop O(C*N)). No device work: clouds
+    are tiny and no submap is ever finished."""
+    import time as _time
+
+    cfg = _cfg()
+    import dataclasses as dc
+
+    pgc = dc.replace(
+        cfg.pose_graph, optimize_every_n_nodes=0, max_nodes=8192,
+        max_submaps=256, max_constraints=16384,
+    )
+    pg = PoseGraph(pgc, cfg.trajectory_builder)
+    rng = np.random.default_rng(9)
+    points = _world_cloud(rng, 32)
+    t0 = _time.perf_counter()
+    sid = pg.add_submap(Rigid3.identity())
+    for k in range(5000):
+        if k and k % 50 == 0:
+            sid = pg.add_submap(
+                Rigid3.translation_only(jnp.asarray([0.1 * k, 0.0, 0.0]))
+            )
+        pg.add_node(
+            _make_node(
+                cfg, points,
+                Rigid3.translation_only(jnp.asarray([0.1 * k, 0.0, 0.0])),
+            ),
+            (sid,),
+        )
+        # the background-search membership probe pattern
+        assert pg._has_constraint(sid, len(pg.nodes) - 1)
+        assert not pg._has_constraint(sid, len(pg.nodes) + 7)
+    elapsed = _time.perf_counter() - t0
+    assert len(pg.nodes) == 5000 and len(pg.constraints) >= 5000
+    # generous wall bound: the round-1 linear scan was O(C) per probe and
+    # blew far past this on loaded hosts
+    assert elapsed < 60.0, elapsed
