@@ -314,41 +314,47 @@ def integrate(
     eye3 = jnp.eye(3, dtype=jnp.float32)
     dtc = dt[:, None, None]
 
-    f = jnp.zeros((m, 15, 15), jnp.float32)
-    f = f.at[:, 0:3, 0:3].set(eye3)
-    f = f.at[:, 0:3, 3:6].set(
+    # Block CONCATENATION, not .at[...].set chains: each DUS on an
+    # (m, 15, ·) operand rewrites the whole (8, 128)-tile-padded buffer —
+    # ~22 sequential 4.7 ms ops at B=4 on v5e (profiled: 18% of the batched
+    # step). Concats fuse into one materialization.
+    ii = jnp.broadcast_to(eye3, r0.shape)
+    zz = jnp.zeros_like(r0)
+
+    def brow(*blocks):
+        return jnp.concatenate(blocks, axis=-1)
+
+    f01 = (
         -0.25 * r0 @ ra0 * dtc * dtc
         + -0.25 * r1 @ ra1 @ (eye3 - rwx * dtc) * dtc * dtc
     )
-    f = f.at[:, 0:3, 6:9].set(eye3 * dtc)
-    f = f.at[:, 0:3, 9:12].set(-0.25 * (r0 + r1) * dtc * dtc)
-    f = f.at[:, 0:3, 12:15].set(0.25 * r1 @ ra1 * dtc * dtc * dtc)
-    f = f.at[:, 3:6, 3:6].set(eye3 - rwx * dtc)
-    f = f.at[:, 3:6, 12:15].set(-eye3 * dtc)
-    f = f.at[:, 6:9, 3:6].set(
-        -0.5 * r0 @ ra0 * dtc + -0.5 * r1 @ ra1 @ (eye3 - rwx * dtc) * dtc
+    f21 = -0.5 * r0 @ ra0 * dtc + -0.5 * r1 @ ra1 @ (eye3 - rwx * dtc) * dtc
+    f = jnp.concatenate(
+        [
+            brow(ii, f01, ii * dtc, -0.25 * (r0 + r1) * dtc * dtc,
+                 0.25 * r1 @ ra1 * dtc * dtc * dtc),
+            brow(zz, ii - rwx * dtc, zz, zz, -ii * dtc),
+            brow(zz, f21, ii, -0.5 * (r0 + r1) * dtc,
+                 0.5 * r1 @ ra1 * dtc * dtc),
+            brow(zz, zz, zz, ii, zz),
+            brow(zz, zz, zz, zz, ii),
+        ],
+        axis=-2,
     )
-    f = f.at[:, 6:9, 6:9].set(eye3)
-    f = f.at[:, 6:9, 9:12].set(-0.5 * (r0 + r1) * dtc)
-    f = f.at[:, 6:9, 12:15].set(0.5 * r1 @ ra1 * dtc * dtc)
-    f = f.at[:, 9:12, 9:12].set(eye3)
-    f = f.at[:, 12:15, 12:15].set(eye3)
 
-    v = jnp.zeros((m, 15, 18), jnp.float32)
-    v = v.at[:, 0:3, 0:3].set(0.25 * r0 * dtc * dtc)
     v03 = -0.125 * r1 @ ra1 * dtc * dtc * dtc
-    v = v.at[:, 0:3, 3:6].set(v03)
-    v = v.at[:, 0:3, 6:9].set(0.25 * r1 * dtc * dtc)
-    v = v.at[:, 0:3, 9:12].set(v03)
-    v = v.at[:, 3:6, 3:6].set(0.5 * eye3 * dtc)
-    v = v.at[:, 3:6, 9:12].set(0.5 * eye3 * dtc)
-    v = v.at[:, 6:9, 0:3].set(0.5 * r0 * dtc)
     v63 = -0.25 * r1 @ ra1 * dtc * dtc
-    v = v.at[:, 6:9, 3:6].set(v63)
-    v = v.at[:, 6:9, 6:9].set(0.5 * r1 * dtc)
-    v = v.at[:, 6:9, 9:12].set(v63)
-    v = v.at[:, 9:12, 12:15].set(eye3 * dtc)
-    v = v.at[:, 12:15, 15:18].set(eye3 * dtc)
+    v = jnp.concatenate(
+        [
+            brow(0.25 * r0 * dtc * dtc, v03, 0.25 * r1 * dtc * dtc, v03,
+                 zz, zz),
+            brow(zz, 0.5 * ii * dtc, zz, 0.5 * ii * dtc, zz, zz),
+            brow(0.5 * r0 * dtc, v63, 0.5 * r1 * dtc, v63, zz, zz),
+            brow(zz, zz, zz, zz, ii * dtc, zz),
+            brow(zz, zz, zz, zz, zz, ii * dtc),
+        ],
+        axis=-2,
+    )
 
     q_noise = v @ noise @ jnp.swapaxes(v, 1, 2)
     # masked steps compose as the identity map
