@@ -137,6 +137,12 @@ class MapBuilderStub:
     def metrics_text(self) -> str:
         return self._call("metrics")["text"]
 
+    def occupancy_grid(self, resolution: float = 0.2):
+        """Live top-down occupancy image (occupancy_grid_node analog).
+        Returns (uint8 image, origin_xy, resolution)."""
+        r = self._call("occupancy_grid", resolution=float(resolution))
+        return r["image"], r["origin_xy"], r["resolution"]
+
     def write_state(self, path: str):
         self._call("write_state", path=path)
 

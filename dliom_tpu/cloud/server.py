@@ -204,6 +204,24 @@ class MapBuilderServer:
                 }
         if method == "metrics":
             return {"ok": True, "text": self.map_builder.metrics_text()}
+        if method == "occupancy_grid":
+            # live top-down occupancy surface (occupancy_grid_node analog,
+            # R7): aggregate node clouds under current optimized poses
+            from dliom_tpu.io.assets_writer import (
+                aggregate_point_cloud,
+                xray_image,
+            )
+
+            res = float(p.get("resolution", 0.2))
+            with self._lock:
+                pts = aggregate_point_cloud(self.map_builder.pose_graph)
+            img, origin = xray_image(pts, res)
+            return {
+                "ok": True,
+                "image": img,
+                "origin_xy": origin,
+                "resolution": res,
+            }
         if method == "status":
             return {
                 "ok": True,

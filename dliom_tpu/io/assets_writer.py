@@ -66,14 +66,13 @@ def write_pcd(path: str, points: np.ndarray) -> None:
         f.write(points.astype("<f4").tobytes())
 
 
-def write_xray_pgm(
-    path: str, points: np.ndarray, resolution: float = 0.2
-) -> None:
-    """Top-down point-count projection as a PGM image (xray writer analog)."""
+def xray_image(points: np.ndarray, resolution: float = 0.2):
+    """Top-down point-count projection (xray writer analog). Returns
+    (uint8 image (W, H), origin_xy (2,)) — the live occupancy surface
+    (occupancy_grid_node_main.cc's repainted grid; queried over RPC here
+    instead of published on a ROS topic)."""
     if len(points) == 0:
-        with open(path, "wb") as f:
-            f.write(b"P5\n1 1\n255\n\x00")
-        return
+        return np.zeros((1, 1), np.uint8), np.zeros(2, np.float32)
     xy = np.asarray(points)[:, :2]
     mins = xy.min(axis=0)
     cells = np.floor((xy - mins) / resolution).astype(np.int64)
@@ -82,6 +81,14 @@ def write_xray_pgm(
     np.add.at(img, (cells[:, 0], cells[:, 1]), 1.0)
     img = np.log1p(img)
     img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+    return img, mins.astype(np.float32)
+
+
+def write_xray_pgm(
+    path: str, points: np.ndarray, resolution: float = 0.2
+) -> None:
+    """Top-down point-count projection as a PGM image (xray writer analog)."""
+    img, _ = xray_image(points, resolution)
     with open(path, "wb") as f:
         f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
         f.write(img.tobytes())

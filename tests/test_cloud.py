@@ -62,6 +62,10 @@ def test_server_end_to_end():
         s, n, inter = stub.constraints()
         assert len(s) == len(n) >= 4
         assert "dliom" in stub.metrics_text() or len(stub.metrics_text()) > 0
+        # live occupancy surface (occupancy_grid_node analog, R7)
+        img, origin, res = stub.occupancy_grid(resolution=0.25)
+        assert img.dtype == np.uint8 and img.size > 1 and img.max() > 0
+        assert origin.shape == (3,) or origin.shape == (2,)
 
         with tempfile.TemporaryDirectory() as d:
             path = os.path.join(d, "remote_state.npz")
@@ -77,4 +81,60 @@ def test_server_end_to_end():
         assert stub.ping() == 0
     finally:
         stub.close()
+        server.shutdown()
+
+
+def test_multi_robot_two_stubs_one_server():
+    """Multi-robot hub-and-spoke (cloud C37 + map_builder.cc trajectories):
+    two client stubs each drive their OWN trajectory on one shared server;
+    the server's pose graph carries both, with per-trajectory states."""
+    cfg = _config()
+    server = MapBuilderServer(MapBuilder(cfg))
+    server.start()
+    host, port = server.address
+    robot_a = MapBuilderStub(host, port)
+    robot_b = MapBuilderStub(host, port)
+    try:
+        tid_b = robot_b.add_trajectory()
+        assert tid_b >= 1
+        world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+
+        def drive(stub, tid, n_scans):
+            t, scan_idx, tries = 0.0, 0, 0
+            while scan_idx < n_scans and tries < 16:
+                for i in range(30):
+                    stub.add_imu_data(
+                        t + i * 0.01, [0.0, 0.0, G], [0.0, 0.0, 0.0],
+                        trajectory_id=tid,
+                    )
+                t += 0.30
+                init = server.map_builder.trajectory(tid).initialized
+                pose = (
+                    Rigid3.identity()
+                    if not init
+                    else Rigid3.translation_only(
+                        jnp.asarray([0.05 * scan_idx, 0.0, 0.0], jnp.float32)
+                    )
+                )
+                pts, ptimes = world.cast_scan(pose)
+                stub.add_range_data(t, pts, ptimes, trajectory_id=tid)
+                while stub.ping() > 0:
+                    time.sleep(0.02)
+                if server.map_builder.trajectory(tid).initialized and init:
+                    scan_idx += 1
+                tries += 1
+
+        drive(robot_a, 0, 4)
+        drive(robot_b, tid_b, 4)
+
+        states = robot_a.trajectory_states()
+        assert set(states) == {0, tid_b}
+        tids = {n.trajectory_id for n in server.map_builder.pose_graph.nodes}
+        assert tids == {0, tid_b}
+        robot_b.finish_trajectory(tid_b)
+        assert robot_a.trajectory_states()[tid_b] == "FINISHED"
+        robot_a.finish_trajectory()  # all + final optimization
+    finally:
+        robot_a.close()
+        robot_b.close()
         server.shutdown()
