@@ -381,3 +381,334 @@ def write_pbstream(path: str, pg, include_grids: bool = True) -> None:
         )
         w.write(fm(5, body, keep_empty=True))
     w.close()
+
+
+# ---------------------------------------------------------------------------
+# READ path: parse reference-schema pbstreams back into a PoseGraph
+# (MapBuilder::LoadState over io/proto_stream.cc input — maps produced by
+# cartographer tooling import directly).
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, i: int):
+    shift = 0
+    out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def parse_message(buf: bytes) -> dict:
+    """Generic wire-format parse: {field: [(wire_type, raw_value), ...]}.
+    Varints come out unsigned; length-delimited as bytes; 32/64-bit as raw
+    little-endian bytes."""
+    out: dict = {}
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            v, i = buf[i : i + ln], i + ln
+        elif wt == 5:
+            v, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        out.setdefault(field, []).append((wt, v))
+    return out
+
+
+def _first(msg: dict, field: int, default=None):
+    vals = msg.get(field)
+    return vals[0][1] if vals else default
+
+
+def _double(msg: dict, field: int, default=0.0) -> float:
+    v = _first(msg, field)
+    return struct.unpack("<d", v)[0] if v is not None else default
+
+
+def _float(msg: dict, field: int, default=0.0) -> float:
+    v = _first(msg, field)
+    return struct.unpack("<f", v)[0] if v is not None else default
+
+
+def _varint_field(msg: dict, field: int, default=0) -> int:
+    v = _first(msg, field)
+    return int(v) if v is not None else default
+
+
+def _packed_varints(msg: dict, field: int, zigzag=False):
+    out: List[int] = []
+    for wt, raw in msg.get(field, []):
+        if wt == 0:  # unpacked repeated
+            out.append(int(raw))
+        else:
+            i = 0
+            while i < len(raw):
+                v, i = _read_varint(raw, i)
+                out.append(v)
+    if zigzag:
+        return [_unzigzag(v) for v in out]
+    # sint32 range wrap for plain int32 fields
+    return [_signed64(v) for v in out]
+
+
+def _packed_floats(msg: dict, field: int):
+    out: List[float] = []
+    for wt, raw in msg.get(field, []):
+        if wt == 5:
+            out.append(struct.unpack("<f", raw)[0])
+        else:
+            out.extend(
+                struct.unpack(f"<{len(raw) // 4}f", raw)
+            )
+    return out
+
+
+def _parse_rigid3d(raw: bytes):
+    from dliom_tpu.transform.rigid import Rigid3
+    import jax.numpy as jnp
+
+    m = parse_message(raw)
+    t_raw = _first(m, 1, b"")
+    q_raw = _first(m, 2, b"")
+    tm = parse_message(t_raw) if t_raw else {}
+    qm = parse_message(q_raw) if q_raw else {}
+    t = [_double(tm, 1), _double(tm, 2), _double(tm, 3)]
+    # proto Quaterniond is (x=1, y=2, z=3, w=4); ours is (w, x, y, z)
+    q = [_double(qm, 4, 1.0), _double(qm, 1), _double(qm, 2), _double(qm, 3)]
+    return Rigid3(
+        jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32)
+    )
+
+
+def _parse_id(raw: bytes):
+    m = parse_message(raw)
+    return _varint_field(m, 1), _varint_field(m, 2)  # (trajectory, index)
+
+
+def _parse_compressed_cloud(raw: bytes, capacity: int):
+    """Reference CompressedPointCloud -> (points (capacity, 3) f32, mask)."""
+    m = parse_message(raw)
+    data = _packed_varints(m, 3)
+    pts = []
+    i = 0
+    while i < len(data):
+        cnt, bx, by, bz = data[i : i + 4]
+        i += 4
+        for p in data[i : i + cnt]:
+            pts.append(
+                (
+                    ((p & 1023) + (bx << 10)) * 0.001,
+                    (((p >> 10) & 1023) + (by << 10)) * 0.001,
+                    (((p >> 20) & 1023) + (bz << 10)) * 0.001,
+                )
+            )
+        i += cnt
+    out = np.zeros((capacity, 3), np.float32)
+    k = min(len(pts), capacity)
+    if k:
+        out[:k] = np.asarray(pts[:k], np.float32)
+    return out, np.arange(capacity) < k
+
+
+def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
+    """Append a reference-schema pbstream's state to a PoseGraph
+    (MapBuilder::LoadState, map_builder.cc:209-367): trajectories remap to
+    fresh ids, submap grids recompress into the backend's sparse form,
+    constraints re-link. Returns {loaded_tid: new_tid}."""
+    import jax.numpy as jnp
+
+    from dliom_tpu.backend.compression import CompressedGrid
+    from dliom_tpu.backend.pose_graph import Constraint, NodeRecord, SubmapRecord
+    from dliom_tpu.mapping.grid import linear_index
+    from dliom_tpu.ops.rotational_histogram import compute_histogram
+
+    hi_spec, lo_spec = pg._hi_spec, pg._lo_spec
+    tb = pg.tb_cfg
+    blobs = list(PbstreamReader(path))
+    header = parse_message(blobs[0])
+    if _varint_field(header, 1) != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported pbstream format version {_varint_field(header, 1)}"
+        )
+    tid_map: dict = {}
+
+    def map_tid(t: int) -> int:
+        if t not in tid_map:
+            tid_map[t] = pg.add_trajectory(frozen=frozen)
+        return tid_map[t]
+
+    # pass 1: the PoseGraph message provides global poses + constraints
+    pose_graph_msg = parse_message(blobs[1])
+    data_kind = next(iter(pose_graph_msg))
+    assert data_kind == 1, "pose_graph must be the first SerializedData"
+    pgp = parse_message(_first(pose_graph_msg, 1))
+    global_sub = {}
+    global_node = {}
+    node_times = {}
+    for _, raw in pgp.get(4, []):  # trajectories
+        tm = parse_message(raw)
+        tid = _varint_field(tm, 3)
+        for _, nraw in tm.get(1, []):
+            nm = parse_message(nraw)
+            idx = _varint_field(nm, 7)
+            global_node[(tid, idx)] = _parse_rigid3d(_first(nm, 5, b""))
+            node_times[(tid, idx)] = from_universal_ticks(
+                _signed64(_varint_field(nm, 1))
+            )
+        for _, sraw in tm.get(2, []):
+            sm = parse_message(sraw)
+            idx = _varint_field(sm, 2)
+            global_sub[(tid, idx)] = _parse_rigid3d(_first(sm, 1, b""))
+
+    sub_ids: dict = {}
+    node_ids: dict = {}
+
+    def grid_from_proto(raw: bytes, spec, capacity: int):
+        g = parse_message(raw)
+        xs = _packed_varints(g, 3, zigzag=True)
+        ys = _packed_varints(g, 4, zigzag=True)
+        zs = _packed_varints(g, 5, zigzag=True)
+        vals = np.asarray(_packed_varints(g, 6), np.int32)
+        cells = jnp.asarray(np.stack([xs, ys, zs], -1), jnp.int32)
+        lin, ok = linear_index(cells, spec)
+        lin = np.asarray(lin)[np.asarray(ok)][:capacity]
+        vals = vals[np.asarray(ok)][:capacity]
+        order = np.argsort(lin)
+        pad = capacity - len(lin)
+        idx = np.concatenate(
+            [lin[order], np.full(pad, spec.num_cells, np.int32)]
+        )
+        vv = np.concatenate([vals[order], np.zeros(pad, np.int32)])
+        return CompressedGrid(
+            indices=jnp.asarray(idx, jnp.int32),
+            values=jnp.asarray(vv, jnp.int16),
+            count=jnp.int32(len(lin)),
+        )
+
+    # pass 2: submaps and nodes, in stream order
+    for blob in blobs[2:]:
+        m = parse_message(blob)
+        kind = next(iter(m))
+        if kind == 3:  # Submap
+            sm = parse_message(_first(m, 3))
+            tid_l, idx = _parse_id(_first(sm, 1, b""))
+            s3 = parse_message(_first(sm, 3, b""))
+            local_pose = _parse_rigid3d(_first(s3, 1, b""))
+            rec = SubmapRecord(
+                local_pose=local_pose,
+                global_pose=global_sub.get((tid_l, idx), local_pose),
+                finished=bool(_varint_field(s3, 3)),
+                histogram=np.zeros(pg._num_histogram, np.float32),
+                trajectory_id=map_tid(tid_l),
+                index_in_trajectory=idx,
+                frozen=frozen,
+            )
+            if _first(s3, 4) is not None:
+                rec.high = grid_from_proto(
+                    _first(s3, 4), hi_spec, pg._compress_capacity
+                )
+            if _first(s3, 5) is not None:
+                rec.low = grid_from_proto(
+                    _first(s3, 5), lo_spec, pg.low_compress_capacity
+                )
+            tid = rec.trajectory_id
+            pg._traj_submap_counts[tid] = max(
+                pg._traj_submap_counts.get(tid, 0), idx + 1
+            )
+            sub_ids[(tid_l, idx)] = len(pg.submaps)
+            pg.submaps.append(rec)
+        elif kind == 4:  # Node
+            nm = parse_message(_first(m, 4))
+            tid_l, idx = _parse_id(_first(nm, 1, b""))
+            nd = parse_message(_first(nm, 5, b""))
+            local_pose = _parse_rigid3d(_first(nd, 7, b""))
+            qm = parse_message(_first(nd, 2, b""))
+            grav = np.asarray(
+                [_double(qm, 4, 1.0), _double(qm, 1), _double(qm, 2),
+                 _double(qm, 3)],
+                np.float32,
+            )
+            hi_pts, hi_mask = _parse_compressed_cloud(
+                _first(nd, 4, b""), tb.max_high_res_points
+            )
+            lo_pts, lo_mask = _parse_compressed_cloud(
+                _first(nd, 5, b""), tb.max_low_res_points
+            )
+            hist = np.asarray(_packed_floats(nd, 6), np.float32)
+            if hist.size != pg._num_histogram:
+                # re-derive at our configured bin count
+                hist = np.asarray(
+                    compute_histogram(
+                        jnp.asarray(hi_pts), jnp.asarray(hi_mask),
+                        pg._num_histogram,
+                    )
+                )
+            node_ids[(tid_l, idx)] = len(pg.nodes)
+            pg.nodes.append(
+                NodeRecord(
+                    time=node_times.get((tid_l, idx), 0.0),
+                    local_pose=local_pose,
+                    global_pose=global_node.get((tid_l, idx), local_pose),
+                    gravity_alignment=grav,
+                    high_points=jnp.asarray(hi_pts),
+                    high_mask=jnp.asarray(hi_mask),
+                    low_points=jnp.asarray(lo_pts),
+                    low_mask=jnp.asarray(lo_mask),
+                    histogram=jnp.asarray(hist),
+                    submap_ids=(),
+                    frozen=frozen,
+                    trajectory_id=map_tid(tid_l),
+                )
+            )
+
+    # pass 3: constraints (now that both id spaces resolve)
+    for _, raw in pgp.get(2, []):
+        cm = parse_message(raw)
+        sid_l = _parse_id(_first(cm, 1, b""))
+        nid_l = _parse_id(_first(cm, 2, b""))
+        if sid_l not in sub_ids or nid_l not in node_ids:
+            continue  # trimmed endpoints (reference drops them too)
+        tag = "INTER" if _varint_field(cm, 5) == 1 else "INTRA"
+        c = Constraint(
+            submap_id=sub_ids[sid_l],
+            node_id=node_ids[nid_l],
+            relative=_parse_rigid3d(_first(cm, 3, b"")),
+            translation_weight=_double(cm, 6),
+            rotation_weight=_double(cm, 7),
+            tag=tag,
+        )
+        pg.constraints.append(c)
+        if tag == "INTRA":
+            pg.submaps[c.submap_id].node_ids.append(c.node_id)
+            node = pg.nodes[c.node_id]
+            node.submap_ids = tuple(node.submap_ids) + (c.submap_id,)
+    pg.reindex_constraints()
+    for c in pg.constraints:
+        if c.tag == "INTER":
+            t_sub = pg.submaps[c.submap_id].trajectory_id
+            t_node = pg.nodes[c.node_id].trajectory_id
+            if t_sub != t_node:
+                pg.connect_trajectories(
+                    t_sub, t_node, pg.nodes[c.node_id].time
+                )
+    return tid_map

@@ -697,10 +697,20 @@ def map_builder_from_state(
     trajectory (id of the last add_trajectory_builder call) maps against
     them. With `pure_localization`, loaded trajectories are frozen (their
     poses never move) and the live trajectory is trimmed to the reference's
-    3 newest submaps (PureLocalizationTrimmer, map_builder.cc:147-151)."""
-    from dliom_tpu.io.serialization import load_state_into
+    3 newest submaps (PureLocalizationTrimmer, map_builder.cc:147-151).
 
+    `path` may be the native .npz state OR a reference-schema .pbstream
+    (maps produced by cartographer tooling import directly)."""
     builder = MapBuilder(config, **kwargs)
-    load_state_into(builder.pose_graph, path, config, frozen=pure_localization)
+    if path.endswith(".pbstream"):
+        from dliom_tpu.io.pbstream import load_pbstream_into
+
+        load_pbstream_into(builder.pose_graph, path, frozen=pure_localization)
+    else:
+        from dliom_tpu.io.serialization import load_state_into
+
+        load_state_into(
+            builder.pose_graph, path, config, frozen=pure_localization
+        )
     builder._pure_localization = pure_localization
     return builder

@@ -179,3 +179,51 @@ def test_reference_schema_parses_our_output():
         assert len(node0.node_data.rotational_scan_matcher_histogram) == (
             cfg.trajectory_builder.rotational_histogram_size
         )
+
+
+def test_pbstream_read_path_roundtrip():
+    """load_pbstream_into parses reference-schema streams back into a
+    PoseGraph (the LoadState analog for maps produced by cartographer
+    tooling): poses, grids, clouds, constraints and trajectory ids all
+    survive the write -> read cycle."""
+    from dliom_tpu.backend.compression import decompress
+    from dliom_tpu.io.pbstream import load_pbstream_into
+
+    cfg, pg, points = _sample_graph()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.pbstream")
+        write_pbstream(path, pg)
+        pg2 = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+        tid_map = load_pbstream_into(pg2, path, frozen=True)
+        assert len(tid_map) == 1
+        assert len(pg2.submaps) == len(pg.submaps)
+        assert len(pg2.nodes) == len(pg.nodes)
+        assert len(pg2.constraints) == len(pg.constraints)
+        assert all(s.frozen for s in pg2.submaps)
+        # poses survive (f32 <-> double round-trip)
+        for a, b in zip(pg.submaps, pg2.submaps):
+            np.testing.assert_allclose(
+                np.asarray(a.global_pose.translation),
+                np.asarray(b.global_pose.translation), atol=1e-5,
+            )
+        assert abs(pg2.nodes[1].time - pg.nodes[1].time) < 1e-6
+        # the finished submap's grids decompress identically
+        a, b = pg.submaps[0], pg2.submaps[0]
+        assert b.finished and b.high is not None
+        hi = pg._hi_spec
+        np.testing.assert_array_equal(
+            np.asarray(decompress(a.high, hi)), np.asarray(decompress(b.high, hi))
+        )
+        # node clouds: same point sets within 1 mm quantization
+        va = np.asarray(pg.nodes[0].high_points)[np.asarray(pg.nodes[0].high_mask)]
+        vb = np.asarray(pg2.nodes[0].high_points)[np.asarray(pg2.nodes[0].high_mask)]
+        assert len(va) == len(vb)
+
+        def srt(x):
+            return x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+
+        np.testing.assert_allclose(srt(vb), srt(va), atol=2e-3)
+        # INTRA bookkeeping rebuilt
+        assert pg2.submaps[0].node_ids and pg2.nodes[0].submap_ids
+        # a loaded-then-reoptimized graph doesn't blow up
+        pg2.run_optimization(iterations=2)
