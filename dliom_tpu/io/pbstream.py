@@ -712,3 +712,41 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
                     t_sub, t_node, pg.nodes[c.node_id].time
                 )
     return tid_map
+
+
+def _vector3f(t) -> bytes:
+    # transform.proto Vector3f: x=1, y=2, z=3 (float)
+    return ff32(1, float(t[0])) + ff32(2, float(t[1])) + ff32(3, float(t[2]))
+
+
+def write_range_data_pbstream(path: str, pg) -> None:
+    """D-LIOM's second artifact: per-node range data in the LOCAL frame
+    (MapBuilderBridge::SerializeRangeData, map_builder_bridge.cc:170-201;
+    mapping/proto/local_slam_range_data.proto NodeRangeData) — consumed by
+    the reference's offline map viewer (`pb_range_data_to_ros_cloud`).
+    Stream layout mirrors the reference: SerializationHeader, then one
+    NodeRangeData message per node."""
+    w = PbstreamWriter(path)
+    w.write(fv(1, FORMAT_VERSION))
+    node_index = _node_indices(pg)
+    for nid, n in enumerate(pg.nodes):
+        pts = np.asarray(n.high_points)[np.asarray(n.high_mask)]
+        # tracking frame -> local frame
+        local = np.asarray(n.local_pose.apply(pts)) if len(pts) else pts
+        origin = np.asarray(n.local_pose.translation)
+        # RangeData (sensor.proto): origin=1, returns=2 (repeated Vector3f)
+        range_pb = fm(1, _vector3f(origin), keep_empty=True) + b"".join(
+            fm(2, _vector3f(p), keep_empty=True) for p in local
+        )
+        tid, idx = node_index[nid]
+        # NodeRangeData: timestamp=1, trajectory_id=2, node_index=3,
+        # local_pose=4, range_data_in_local=5
+        body = (
+            fv(1, to_universal_ticks(n.time))
+            + fv(2, tid)
+            + fv(3, idx)
+            + fm(4, _rigid3d(n.local_pose))
+            + fm(5, range_pb, keep_empty=True)
+        )
+        w.write(body)
+    w.close()

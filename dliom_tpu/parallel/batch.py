@@ -335,41 +335,13 @@ def sharded_lio_step(
 
     platform = mesh_platform(mesh)
 
-    def local_step(state, scans):
-        # identical body to make_batched_lio_step's run, at local batch size;
-        # kernel dispatch pinned to the mesh's platform at trace time
-        with force_platform(platform):
-            return _local_step(state, scans)
+    _body = batched_lio_body(cfg, local)
 
-    def _local_step(state, scans):
-        state = clear_spawned_slots(cfg, state)
-        axes = _bank_axes(cfg, state)
-        new_state, results = jax.vmap(
-            functools.partial(lio_step, cfg=cfg, defer_grid_writes=True),
-            in_axes=(axes, 0),
-            out_axes=(axes, 0),
-        )(state, scans)
-        ib = results.scan.insertion_batch
-        flat = InsertionBatch(
-            origins=ib.origins.reshape(2 * local, 3),
-            points=ib.points.reshape(2 * local, *ib.points.shape[2:]),
-            masks=ib.masks.reshape(2 * local, -1),
-            hi_masks=ib.hi_masks.reshape(2 * local, -1),
-        )
-        sm = new_state.frontend.submaps
-        sm = sm._replace(
-            **write_insertion_batch(
-                sm.high_values, sm.low_values, sm.high_brick, flat,
-                cfg.submaps, low_brick=sm.low_brick,
-                dense_dropped=sm.dense_dropped,
-            )
-        )
-        return (
-            new_state._replace(
-                frontend=new_state.frontend._replace(submaps=sm)
-            ),
-            results,
-        )
+    def local_step(state, scans):
+        # the shared batched body at the per-shard batch size; kernel
+        # dispatch pinned to the mesh's platform at trace time
+        with force_platform(platform):
+            return _body(state, scans)
 
     spec = P(axis)
     # check_vma off: lax.scan carries inside the step mix replicated

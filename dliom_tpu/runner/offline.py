@@ -239,6 +239,11 @@ def run(args) -> dict:
 
         write_pbstream(args.output_pbstream, builder.pose_graph)
         report["pbstream_file"] = args.output_pbstream
+    if getattr(args, "output_range_data", None):
+        from dliom_tpu.io.pbstream import write_range_data_pbstream
+
+        write_range_data_pbstream(args.output_range_data, builder.pose_graph)
+        report["range_data_file"] = args.output_range_data
     if nodes and args.output_kitti:
         from dliom_tpu.evaluation.ate import write_kitti_trajectory
 
@@ -314,6 +319,10 @@ def main(argv=None):
                     help="reference-schema pbstream export "
                          "(offline_node.cc -save_pbstream analog; readable "
                          "by cartographer pbstream tooling)")
+    ap.add_argument("--output-range-data", default=None,
+                    help="per-node range data pbstream "
+                         "(-save_range_data analog, consumed by the "
+                         "reference's offline map viewer)")
     ap.add_argument("--output-ply", default=None,
                     help="export the aggregate map point cloud (assets writer)")
     ap.add_argument("--output-xray", default=None,

@@ -227,3 +227,74 @@ def test_pbstream_read_path_roundtrip():
         assert pg2.submaps[0].node_ids and pg2.nodes[0].submap_ids
         # a loaded-then-reoptimized graph doesn't blow up
         pg2.run_optimization(iterations=2)
+
+
+def test_map_builder_localizes_from_pbstream():
+    """map_builder_from_state accepts .pbstream paths: a map produced in
+    the reference schema loads FROZEN for pure localization."""
+    from dliom_tpu.map_builder import map_builder_from_state
+
+    cfg, pg, _ = _sample_graph()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "map.pbstream")
+        write_pbstream(path, pg)
+        builder = map_builder_from_state(path, cfg, pure_localization=True)
+        bpg = builder.pose_graph
+        assert len(bpg.submaps) == len(pg.submaps)
+        assert all(s.frozen for s in bpg.submaps)
+        # the loaded trajectory is FROZEN; the live trajectory (0) is active
+        states = bpg.trajectory_states()
+        assert "FROZEN" in states.values()
+        assert states[0] == "ACTIVE"
+
+
+@pytest.mark.skipif(not _HAVE_ORACLE, reason="reference protos/protoc absent")
+def test_range_data_pbstream_schema():
+    """The -save_range_data artifact parses under the reference's
+    local_slam_range_data.proto schema (map viewer interop)."""
+    import subprocess as sp
+
+    from dliom_tpu.io.pbstream import write_range_data_pbstream
+
+    cfg, pg, _ = _sample_graph()
+    with tempfile.TemporaryDirectory() as d:
+        ds = os.path.join(d, "schema.ds")
+        sp.run(
+            ["protoc", f"-I{_REF}", "--include_imports",
+             f"--descriptor_set_out={ds}",
+             "cartographer/mapping/proto/local_slam_range_data.proto"],
+            check=True,
+        )
+        from google.protobuf import descriptor_pb2, descriptor_pool
+        from google.protobuf import message_factory
+
+        pool = descriptor_pool.DescriptorPool()
+        fds = descriptor_pb2.FileDescriptorSet()
+        with open(ds, "rb") as f:
+            fds.ParseFromString(f.read())
+        for fd in fds.file:
+            pool.Add(fd)
+        Node = message_factory.GetMessageClass(
+            pool.FindMessageTypeByName(
+                "cartographer.mapping.proto.NodeRangeData"
+            )
+        )
+        path = os.path.join(d, "range.pbstream")
+        write_range_data_pbstream(path, pg)
+        blobs = list(PbstreamReader(path))
+        assert len(blobs) == 1 + len(pg.nodes)  # header + one per node
+        n1 = Node.FromString(blobs[2])
+        assert n1.node_index == 1
+        assert abs(from_universal_ticks(n1.timestamp) - 12.25) < 1e-6
+        n_pts = int(np.asarray(pg.nodes[1].high_mask).sum())
+        assert len(n1.range_data_in_local.returns) == n_pts
+        np.testing.assert_allclose(
+            [n1.local_pose.translation.x, n1.local_pose.translation.y],
+            [2.0, 0.5], atol=1e-6,
+        )
+        # returns are expressed in the LOCAL frame (cloud + node pose)
+        r0 = n1.range_data_in_local.returns[0]
+        want = np.asarray(
+            pg.nodes[1].local_pose.apply(pg.nodes[1].high_points)
+        )[np.asarray(pg.nodes[1].high_mask)][0]
+        np.testing.assert_allclose([r0.x, r0.y, r0.z], want, atol=1e-5)
