@@ -45,10 +45,16 @@ from dliom_tpu.backend.submap_projection import (
 )
 from dliom_tpu.common.config import PoseGraphConfig, TrajectoryBuilderConfig
 from dliom_tpu.mapping.submap import grid_specs
-from dliom_tpu.ops.rotational_histogram import rotate_histogram
+from dliom_tpu.ops.rotational_histogram import np_rotate_histogram
 from dliom_tpu.ops.scan_matcher import match as gn_match
 from dliom_tpu.transform.rigid import (
     Rigid3,
+    np_compose,
+    np_inverse,
+    np_quat_conjugate,
+    np_quat_multiply,
+    np_quat_yaw,
+    np_rigid,
     quat_conjugate,
     quat_multiply,
     quat_yaw,
@@ -95,25 +101,6 @@ class SubmapRecord:
     index_in_trajectory: int = 0  # SubmapId.submap_index analog
 
 
-def _interpolate_odometry(
-    samples: List[Tuple[float, Rigid3]], t: float
-) -> Optional[Rigid3]:
-    """Pose at time t from a time-sorted odometry buffer (slerp + lerp, the
-    transform_interpolation_buffer analog); None outside the buffer."""
-    if not samples or t < samples[0][0] or t > samples[-1][0]:
-        return None
-    from dliom_tpu.transform.rigid import quat_slerp
-
-    for i in range(1, len(samples)):
-        if samples[i][0] >= t:
-            t0, p0 = samples[i - 1]
-            t1, p1 = samples[i]
-            a = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
-            return Rigid3(
-                quat_slerp(p0.rotation, p1.rotation, jnp.float32(a)),
-                p0.translation * (1.0 - a) + p1.translation * a,
-            )
-    return samples[-1][1]
 
 
 @dataclass
@@ -316,17 +303,27 @@ class PoseGraph:
         self._ensure_trajectory(node.trajectory_id)
         node_id = len(self.nodes)
         node.submap_ids = tuple(insertion_submap_ids)
+        # Node-rate bookkeeping runs on the HOST in numpy (float64, the
+        # reference's graph precision): routing these tiny compositions
+        # through jnp costs a device dispatch each, which dominates
+        # long-trajectory ingest (5k-node soak).
+        node_local = np_rigid(node.local_pose)
         # global pose seeded through the first insertion submap
         first = self.submaps[insertion_submap_ids[0]]
-        node.global_pose = first.global_pose.compose(
-            first.local_pose.inverse().compose(node.local_pose)
+        node.global_pose = np_compose(
+            np_rigid(first.global_pose),
+            np_compose(np_inverse(np_rigid(first.local_pose)), node_local),
         )
         self.nodes.append(node)
 
         # INTRA constraints vs each insertion submap (:348-365)
+        node_hist = np.asarray(node.histogram)
+        grav_conj = np_quat_conjugate(
+            np.asarray(node.gravity_alignment, np.float64)
+        )
         for sid in insertion_submap_ids:
             sub = self.submaps[sid]
-            rel = sub.local_pose.inverse().compose(node.local_pose)
+            rel = np_compose(np_inverse(np_rigid(sub.local_pose)), node_local)
             self._append_constraint(
                 Constraint(
                     submap_id=sid,
@@ -340,16 +337,8 @@ class PoseGraph:
             sub.node_ids.append(node_id)
             # accumulate the submap reference histogram at the node's yaw in
             # the submap frame (RotationalScanMatcher ctor semantics)
-            yaw = float(
-                quat_yaw(
-                    quat_multiply(
-                        rel.rotation, quat_conjugate(jnp.asarray(node.gravity_alignment))
-                    )
-                )
-            )
-            sub.histogram += np.asarray(
-                rotate_histogram(node.histogram, jnp.float32(yaw))
-            )
+            yaw = np_quat_yaw(np_quat_multiply(rel.rotation, grav_conj))
+            sub.histogram += np_rotate_histogram(node_hist, yaw)
 
         # submap finished -> compress + search loop constraints (:390-399)
         if newly_finished_submap_id >= 0 and finished_grids is not None:
@@ -426,8 +415,9 @@ class PoseGraph:
         self,
         node_id: int,
         node_time: float,
-        odometry: List[Tuple[float, Rigid3]],
+        odometry: "TransformInterpolationBuffer",
         trajectory_id: int = 0,
+        prev_node_id: Optional[int] = None,
     ) -> None:
         """Record the odometry-implied relative pose between this node and
         its predecessor on the same trajectory
@@ -435,18 +425,23 @@ class PoseGraph:
         The link becomes an SPA cost when
         optimization_problem.use_consecutive_node_costs is set (upstream's
         fix_z_in_3d block — commented out in the D-LIOM reference, restored
-        here behind the flag); otherwise it is retained for queries only."""
-        prev = None
-        for nid in range(node_id - 1, -1, -1):
-            if self.nodes[nid].trajectory_id == trajectory_id:
-                prev = nid
-                break
+        here behind the flag); otherwise it is retained for queries only.
+
+        `odometry` is a TransformInterpolationBuffer; `prev_node_id` is the
+        caller-tracked same-trajectory predecessor (O(1) vs scanning the
+        node list backwards on every ingest)."""
+        prev = prev_node_id
+        if prev is None:  # fallback for callers without predecessor tracking
+            for nid in range(node_id - 1, -1, -1):
+                if self.nodes[nid].trajectory_id == trajectory_id:
+                    prev = nid
+                    break
         if prev is None:
             return
-        p0 = _interpolate_odometry(odometry, self.nodes[prev].time)
-        p1 = _interpolate_odometry(odometry, node_time)
-        if p0 is None or p1 is None:
+        t0, t1 = self.nodes[prev].time, node_time
+        if not (odometry.has(t0) and odometry.has(t1)):
             return
+        p0, p1 = odometry.lookup(t0), odometry.lookup(t1)
         self.odometry_links.append((prev, node_id, p0.inverse().compose(p1)))
 
     def landmark_poses(self) -> Dict[str, np.ndarray]:
@@ -480,8 +475,9 @@ class PoseGraph:
             ):
                 continue  # adjacent same-trajectory submaps share nodes
             d = float(
-                jnp.linalg.norm(
-                    s.global_pose.translation - me.global_pose.translation
+                np.linalg.norm(
+                    np.asarray(s.global_pose.translation)
+                    - np.asarray(me.global_pose.translation)
                 )
             )
             if d <= self.cfg.max_radius_enable_loop_detection * max(
@@ -632,7 +628,8 @@ class PoseGraph:
             )
             if not self.trajectories_connected(from_t, s.trajectory_id) or stale:
                 out.append(sid)
-        return out[-self.cfg.num_close_submaps_loop_with_initial_value:]
+        k = self.cfg.num_close_submaps_loop_with_initial_value
+        return out[-k:] if k > 0 else []
 
     def _compute_constraints_for_submap(self, from_id: int) -> int:
         """ComputeConstraintsBetweenSubmaps (constraint_builder_3d.cc:162):
@@ -661,18 +658,29 @@ class PoseGraph:
         for to_id in candidates:
             to_sub = self.submaps[to_id]
             # max_constraint_distance gates each node-submap pair
-            # (constraint_builder MaybeAddConstraint's distance check)
+            # (constraint_builder MaybeAddConstraint's distance check) —
+            # but only on the proximity path: image proposals exist
+            # precisely for loops whose global-pose estimates have drifted
+            # beyond any distance gate (the reference's feature path,
+            # ComputeConstraintsBetweenSubmaps, is likewise ungated), so
+            # gating them on the drifted estimate would veto the loops the
+            # path was built to close. Distances in numpy: host bookkeeping,
+            # no per-pair device dispatch.
+            to_t = np.asarray(to_sub.global_pose.translation)
             node_ids = [
                 n
                 for n in sampled
                 if not self._has_constraint(to_id, n)
-                and float(
-                    jnp.linalg.norm(
-                        self.nodes[n].global_pose.translation
-                        - to_sub.global_pose.translation
+                and (
+                    to_id in image_proposals
+                    or float(
+                        np.linalg.norm(
+                            np.asarray(self.nodes[n].global_pose.translation)
+                            - to_t
+                        )
                     )
+                    <= cb.max_constraint_distance
                 )
-                <= cb.max_constraint_distance
             ]
             if not node_ids:
                 continue

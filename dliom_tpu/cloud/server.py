@@ -209,12 +209,17 @@ class MapBuilderServer:
             # R7): aggregate node clouds under current optimized poses
             from dliom_tpu.io.assets_writer import (
                 aggregate_point_cloud,
+                snapshot_node_clouds,
                 xray_image,
             )
 
             res = float(p.get("resolution", 0.2))
+            # snapshot host refs under the lock; the O(nodes) transform work
+            # runs outside it so a polling viewer never stalls the SLAM/drain
+            # thread
             with self._lock:
-                pts = aggregate_point_cloud(self.map_builder.pose_graph)
+                snap = snapshot_node_clouds(self.map_builder.pose_graph)
+            pts = aggregate_point_cloud(snapshot=snap)
             img, origin = xray_image(pts, res)
             return {
                 "ok": True,

@@ -23,14 +23,31 @@ from dliom_tpu.backend.pose_graph import PoseGraph
 from dliom_tpu.mapping import probability as pv
 
 
-def aggregate_point_cloud(pose_graph: PoseGraph, use_low: bool = False) -> np.ndarray:
+def snapshot_node_clouds(pose_graph: PoseGraph, use_low: bool = False):
+    """Cheap host refs (global_pose, cloud, mask) per node. Take this under
+    the graph owner's lock; run the per-node transforms of
+    `aggregate_point_cloud(snapshot=...)` outside it, so a large map's
+    aggregation never stalls the ingest/SLAM thread."""
+    return [
+        (
+            n.global_pose,
+            n.low_points if use_low else n.high_points,
+            np.asarray(n.low_mask if use_low else n.high_mask),
+        )
+        for n in pose_graph.nodes
+    ]
+
+
+def aggregate_point_cloud(
+    pose_graph: PoseGraph = None, use_low: bool = False, snapshot=None
+) -> np.ndarray:
     """Node clouds transformed by optimized global poses -> (N, 3)."""
-    
+
+    if snapshot is None:
+        snapshot = snapshot_node_clouds(pose_graph, use_low)
     pts = []
-    for n in pose_graph.nodes:
-        cloud = n.low_points if use_low else n.high_points
-        mask = np.asarray(n.low_mask if use_low else n.high_mask)
-        world = np.asarray(n.global_pose.apply(cloud))
+    for pose, cloud, mask in snapshot:
+        world = np.asarray(pose.apply(cloud))
         pts.append(world[mask])
     if not pts:
         return np.zeros((0, 3), np.float32)

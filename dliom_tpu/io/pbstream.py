@@ -524,9 +524,25 @@ def _parse_compressed_cloud(raw: bytes, capacity: int):
             )
         i += cnt
     out = np.zeros((capacity, 3), np.float32)
-    k = min(len(pts), capacity)
-    if k:
-        out[:k] = np.asarray(pts[:k], np.float32)
+    n = len(pts)
+    k = min(n, capacity)
+    if n > capacity:
+        # uniform subsample, not a prefix: the compressed stream is
+        # block-Morton ordered, so a prefix would keep one spatial corner of
+        # the scan (pad_point_cloud's convention; surfaced, never silent)
+        import warnings
+
+        warnings.warn(
+            f"pbstream node cloud has {n} points > capacity {capacity}; "
+            "uniformly subsampling (raise the trajectory_builder point "
+            "capacities to keep all)",
+            stacklevel=2,
+        )
+        arr = np.asarray(pts, np.float32)
+        idx = np.linspace(0, n - 1, capacity).round().astype(np.int64)
+        out[:] = arr[idx]
+    elif k:
+        out[:k] = np.asarray(pts, np.float32)
     return out, np.arange(capacity) < k
 
 

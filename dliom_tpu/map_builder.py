@@ -47,6 +47,7 @@ from dliom_tpu.imu import preintegration as pre
 from dliom_tpu.imu.dynamic_initializer import DynamicInitializer
 from dliom_tpu.imu.initialization import static_initialize
 from dliom_tpu.sensor.types import pad_point_cloud
+from dliom_tpu.transform.interpolation import TransformInterpolationBuffer
 from dliom_tpu.transform.rigid import Rigid3
 
 
@@ -95,7 +96,7 @@ class _TrajectoryBuilder:
         self._pg_submap_ids: List[int] = []
         self._ff_buffer: List[Tuple[float, np.ndarray]] = []
         self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
-        self._odom_buffer: List[Tuple[float, Rigid3]] = []
+        self._odom_buffer = TransformInterpolationBuffer()
         self._jit_aux: dict = {}
         self._collator = None
         self.finished = False
@@ -154,14 +155,26 @@ class _TrajectoryBuilder:
         """Odometry ingest (SensorBridge::HandleOdometryMessage ->
         AddOdometryData). Buffered; consecutive-node relative odometry
         costs attach in the pose graph when enabled
-        (optimization_problem_3d.cc:437-489)."""
-        self._odom_buffer.append((float(time), pose))
+        (optimization_problem_3d.cc:437-489). Out-of-order or duplicate
+        stamps are dropped — first sample at a stamp wins (the reference
+        CHECKs ordering; tolerate instead)."""
+        if len(self._odom_buffer) and float(time) <= self._odom_buffer.latest_time:
+            return
+        self._odom_buffer.push(float(time), pose)
 
-    def _imu_bridge(self, scan_time: float):
+    def _imu_bridge(self, scan_time: float, warn_overflow: bool = True):
         """Consume buffered samples up to scan_time into a fixed-capacity
         batch (dts from consecutive stamps; first dt from the previous
-        scan's last sample, AddImuData :183-186)."""
-        cap = self.tb.max_imu_per_scan
+        scan's last sample, AddImuData :183-186).
+
+        Capacity scales with num_accumulated_range_data: with accumulation
+        the bridge is consumed once per N scan-intervals, so the per-interval
+        budget multiplies — otherwise the preintegrated window would silently
+        shorten to the newest `max_imu_per_scan` samples. Overflow beyond the
+        scaled capacity is surfaced, never silent."""
+        cap = self.tb.max_imu_per_scan * max(
+            1, self.tb.num_accumulated_range_data
+        )
         take = 0
         while take < len(self._imu_times) and self._imu_times[take] <= scan_time:
             take += 1
@@ -177,6 +190,16 @@ class _TrajectoryBuilder:
         if times:
             self._last_imu_time = times[-1]
         n = min(len(times), cap)
+        if len(times) > cap and warn_overflow:
+            import warnings
+
+            warnings.warn(
+                f"IMU bridge overflow: {len(times)} samples this window > "
+                f"capacity {cap}; dropping the oldest {len(times) - cap} "
+                "(preintegration window shortens — raise "
+                "trajectory_builder.max_imu_per_scan)",
+                stacklevel=2,
+            )
         out_dt = np.zeros(cap, np.float32)
         out_a = np.zeros((cap, 3), np.float32)
         out_g = np.zeros((cap, 3), np.float32)
@@ -233,7 +256,7 @@ class _TrajectoryBuilder:
                 self._init_acc.clear()
                 self._init_gyr.clear()
                 # flush stale IMU so the bridge starts at this scan
-                self._imu_bridge(time)
+                self._imu_bridge(time, warn_overflow=False)
                 return None
             self._init_frames += 1
             if self._init_frames > self.tb.frames_for_static_initialization:
@@ -242,6 +265,10 @@ class _TrajectoryBuilder:
                 return None
             if not self._initialized:
                 return None
+            # flush the init window's IMU backlog so this first step's
+            # preintegration covers one scan interval, not the whole static
+            # phase (the reference's integrator starts fresh at init)
+            self._imu_bridge(time - self.tb.scan_period, warn_overflow=False)
 
         # num_accumulated_range_data (local_trajectory_builder_3d.cc:454-492):
         # gather N synchronized scans before one frontend step. Per-point
@@ -413,14 +440,14 @@ class _TrajectoryBuilder:
         # odometry: relative pose between the previous and this node,
         # interpolated from the odometry buffer at both stamps
         # (OptimizationProblem3D::CalculateOdometryBetweenNodes)
-        if self._odom_buffer:
+        if len(self._odom_buffer):
             pg.add_odometry_between(
                 node_id, node_time, self._odom_buffer,
                 trajectory_id=self.trajectory_id,
+                prev_node_id=prev[0] if prev is not None else None,
             )
             # drop samples no future node can need (keep one for bracketing)
-            while len(self._odom_buffer) > 1 and self._odom_buffer[1][0] <= node_time:
-                self._odom_buffer.pop(0)
+            self._odom_buffer.trim_before(node_time)
 
     def _forward_to_pose_graph(self, time, res: LioResult):
         if not bool(res.scan.inserted):

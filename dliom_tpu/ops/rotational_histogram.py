@@ -144,3 +144,19 @@ def match_histograms(
         return jnp.where(denom < 1e-12, 1.0, s)
 
     return jax.vmap(score)(jnp.asarray(angles))
+
+
+def np_rotate_histogram(histogram, angle: float):
+    """Host numpy mirror of rotate_histogram for node-rate pose-graph
+    bookkeeping (one call per node; keeps the ingest path dispatch-free)."""
+    import numpy as np
+
+    histogram = np.asarray(histogram)
+    n = histogram.shape[0]
+    rotate_by = -float(angle) * n / np.pi
+    full = int(np.round(rotate_by - 0.5))
+    frac = rotate_by - full
+    idx = np.arange(n)
+    src0 = np.mod(idx + full, n)
+    src1 = np.mod(idx + full + 1, n)
+    return (1.0 - frac) * histogram[src0] + frac * histogram[src1]

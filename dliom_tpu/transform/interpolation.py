@@ -58,6 +58,14 @@ class TransformInterpolationBuffer:
     def has(self, time: float) -> bool:
         return bool(self._times) and self.earliest_time <= time <= self.latest_time
 
+    def trim_before(self, time: float) -> None:
+        """Drop samples no lookup at >= `time` can need (keeps one sample at
+        or before `time` for bracketing)."""
+        while len(self._times) > 1 and self._times[1] <= time:
+            self._times.pop(0)
+            self._rotations.pop(0)
+            self._translations.pop(0)
+
     def lookup(self, time: float) -> Rigid3:
         if not self.has(time):
             raise KeyError(f"time {time} not covered by buffer")

@@ -290,3 +290,73 @@ class Rigid3(NamedTuple):
 
     def astype(self, dtype) -> "Rigid3":
         return Rigid3(self.rotation.astype(dtype), self.translation.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Host-side numpy mirror. Pose-graph ingest and other host bookkeeping paths
+# run at node rate with TINY operands; routing them through jnp costs one
+# device dispatch (+ sync) per op, which dominates long-trajectory host loops
+# (round-2 soak: 5k nodes). These mirrors keep the math on the host in
+# float64 (the reference's Ceres/GTSAM precision for graph state).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def np_rigid(p: Rigid3, dtype=_np.float64) -> Rigid3:
+    """Rigid3 re-backed by numpy arrays (one device→host transfer if the
+    inputs live on device; all later math is dispatch-free)."""
+    return Rigid3(
+        _np.asarray(p.rotation, dtype), _np.asarray(p.translation, dtype)
+    )
+
+
+def np_quat_multiply(a: _np.ndarray, b: _np.ndarray) -> _np.ndarray:
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return _np.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def np_quat_conjugate(q: _np.ndarray) -> _np.ndarray:
+    return q * _np.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def np_quat_rotate(q: _np.ndarray, v: _np.ndarray) -> _np.ndarray:
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    uv = _np.cross(u, v)
+    return v + 2.0 * (w * uv + _np.cross(u, uv))
+
+
+def np_quat_yaw(q: _np.ndarray) -> float:
+    d = np_quat_rotate(q, _np.asarray([1.0, 0.0, 0.0], dtype=q.dtype))
+    return float(_np.arctan2(d[..., 1], d[..., 0]))
+
+
+def np_compose(a: Rigid3, b: Rigid3) -> Rigid3:
+    """a ∘ b on numpy-backed Rigid3 (see Rigid3.compose)."""
+    q = np_quat_multiply(_np.asarray(a.rotation), _np.asarray(b.rotation))
+    q = q / max(float(_np.linalg.norm(q)), 1e-12)
+    return Rigid3(
+        rotation=q,
+        translation=np_quat_rotate(
+            _np.asarray(a.rotation), _np.asarray(b.translation)
+        )
+        + _np.asarray(a.translation),
+    )
+
+
+def np_inverse(a: Rigid3) -> Rigid3:
+    rot_inv = np_quat_conjugate(_np.asarray(a.rotation))
+    return Rigid3(
+        rotation=rot_inv,
+        translation=-np_quat_rotate(rot_inv, _np.asarray(a.translation)),
+    )

@@ -388,3 +388,40 @@ def test_odometry_ingest_builds_links():
     assert abs(float(rel.translation[0]) - 0.05) < 0.03
     # with use_consecutive_node_costs the SPA consumes them
     builder.pose_graph.run_optimization(iterations=2)
+
+
+def test_imu_bridge_capacity_scales_with_accumulation():
+    """With num_accumulated_range_data = N the bridge is consumed once per N
+    scan-intervals, so its capacity must scale by N — otherwise the
+    preintegration window silently shortens to the newest max_imu_per_scan
+    samples (round-2 review finding)."""
+    import warnings
+
+    cfg = _config().override(
+        {"trajectory_builder": {"num_accumulated_range_data": 2}}
+    )
+    builder = MapBuilder(cfg)
+    traj = builder._trajectories[0]
+    cap1 = cfg.trajectory_builder.max_imu_per_scan
+    # feed 1.5x the single-scan capacity across the two-scan window: must be
+    # retained in full, with no overflow warning
+    n = cap1 + cap1 // 2
+    for i in range(n):
+        traj._imu_times.append(0.001 * (i + 1))
+        traj._imu_acc.append(np.zeros(3, np.float32))
+        traj._imu_gyr.append(np.zeros(3, np.float32))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dts, accs, gyrs, mask = traj._imu_bridge(1.0)
+    assert int(np.asarray(mask).sum()) == n
+    assert dts.shape[0] == 2 * cap1
+    # overflow beyond the scaled capacity is surfaced, never silent
+    for i in range(2 * cap1 + 5):
+        traj._imu_times.append(1.0 + 0.001 * (i + 1))
+        traj._imu_acc.append(np.zeros(3, np.float32))
+        traj._imu_gyr.append(np.zeros(3, np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, _, _, mask2 = traj._imu_bridge(2.0)
+    assert any("IMU bridge overflow" in str(x.message) for x in w)
+    assert int(np.asarray(mask2).sum()) == 2 * cap1

@@ -195,3 +195,46 @@ def test_state_roundtrip_preserves_trajectory_ids():
         got = {pg2.submaps[0].trajectory_id, pg2.submaps[1].trajectory_id}
         assert got == set(tid_map.values())
         assert pg2.nodes[0].trajectory_id != pg2.nodes[1].trajectory_id
+
+
+def test_num_close_zero_disables_all_loop_search():
+    """num_close_submaps_loop_with_initial_value = 0 must disable BOTH the
+    proximity path and the inter-trajectory global path (regression: the
+    global candidate cap used out[-0:], returning everything instead of
+    nothing)."""
+    from dataclasses import replace
+
+    cfg = _cfg()
+    cfg = replace(
+        cfg,
+        pose_graph=replace(
+            cfg.pose_graph, num_close_submaps_loop_with_initial_value=0
+        ),
+    )
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    t0 = pg.add_trajectory()
+    t1 = pg.add_trajectory()
+    rng = np.random.default_rng(7)
+    points = _world_cloud(rng)
+
+    s0 = pg.add_submap(Rigid3.identity(), trajectory_id=t0)
+    n0 = _make_node(cfg, points, Rigid3.identity())
+    n0.trajectory_id = t0
+    pg.add_node(n0, (s0,))
+    g_hi0, g_lo0 = _grids(cfg, points)
+    pg.finish_submap(s0, g_hi0, g_lo0)
+
+    s1 = pg.add_submap(Rigid3.identity(), trajectory_id=t1)
+    n1 = _make_node(cfg, points, Rigid3.identity())
+    n1.trajectory_id = t1
+    g_hi1, g_lo1 = _grids(cfg, points)
+    pg.add_node(
+        n1, (s1,), newly_finished_submap_id=s1, finished_grids=(g_hi1, g_lo1)
+    )
+    pg.wait_for_all_computations()
+
+    assert pg._close_submaps(s1) == []
+    assert pg._global_candidates(s1) == []
+    # NOTE: the image-proposal path (the SURF analog) is governed by the
+    # constraint_builder options, not num_close — it may still propose, as
+    # in the reference.

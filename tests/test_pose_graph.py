@@ -87,9 +87,24 @@ def test_compression_roundtrip():
     np.testing.assert_array_equal(kept, all_sorted[-len(kept):])
 
 
+_HISTOGRAM_CACHE: dict = {}
+
+
 def _make_node(cfg, points, local_pose, gravity_q=None):
     pts = jnp.asarray(points)
     mask = jnp.ones(pts.shape[0], bool)
+    # cache the (eager, dispatch-heavy) histogram per distinct cloud: the
+    # soak test makes 5k nodes from ONE cloud and must time graph
+    # bookkeeping, not fixture compute
+    key = (id(points), cfg.trajectory_builder.rotational_histogram_size)
+    hist = _HISTOGRAM_CACHE.get(key)
+    if hist is None:
+        hist = np.asarray(
+            compute_histogram(
+                pts, mask, cfg.trajectory_builder.rotational_histogram_size
+            )
+        )
+        _HISTOGRAM_CACHE[key] = hist
     return NodeRecord(
         time=0.0,
         local_pose=local_pose,
@@ -100,7 +115,7 @@ def _make_node(cfg, points, local_pose, gravity_q=None):
         high_mask=mask,
         low_points=pts,
         low_mask=mask,
-        histogram=compute_histogram(pts, mask, cfg.trajectory_builder.rotational_histogram_size),
+        histogram=hist,
         submap_ids=(),
     )
 
