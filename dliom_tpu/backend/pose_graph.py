@@ -852,7 +852,9 @@ class PoseGraph:
         return added
 
     def _initial_guess(self, to_sub: SubmapRecord, node: NodeRecord) -> Rigid3:
-        return to_sub.global_pose.inverse().compose(node.global_pose)
+        return np_compose(
+            np_inverse(np_rigid(to_sub.global_pose)), np_rigid(node.global_pose)
+        )
 
     def _image_proposals(self, from_id: int):
         """FFT-correlation submap-to-submap proposals vs older finished
@@ -1079,10 +1081,9 @@ class PoseGraph:
             for nid, node in enumerate(self.nodes):
                 p = prev_by_traj.get(node.trajectory_id)
                 if p is not None and not node.frozen:
-                    rel = (
-                        self.nodes[p].local_pose.inverse().compose(
-                            node.local_pose
-                        )
+                    rel = np_compose(
+                        np_inverse(np_rigid(self.nodes[p].local_pose)),
+                        np_rigid(node.local_pose),
                     )
                     links.append(
                         (p, nid, rel, op.local_slam_pose_translation_weight,
@@ -1184,10 +1185,14 @@ class PoseGraph:
         for c in self.constraints:
             sub = self.submaps[c.submap_id]
             node = self.nodes[c.node_id]
-            h = sub.global_pose.inverse().compose(node.global_pose)
+            h = np_compose(
+                np_inverse(np_rigid(sub.global_pose)), np_rigid(node.global_pose)
+            )
             errs.append(
                 float(
-                    jnp.linalg.norm(h.translation - c.relative.translation)
+                    np.linalg.norm(
+                        h.translation - np.asarray(c.relative.translation)
+                    )
                 )
             )
         if not errs:

@@ -43,11 +43,18 @@ def aggregate_point_cloud(
 ) -> np.ndarray:
     """Node clouds transformed by optimized global poses -> (N, 3)."""
 
+    from dliom_tpu.transform.rigid import np_quat_rotate
+
     if snapshot is None:
         snapshot = snapshot_node_clouds(pose_graph, use_low)
     pts = []
     for pose, cloud, mask in snapshot:
-        world = np.asarray(pose.apply(cloud))
+        # numpy transform: one D2H transfer per cloud, zero device dispatch
+        # (this runs over EVERY node; a per-node jnp apply serializes on the
+        # dispatch path and stalls whoever is polling)
+        q = np.asarray(pose.rotation, np.float64)
+        t = np.asarray(pose.translation, np.float64)
+        world = np_quat_rotate(q, np.asarray(cloud, np.float64)) + t
         pts.append(world[mask])
     if not pts:
         return np.zeros((0, 3), np.float32)

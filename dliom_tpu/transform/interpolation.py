@@ -14,9 +14,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from dliom_tpu.transform.rigid import Rigid3, quat_slerp
-
-import jax.numpy as jnp
+from dliom_tpu.transform.rigid import Rigid3, np_quat_slerp
 
 
 class TransformInterpolationBuffer:
@@ -67,31 +65,21 @@ class TransformInterpolationBuffer:
             self._translations.pop(0)
 
     def lookup(self, time: float) -> Rigid3:
+        """Interpolated pose at `time` — numpy-backed (host bookkeeping path;
+        zero device dispatch: this runs per-node during ingest/eval)."""
         if not self.has(time):
             raise KeyError(f"time {time} not covered by buffer")
         i = bisect.bisect_left(self._times, time)
         if self._times[i] == time:
-            return Rigid3(
-                jnp.asarray(self._rotations[i], jnp.float32),
-                jnp.asarray(self._translations[i], jnp.float32),
-            )
+            return Rigid3(self._rotations[i], self._translations[i])
         t0, t1 = self._times[i - 1], self._times[i]
         s = (time - t0) / (t1 - t0)
-        q = quat_slerp(
-            jnp.asarray(self._rotations[i - 1], jnp.float32),
-            jnp.asarray(self._rotations[i], jnp.float32),
-            jnp.float32(s),
-        )
+        q = np_quat_slerp(self._rotations[i - 1], self._rotations[i], s)
         p = (1.0 - s) * self._translations[i - 1] + s * self._translations[i]
-        return Rigid3(q, jnp.asarray(p, jnp.float32))
+        return Rigid3(q, p)
 
     def items(self) -> List[Tuple[float, Rigid3]]:
         return [
-            (
-                t,
-                Rigid3(
-                    jnp.asarray(r, jnp.float32), jnp.asarray(p, jnp.float32)
-                ),
-            )
+            (t, Rigid3(r, p))
             for t, r, p in zip(self._times, self._rotations, self._translations)
         ]

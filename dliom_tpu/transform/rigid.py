@@ -360,3 +360,23 @@ def np_inverse(a: Rigid3) -> Rigid3:
         rotation=rot_inv,
         translation=-np_quat_rotate(rot_inv, _np.asarray(a.translation)),
     )
+
+
+def np_quat_slerp(a: _np.ndarray, b: _np.ndarray, t: float) -> _np.ndarray:
+    """Host numpy mirror of quat_slerp for scalar t (bookkeeping paths)."""
+    a = _np.asarray(a, _np.float64)
+    b = _np.asarray(b, _np.float64)
+    dot = float(_np.dot(a, b))
+    if dot < 0.0:
+        b, dot = -b, -dot
+    dot = min(dot, 1.0)
+    if dot > 1.0 - 1e-6:
+        out = (1.0 - t) * a + t * b
+    else:
+        theta = _np.arccos(min(dot, 1.0 - 1e-7))
+        sin_theta = max(_np.sin(theta), 1e-12)
+        out = (
+            _np.sin((1.0 - t) * theta) / sin_theta * a
+            + _np.sin(t * theta) / sin_theta * b
+        )
+    return out / max(float(_np.linalg.norm(out)), 1e-12)
