@@ -89,6 +89,18 @@ class MapBuilderStub:
             trajectory_id=int(trajectory_id),
         )
 
+    def add_navsat_data(
+        self, time, latitude, longitude, altitude, trajectory_id=0
+    ):
+        self._call(
+            "add_navsat_data",
+            time=float(time),
+            latitude=float(latitude),
+            longitude=float(longitude),
+            altitude=float(altitude),
+            trajectory_id=int(trajectory_id),
+        )
+
     def add_odometry_data(self, time, rotation, translation, trajectory_id=0):
         self._call(
             "add_odometry_data",

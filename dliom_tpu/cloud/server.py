@@ -80,6 +80,12 @@ class MapBuilderServer:
                             payload["time"], payload["position"],
                             trajectory_id=tid,
                         )
+                    elif kind == "navsat":
+                        self.map_builder.add_navsat_data(
+                            payload["time"], payload["latitude"],
+                            payload["longitude"], payload["altitude"],
+                            trajectory_id=tid,
+                        )
                     elif kind == "odometry":
                         from dliom_tpu.transform.rigid import Rigid3
                         import jax.numpy as jnp
@@ -145,11 +151,12 @@ class MapBuilderServer:
         p = msg.get("params", {})
         if method in ("add_imu_data", "add_range_data",
                       "add_fixed_frame_pose_data", "add_landmark_data",
-                      "add_odometry_data"):
+                      "add_odometry_data", "add_navsat_data"):
             kind = {"add_imu_data": "imu", "add_range_data": "range",
                     "add_fixed_frame_pose_data": "fixed_frame",
                     "add_landmark_data": "landmark",
-                    "add_odometry_data": "odometry"}[method]
+                    "add_odometry_data": "odometry",
+                    "add_navsat_data": "navsat"}[method]
             self._queue.put((kind, p, None))
             return {"ok": True}
         if method == "add_trajectory":

@@ -410,12 +410,68 @@ _TONGJI = {
     "trajectory_builder": {"min_range": 1.0},
 }
 
+_CAMPUS = {
+    # src/dlio/config/campus.lua: velodyne, gravity factor ON, huber 1e5
+    "tracking_frame": "imu",
+    "num_point_clouds": 1,
+    "pose_graph": {
+        "optimize_every_n_nodes": 100,
+        "optimization_problem": {"huber_scale": 1e5},
+    },
+    "trajectory_builder": {
+        "scan_period": 0.1,
+        "manual_deskew_stamps": False,
+        "frames_for_static_initialization": 5,
+        "frames_for_dynamic_initialization": 7,
+        "enable_ndt_initialization": True,
+        "enable_gravity_factor": True,
+        "submaps": {"high_resolution": 0.2, "num_range_data": 100},
+        "imu": {
+            "acc_noise": 3.9939570888238808e-01,
+            "gyr_noise": 1.5636343949698187e-01,
+            "acc_bias_noise": 6.4356659353532566e-05,
+            "gyr_bias_noise": 3.5640318696367613e-05,
+            "gravity": 9.80511,
+            "prior_gravity_noise": 0.1,
+            "ceres_pose_noise_t": 0.1,
+            "ceres_pose_noise_r": 0.1,
+            "ceres_pose_noise_t_drift": 0.01,
+            "ceres_pose_noise_r_drift": 0.01,
+            "prior_pose_noise": 1e-01,
+            "prior_vel_noise": 1e-01,
+            "prior_bias_noise": 1e-03,
+        },
+    },
+}
+
+_OUSTER = {
+    # src/dlio/config/ouster.lua: OS1 (per-point t ns), synthetic stamps ON
+    "tracking_frame": "imu",
+    "num_point_clouds": 1,
+    "trajectory_builder": {
+        "scan_period": 0.1,
+        "manual_deskew_stamps": True,
+        "frames_for_static_initialization": 7,
+        "frames_for_dynamic_initialization": 7,
+        "enable_ndt_initialization": True,
+        "imu": {
+            "acc_noise": 1.249e2,
+            "gyr_noise": 2.08e-1,
+            "acc_bias_noise": 0.000106,
+            "gyr_bias_noise": 0.000004,
+            "gravity": 9.80511,
+        },
+    },
+}
+
 PRESETS: Dict[str, Mapping[str, Any]] = {
     "basic": {},
     "viral": _VIRAL,
     "kaist": _KAIST,
     "kitti": _KITTI,
     "tongji": _TONGJI,
+    "campus": _CAMPUS,
+    "ouster": _OUSTER,
 }
 
 

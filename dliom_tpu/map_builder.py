@@ -97,6 +97,7 @@ class _TrajectoryBuilder:
         self._ff_buffer: List[Tuple[float, np.ndarray]] = []
         self._lm_buffer: List[Tuple[float, str, np.ndarray]] = []
         self._odom_buffer = TransformInterpolationBuffer()
+        self._navsat = None  # lazily-anchored NavSatConverter
         self._jit_aux: dict = {}
         self._collator = None
         self.finished = False
@@ -391,6 +392,18 @@ class _TrajectoryBuilder:
         exists; the position is linearly interpolated at node time."""
         self._ff_buffer.append((float(time), np.asarray(position, np.float32)))
 
+    def add_navsat_data(self, time, latitude, longitude, altitude):
+        """Geodetic NavSat fix → local fixed-frame position
+        (sensor_bridge.cc:87-111: first fix anchors the ECEF→local frame,
+        every fix becomes a fixed-frame observation)."""
+        if self._navsat is None:
+            from dliom_tpu.io.geodesy import NavSatConverter
+
+            self._navsat = NavSatConverter()
+        self.add_fixed_frame_pose_data(
+            time, self._navsat.to_local(latitude, longitude, altitude)
+        )
+
     def add_landmark_data(self, time, landmark_id, position_in_tracking):
         """Landmark ingest (SensorBridge::HandleLandmarkMessage). The
         observation attaches to the node nearest its stamp."""
@@ -649,6 +662,13 @@ class MapBuilder:
 
     def add_fixed_frame_pose_data(self, time, position, trajectory_id: int = 0):
         self._trajectories[trajectory_id].add_fixed_frame_pose_data(time, position)
+
+    def add_navsat_data(
+        self, time, latitude, longitude, altitude, trajectory_id: int = 0
+    ):
+        self._trajectories[trajectory_id].add_navsat_data(
+            time, latitude, longitude, altitude
+        )
 
     def add_landmark_data(
         self, time, landmark_id, position_in_tracking, trajectory_id: int = 0

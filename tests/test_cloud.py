@@ -138,3 +138,27 @@ def test_multi_robot_two_stubs_one_server():
         robot_a.close()
         robot_b.close()
         server.shutdown()
+
+
+def test_navsat_rpc_converts_to_local():
+    """add_navsat_data RPC: geodetic fixes anchor at the first fix and land
+    as local fixed-frame observations (sensor_bridge HandleNavSatFixMessage
+    semantics over the wire)."""
+    cfg = _config()
+    server = MapBuilderServer(MapBuilder(cfg))
+    server.start()
+    host, port = server.address
+    stub = MapBuilderStub(host, port)
+    try:
+        stub.add_navsat_data(0.0, 48.1372149, 11.5748024, 517.1)
+        stub.add_navsat_data(0.1, 48.1382149, 11.5748024, 517.1)
+        while stub.ping() > 0:
+            time.sleep(0.02)
+        buf = server.map_builder._trajectories[0]._ff_buffer
+        assert len(buf) == 2
+        np.testing.assert_allclose(buf[0][1], [0.0, 0.0, 517.1], atol=1e-3)
+        # ~111 m of northing for +0.001 deg latitude
+        assert 80.0 < np.linalg.norm(buf[1][1] - buf[0][1]) < 140.0
+    finally:
+        stub.close()
+        server.shutdown()
