@@ -30,6 +30,8 @@ from typing import Iterable, List, Tuple
 
 import numpy as np
 
+from dliom_tpu.transform.rigid import Rigid3, np_compose, np_rigid
+
 MAGIC = 0x7B1D1F7B5BF501DB
 FORMAT_VERSION = 1  # io/internal/mapping_state_serialization.h:27
 # common/time.h:29 — seconds between 0001-01-01 (UTS epoch) and 1970-01-01
@@ -380,6 +382,68 @@ def write_pbstream(path: str, pg, include_grids: bool = True) -> None:
             3, _quaterniond(np.asarray([1.0, 0.0, 0.0, 0.0]))
         )
         w.write(fm(5, body, keep_empty=True))
+
+    # ---- sensor streams, in the reference's order
+    # (mapping_state_serialization.cc:206-209: imu, odometry, fixed-frame,
+    # landmarks). IMU is intentionally absent: the raw stream lives in the
+    # frontend and the reference's 3D SPA IMU costs are commented out, so a
+    # serialized IMU stream would be inert on load anyway.
+
+    # OdometryData (serialization.proto:42): trajectory_id=1, sensor
+    # OdometryData{timestamp=1, pose=2}=2. The raw stream is consumed at
+    # ingest; re-synthesize an equivalent stream by chaining the retained
+    # inter-node relatives from identity — sampled exactly at node times,
+    # CalculateOdometryBetweenNodes recovers the identical relatives.
+    chains: dict = {}
+    for prev, nid, rel in pg.odometry_links:
+        t = pg.nodes[nid].trajectory_id
+        chains.setdefault(t, []).append((prev, nid, rel))
+    for t, links in chains.items():
+        links.sort(key=lambda x: x[1])
+        cur = Rigid3.identity()
+        emitted = set()
+        for prev, nid, rel in links:
+            for node_id, pose in ((prev, cur), (nid, np_compose(np_rigid(cur), np_rigid(rel)))):
+                if node_id not in emitted:
+                    body = fv(1, to_universal_ticks(pg.nodes[node_id].time)) + fm(
+                        2, _rigid3d(pose)
+                    )
+                    w.write(fm(7, fv(1, t) + fm(2, body, keep_empty=True), keep_empty=True))
+                    emitted.add(node_id)
+            cur = np_compose(np_rigid(cur), np_rigid(rel))
+
+    # FixedFramePoseData (serialization.proto:47): GPS observations at node
+    # stamps, translation-only poses (sensor_bridge navsat convention)
+    for nid, pos, _w in pg.fixed_frame_observations:
+        n = pg.nodes[nid]
+        body = fv(1, to_universal_ticks(n.time)) + fm(
+            2,
+            fm(1, _vector3d(np.asarray(pos, np.float64)))
+            + fm(2, _quaterniond(np.asarray([1.0, 0.0, 0.0, 0.0]))),
+        )
+        w.write(
+            fm(8, fv(1, n.trajectory_id) + fm(2, body, keep_empty=True), keep_empty=True)
+        )
+
+    # LandmarkData (serialization.proto:52): one observation per message
+    # (SerializeLandmarkNodes), landmark_to_tracking at the attachment node
+    lid_to_name = {v: k for k, v in pg._landmark_ids.items()}
+    for (n0, n1, alpha, lid, rq, pos, tw, rw) in pg.landmark_observations:
+        n = pg.nodes[n1]
+        obs = (
+            fm(1, lid_to_name.get(lid, str(lid)).encode(), keep_empty=True)
+            + fm(
+                2,
+                fm(1, _vector3d(np.asarray(pos, np.float64)))
+                + fm(2, _quaterniond(np.asarray(rq, np.float64))),
+            )
+            + fd(3, tw)
+            + fd(4, rw)
+        )
+        body = fv(1, to_universal_ticks(n.time)) + fm(2, obs, keep_empty=True)
+        w.write(
+            fm(9, fv(1, n.trajectory_id) + fm(2, body, keep_empty=True), keep_empty=True)
+        )
     w.close()
 
 
@@ -483,6 +547,17 @@ def _packed_floats(msg: dict, field: int):
     return out
 
 
+def _parse_quat(qm: dict):
+    """proto Quaterniond (x=1, y=2, z=3, w=4) -> (w, x, y, z) list.
+
+    proto3 zero-skipping: an absent component is 0.0 (so w=0 quaternions —
+    180° rotations — read back correctly); a fully-absent message means an
+    unset rotation -> identity."""
+    if not qm:
+        return [1.0, 0.0, 0.0, 0.0]
+    return [_double(qm, 4), _double(qm, 1), _double(qm, 2), _double(qm, 3)]
+
+
 def _parse_rigid3d(raw: bytes):
     from dliom_tpu.transform.rigid import Rigid3
     import jax.numpy as jnp
@@ -493,8 +568,7 @@ def _parse_rigid3d(raw: bytes):
     tm = parse_message(t_raw) if t_raw else {}
     qm = parse_message(q_raw) if q_raw else {}
     t = [_double(tm, 1), _double(tm, 2), _double(tm, 3)]
-    # proto Quaterniond is (x=1, y=2, z=3, w=4); ours is (w, x, y, z)
-    q = [_double(qm, 4, 1.0), _double(qm, 1), _double(qm, 2), _double(qm, 3)]
+    q = _parse_quat(qm)
     return Rigid3(
         jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32)
     )
@@ -622,6 +696,8 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
         )
 
     # pass 2: submaps and nodes, in stream order
+    ff_msgs: list = []  # (local tid, time, position)
+    lm_msgs: list = []  # (local tid, time, name, rq, pos, tw, rw)
     for blob in blobs[2:]:
         m = parse_message(blob)
         kind = next(iter(m))
@@ -659,11 +735,7 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
             nd = parse_message(_first(nm, 5, b""))
             local_pose = _parse_rigid3d(_first(nd, 7, b""))
             qm = parse_message(_first(nd, 2, b""))
-            grav = np.asarray(
-                [_double(qm, 4, 1.0), _double(qm, 1), _double(qm, 2),
-                 _double(qm, 3)],
-                np.float32,
-            )
+            grav = np.asarray(_parse_quat(qm), np.float32)
             hi_pts, hi_mask = _parse_compressed_cloud(
                 _first(nd, 4, b""), tb.max_high_res_points
             )
@@ -695,6 +767,71 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
                     frozen=frozen,
                     trajectory_id=map_tid(tid_l),
                 )
+            )
+        elif kind == 8:  # FixedFramePoseData (GPS)
+            fm_ = parse_message(_first(m, 8))
+            tid_l = _varint_field(fm_, 1)
+            body = parse_message(_first(fm_, 2, b""))
+            t = from_universal_ticks(_signed64(_varint_field(body, 1)))
+            rp = parse_message(_first(body, 2, b""))
+            tv = parse_message(_first(rp, 1, b""))
+            pos = np.asarray(
+                [_double(tv, 1), _double(tv, 2), _double(tv, 3)], np.float64
+            )
+            ff_msgs.append((tid_l, t, pos))
+        elif kind == 9:  # LandmarkData
+            lm = parse_message(_first(m, 9))
+            tid_l = _varint_field(lm, 1)
+            body = parse_message(_first(lm, 2, b""))
+            t = from_universal_ticks(_signed64(_varint_field(body, 1)))
+            for _, oraw in body.get(2, []):
+                om = parse_message(oraw)
+                name = _first(om, 1, b"").decode("utf-8", "replace")
+                rp = parse_message(_first(om, 2, b""))
+                tv = parse_message(_first(rp, 1, b""))
+                qm2 = parse_message(_first(rp, 2, b""))
+                pos = np.asarray(
+                    [_double(tv, 1), _double(tv, 2), _double(tv, 3)],
+                    np.float64,
+                )
+                rq = np.asarray(_parse_quat(qm2), np.float64)
+                lm_msgs.append(
+                    (tid_l, t, name, rq, pos, _double(om, 3, 1.0),
+                     _double(om, 4, 0.0))
+                )
+
+    # sensor streams attach to the nearest-in-time node of their trajectory
+    # (the reference re-feeds MapByTime streams into the optimization
+    # problem, which associates them to bracketing nodes the same way)
+    by_traj: dict = {}
+    for (tid_l, idx), nid in node_ids.items():
+        by_traj.setdefault(tid_l, []).append(
+            (node_times.get((tid_l, idx), 0.0), nid)
+        )
+    for v in by_traj.values():
+        v.sort()
+
+    def _nearest_node(tid_l: int, t: float):
+        times = by_traj.get(tid_l)
+        if not times:
+            return None
+        import bisect as _bisect
+
+        i = _bisect.bisect_left(times, (t, -1))
+        cands = [j for j in (i - 1, i) if 0 <= j < len(times)]
+        best = min(cands, key=lambda j: abs(times[j][0] - t))
+        return times[best][1]
+
+    for tid_l, t, pos in ff_msgs:
+        nid = _nearest_node(tid_l, t)
+        if nid is not None:
+            pg.add_fixed_frame_pose(nid, pos)
+    for tid_l, t, name, rq, pos, tw, rw in lm_msgs:
+        nid = _nearest_node(tid_l, t)
+        if nid is not None:
+            pg.add_landmark_observation(
+                nid, name, pos, weight=tw,
+                rotation_in_tracking=rq, rotation_weight=rw,
             )
 
     # pass 3: constraints (now that both id spaces resolve)

@@ -298,3 +298,45 @@ def test_range_data_pbstream_schema():
             pg.nodes[1].local_pose.apply(pg.nodes[1].high_points)
         )[np.asarray(pg.nodes[1].high_mask)][0]
         np.testing.assert_allclose([r0.x, r0.y, r0.z], want, atol=1e-5)
+
+
+def test_sensor_streams_roundtrip():
+    """GPS / landmark / odometry streams survive the pbstream round trip
+    (mapping_state_serialization.cc:206-209 SerializedData kinds 7/8/9):
+    fixed-frame and landmark observations re-attach to the nearest-in-time
+    node; the synthesized odometry stream encodes the same inter-node
+    relatives."""
+    from dliom_tpu.io.pbstream import load_pbstream_into, parse_message
+
+    cfg, pg, points = _sample_graph()
+    pg.add_fixed_frame_pose(0, [0.1, 0.2, 0.3])
+    pg.add_fixed_frame_pose(1, [2.1, 0.7, 0.3])
+    pg.add_landmark_observation(
+        1, "lm_7", [0.5, -0.2, 1.0], weight=123.0,
+        rotation_in_tracking=np.asarray([0.0, 0.0, 0.0, 1.0]),
+        rotation_weight=4.5,
+    )
+    rel = Rigid3.translation_only(jnp.asarray([2.0, 0.5, 0.0]))
+    pg.odometry_links.append((0, 1, rel))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.pbstream")
+        write_pbstream(path, pg)
+        # the new SerializedData kinds are present with the right fields
+        kinds = [next(iter(parse_message(b))) for b in PbstreamReader(path)]
+        assert kinds.count(7) == 2  # two odometry samples (node 0, node 1)
+        assert kinds.count(8) == 2
+        assert kinds.count(9) == 1
+
+        pg2 = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+        load_pbstream_into(pg2, path)
+        assert len(pg2.fixed_frame_observations) == 2
+        nid, pos, _w = pg2.fixed_frame_observations[1]
+        assert nid == 1
+        np.testing.assert_allclose(pos, [2.1, 0.7, 0.3], atol=1e-9)
+        assert len(pg2.landmark_observations) == 1
+        (n0, n1, alpha, lid, rq, lpos, tw, rw) = pg2.landmark_observations[0]
+        assert n1 == 1 and "lm_7" in pg2._landmark_ids
+        np.testing.assert_allclose(lpos, [0.5, -0.2, 1.0], atol=1e-9)
+        np.testing.assert_allclose(rq, [0.0, 0.0, 0.0, 1.0], atol=1e-9)
+        assert tw == 123.0 and rw == 4.5
