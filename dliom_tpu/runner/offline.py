@@ -289,6 +289,19 @@ def run(args) -> dict:
         if args.output_xray:
             write_xray_pgm(args.output_xray, cloud)
             report["xray_file"] = args.output_xray
+    if args.assets_pipeline:
+        # declarative points-processor pipeline (assets_writer_main analog;
+        # same {"action": ...} stage schema as the reference's Lua pipeline)
+        import json as _json
+
+        from dliom_tpu.io.points_pipeline import run_pipeline
+
+        with open(args.assets_pipeline) as f:
+            pipeline = _json.load(f)
+        stats = run_pipeline(
+            builder.pose_graph, pipeline, args.assets_dir or "."
+        )
+        report["assets_pipeline"] = stats
     if gt is not None and nodes:
         gt_t, gt_p = gt
         est_t = np.asarray([t for t, _ in nodes])
@@ -323,6 +336,11 @@ def main(argv=None):
                     help="per-node range data pbstream "
                          "(-save_range_data analog, consumed by the "
                          "reference's offline map viewer)")
+    ap.add_argument("--assets-pipeline", default=None,
+                    help="JSON file with a points-processor pipeline "
+                         "(assets_writer pipeline analog)")
+    ap.add_argument("--assets-dir", default=None,
+                    help="output directory for --assets-pipeline products")
     ap.add_argument("--output-ply", default=None,
                     help="export the aggregate map point cloud (assets writer)")
     ap.add_argument("--output-xray", default=None,

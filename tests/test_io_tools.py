@@ -174,3 +174,40 @@ def test_pointcloud_format_decoders():
     raw = np.asarray([[0, 0, 0], [np.nan, 1, 2], [3, 4, 5]], np.float32)
     stamp, pts, rel = decode_points(raw, "generic", header_stamp=7.0)
     assert stamp == 7.0 and pts.shape == (2, 3) and np.all(rel == 0)
+
+
+def test_points_pipeline():
+    """Declarative points-processor pipeline (assets_writer pipeline analog,
+    R6): the tongji config's stage list — range filter, dump, pcd — plus
+    sampler/voxel/xray/ply/probability-grid stages all run and write."""
+    from dliom_tpu.io.points_pipeline import build_pipeline, run_pipeline
+
+    pg = _small_pose_graph()
+    pipeline = [
+        {"action": "min_max_range_filter", "min_range": 0.0,
+         "max_range": 100.0},
+        {"action": "fixed_ratio_sampler", "sampling_ratio": 0.5},
+        {"action": "voxel_filter", "voxel_size": 0.05},
+        {"action": "dump_num_points"},
+        {"action": "write_pcd", "filename": "points.pcd"},
+        {"action": "write_ply", "filename": "points.ply"},
+        {"action": "write_xray_image", "filename": "xray.pgm",
+         "voxel_size": 0.2},
+        {"action": "write_probability_grid", "filename": "grid.npz"},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        stats = run_pipeline(pg, pipeline, d)
+        for name in ("points.pcd", "points.ply", "xray.pgm", "grid.npz"):
+            assert os.path.getsize(os.path.join(d, name)) > 0, name
+        assert stats["num_points"] > 0
+        # the sampler halves and the range filter keeps all -> dump count
+        # is well under the raw total
+        raw = sum(int(np.asarray(n.high_mask).sum()) for n in pg.nodes)
+        assert stats["num_points"] <= raw // 2 + len(pg.nodes)
+
+    # unknown action -> KeyError (PointsProcessorPipelineBuilder CHECK)
+    try:
+        build_pipeline([{"action": "nope"}], ".")
+        assert False, "expected KeyError"
+    except KeyError:
+        pass
