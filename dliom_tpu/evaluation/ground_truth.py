@@ -173,3 +173,64 @@ def read_relations_csv(path: str) -> List[Relation]:
                 )
             )
     return out
+
+
+def refine_relations_ndt(
+    pose_graph,
+    relations: List[Relation],
+    *,
+    ndt_resolution: float = 1.0,
+    max_iterations: int = 35,
+    max_refinement_meters: float = 0.5,
+) -> Tuple[List[Relation], int]:
+    """Refine relation transforms by NDT-aligning the two nodes' stored
+    clouds, seeded with the optimized relative pose
+    (gen_ground_truth_by_ndt_match.cc: PCL NDT at resolution 1.0, 35
+    iterations, seeded with the pbstream relative; non-converged pairs are
+    dropped). A refinement that moves the relative by more than
+    `max_refinement_meters` is treated as non-converged. Returns
+    (refined relations, num_dropped)."""
+    import jax.numpy as jnp
+
+    from dliom_tpu.mapping.grid import GridSpec
+    from dliom_tpu.ops.ndt import build_field, match as ndt_match
+    from dliom_tpu.transform.rigid import np_rigid
+
+    spec = GridSpec(resolution=float(ndt_resolution), extent=128)
+    by_time = {round(n.time, 9): i for i, n in enumerate(pose_graph.nodes)}
+    refined: List[Relation] = []
+    dropped = 0
+    for rel in relations:
+        i = by_time.get(round(rel.timestamp1, 9))
+        j = by_time.get(round(rel.timestamp2, 9))
+        if i is None or j is None:
+            dropped += 1
+            continue
+        a, b = pose_graph.nodes[i], pose_graph.nodes[j]
+        field = build_field(
+            jnp.asarray(a.high_points), jnp.asarray(a.high_mask), spec
+        )
+        out = ndt_match(
+            field, spec,
+            jnp.asarray(b.high_points), jnp.asarray(b.high_mask),
+            rel.expected,
+            max_iterations=max_iterations,
+        )
+        out = np_rigid(out)
+        shift = float(
+            np.linalg.norm(
+                out.translation - np.asarray(rel.expected.translation)
+            )
+        )
+        if shift > max_refinement_meters:
+            dropped += 1
+            continue
+        refined.append(
+            Relation(
+                timestamp1=rel.timestamp1,
+                timestamp2=rel.timestamp2,
+                expected=out,
+                covered_distance=rel.covered_distance,
+            )
+        )
+    return refined, dropped

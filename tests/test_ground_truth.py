@@ -134,3 +134,48 @@ def test_kitti_and_tum_export():
         write_tum_trajectory(tp, [0.0, 0.1, 0.2], poses)
         rows = open(tp).read().strip().splitlines()
         assert len(rows) == 3 and len(rows[0].split()) == 8
+
+
+def test_refine_relations_ndt():
+    """gen_ground_truth_by_ndt_match analog: NDT refinement recovers the
+    true relative pose from a perturbed relation seed and drops
+    non-converging pairs."""
+    import jax.numpy as jnp
+
+    import tests.test_pose_graph as tpg
+    from dliom_tpu.backend.pose_graph import PoseGraph
+    from dliom_tpu.evaluation.ground_truth import (
+        Relation,
+        refine_relations_ndt,
+    )
+    from dliom_tpu.transform.rigid import Rigid3
+
+    cfg = tpg._cfg()
+    pg = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
+    rng = np.random.default_rng(5)
+    pts = tpg._world_cloud(rng, 400)
+    s0 = pg.add_submap(Rigid3.identity())
+    n0 = tpg._make_node(cfg, pts, Rigid3.identity())
+    n0.time = 1.0
+    pg.add_node(n0, (s0,))
+    # second node observes the same world from 0.4 m away -> its tracking
+    # cloud is the world shifted by -0.4 m
+    true_rel = Rigid3.translation_only(jnp.asarray([0.4, 0.0, 0.0]))
+    pts2 = np.asarray(true_rel.inverse().apply(jnp.asarray(pts)))
+    n1 = tpg._make_node(cfg, pts2, true_rel)
+    n1.time = 2.0
+    pg.add_node(n1, (s0,))
+
+    seed = Rigid3.translation_only(jnp.asarray([0.3, 0.05, 0.0]))  # off by 10 cm
+    rels = [Relation(1.0, 2.0, seed, 10.0)]
+    refined, dropped = refine_relations_ndt(pg, rels)
+    assert dropped == 0 and len(refined) == 1
+    np.testing.assert_allclose(
+        np.asarray(refined[0].expected.translation), [0.4, 0.0, 0.0],
+        atol=0.05,
+    )
+    # a relation whose timestamps match no node is dropped
+    refined2, dropped2 = refine_relations_ndt(
+        pg, [Relation(7.7, 8.8, seed, 10.0)]
+    )
+    assert dropped2 == 1 and not refined2
