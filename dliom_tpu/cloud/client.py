@@ -155,6 +155,11 @@ class MapBuilderStub:
         r = self._call("occupancy_grid", resolution=float(resolution))
         return r["image"], r["origin_xy"], r["resolution"]
 
+    def map_cloud(self, voxel_size: float = 0.0) -> np.ndarray:
+        """Full-map point cloud under the current optimized poses (node.cc
+        full-map publisher analog); voxel_size > 0 downsamples."""
+        return self._call("map_cloud", voxel_size=float(voxel_size))["points"]
+
     def write_state(self, path: str):
         self._call("write_state", path=path)
 

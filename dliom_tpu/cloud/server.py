@@ -234,6 +234,24 @@ class MapBuilderServer:
                 "origin_xy": origin,
                 "resolution": res,
             }
+        if method == "map_cloud":
+            # full-map point cloud under current optimized poses (node.cc
+            # full-map publisher analog: cached per-node clouds republished
+            # under the latest poses, R1); optional voxel downsample
+            from dliom_tpu.io.assets_writer import (
+                aggregate_point_cloud,
+                snapshot_node_clouds,
+            )
+
+            with self._lock:
+                snap = snapshot_node_clouds(self.map_builder.pose_graph)
+            pts = aggregate_point_cloud(snapshot=snap)
+            voxel = float(p.get("voxel_size", 0.0))
+            if voxel > 0.0 and len(pts):
+                cells = np.floor(pts / voxel).astype(np.int64)
+                _, keep = np.unique(cells, axis=0, return_index=True)
+                pts = pts[np.sort(keep)]
+            return {"ok": True, "points": pts.astype(np.float32)}
         if method == "status":
             return {
                 "ok": True,

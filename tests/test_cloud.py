@@ -159,6 +159,9 @@ def test_navsat_rpc_converts_to_local():
         np.testing.assert_allclose(buf[0][1], [0.0, 0.0, 517.1], atol=1e-3)
         # ~111 m of northing for +0.001 deg latitude
         assert 80.0 < np.linalg.norm(buf[1][1] - buf[0][1]) < 140.0
+        # the full-map cloud RPC round-trips (empty map -> (0, 3))
+        pts = stub.map_cloud(voxel_size=0.1)
+        assert pts.shape == (0, 3)
     finally:
         stub.close()
         server.shutdown()
