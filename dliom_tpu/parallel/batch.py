@@ -328,7 +328,7 @@ def sharded_lio_step(
 ):
     """shard_map of the flat-bank batched LIO step: D devices each run
     batch/D sequences independently (ICI-free hot loop)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.devices.size
     local = batch // n_dev
