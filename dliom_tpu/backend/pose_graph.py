@@ -442,7 +442,10 @@ class PoseGraph:
         if not (odometry.has(t0) and odometry.has(t1)):
             return
         p0, p1 = odometry.lookup(t0), odometry.lookup(t1)
-        self.odometry_links.append((prev, node_id, p0.inverse().compose(p1)))
+        # node-rate ingest path: numpy composition, no device dispatch
+        self.odometry_links.append(
+            (prev, node_id, np_compose(np_inverse(np_rigid(p0)), np_rigid(p1)))
+        )
 
     def landmark_poses(self) -> Dict[str, np.ndarray]:
         out = {}

@@ -241,6 +241,7 @@ class MapBuilderServer:
             from dliom_tpu.io.assets_writer import (
                 aggregate_point_cloud,
                 snapshot_node_clouds,
+                voxel_dedup,
             )
 
             with self._lock:
@@ -248,9 +249,7 @@ class MapBuilderServer:
             pts = aggregate_point_cloud(snapshot=snap)
             voxel = float(p.get("voxel_size", 0.0))
             if voxel > 0.0 and len(pts):
-                cells = np.floor(pts / voxel).astype(np.int64)
-                _, keep = np.unique(cells, axis=0, return_index=True)
-                pts = pts[np.sort(keep)]
+                pts = voxel_dedup(pts, voxel)
             return {"ok": True, "points": pts.astype(np.float32)}
         if method == "status":
             return {

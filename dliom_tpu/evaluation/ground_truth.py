@@ -197,12 +197,34 @@ def refine_relations_ndt(
     from dliom_tpu.transform.rigid import np_rigid
 
     spec = GridSpec(resolution=float(ndt_resolution), extent=128)
-    by_time = {round(n.time, 9): i for i, n in enumerate(pose_graph.nodes)}
+    # Relations carry no trajectory id (reference relations files don't
+    # either), so an ambiguous stamp — two trajectories sharing a clock
+    # origin — cannot be resolved; drop it loudly rather than refine
+    # against the wrong trajectory's cloud.
+    by_time: Dict[float, int] = {}
+    ambiguous = set()
+    for i, n in enumerate(pose_graph.nodes):
+        k = round(n.time, 9)
+        if k in by_time:
+            ambiguous.add(k)
+        by_time[k] = i
     refined: List[Relation] = []
     dropped = 0
     for rel in relations:
-        i = by_time.get(round(rel.timestamp1, 9))
-        j = by_time.get(round(rel.timestamp2, 9))
+        k1, k2 = round(rel.timestamp1, 9), round(rel.timestamp2, 9)
+        if k1 in ambiguous or k2 in ambiguous:
+            import warnings
+
+            warnings.warn(
+                f"relation stamp {rel.timestamp1}/{rel.timestamp2} matches "
+                "nodes on multiple trajectories; dropping (stamps must be "
+                "unique to refine)",
+                stacklevel=2,
+            )
+            dropped += 1
+            continue
+        i = by_time.get(k1)
+        j = by_time.get(k2)
         if i is None or j is None:
             dropped += 1
             continue

@@ -24,41 +24,72 @@ from dliom_tpu.mapping import probability as pv
 
 
 def snapshot_node_clouds(pose_graph: PoseGraph, use_low: bool = False):
-    """Cheap host refs (global_pose, cloud, mask) per node. Take this under
-    the graph owner's lock; run the per-node transforms of
-    `aggregate_point_cloud(snapshot=...)` outside it, so a large map's
-    aggregation never stalls the ingest/SLAM thread."""
+    """Raw host refs (global_pose, cloud, mask) per node — NOTHING is
+    materialized here (no device→host sync). Take this under the graph
+    owner's lock; all D2H transfers and transforms happen in
+    `iter_world_clouds`/`aggregate_point_cloud` outside it, so a large
+    map's aggregation never stalls the ingest/SLAM thread."""
     return [
         (
             n.global_pose,
             n.low_points if use_low else n.high_points,
-            np.asarray(n.low_mask if use_low else n.high_mask),
+            n.low_mask if use_low else n.high_mask,
         )
         for n in pose_graph.nodes
     ]
+
+
+def iter_world_clouds(snapshot):
+    """Yield (points_world (N, 3) f64, origin (3,) f64) per snapshot node.
+    Pure-numpy transforms (one D2H per cloud, zero device dispatch): this
+    runs over EVERY node, and per-node jnp applies would serialize on the
+    dispatch path and stall whoever is polling. Shared by the aggregate
+    export and the points pipeline so the transform semantics can't
+    drift."""
+    from dliom_tpu.transform.rigid import np_quat_rotate
+
+    for pose, cloud, mask in snapshot:
+        q = np.asarray(pose.rotation, np.float64)
+        t = np.asarray(pose.translation, np.float64)
+        pts = np.asarray(cloud, np.float64)[np.asarray(mask)]
+        yield np_quat_rotate(q, pts) + t, t
 
 
 def aggregate_point_cloud(
     pose_graph: PoseGraph = None, use_low: bool = False, snapshot=None
 ) -> np.ndarray:
     """Node clouds transformed by optimized global poses -> (N, 3)."""
-
-    from dliom_tpu.transform.rigid import np_quat_rotate
-
     if snapshot is None:
         snapshot = snapshot_node_clouds(pose_graph, use_low)
-    pts = []
-    for pose, cloud, mask in snapshot:
-        # numpy transform: one D2H transfer per cloud, zero device dispatch
-        # (this runs over EVERY node; a per-node jnp apply serializes on the
-        # dispatch path and stalls whoever is polling)
-        q = np.asarray(pose.rotation, np.float64)
-        t = np.asarray(pose.translation, np.float64)
-        world = np_quat_rotate(q, np.asarray(cloud, np.float64)) + t
-        pts.append(world[mask])
+    pts = [world for world, _origin in iter_world_clouds(snapshot)]
     if not pts:
         return np.zeros((0, 3), np.float32)
     return np.concatenate(pts).astype(np.float32)
+
+
+def voxel_dedup(
+    points: np.ndarray, voxel_size: float, seen: set | None = None
+) -> np.ndarray:
+    """First-point-per-voxel dedup (voxel_filtering_and_removing_moving_objects
+    spirit; the hash-set VoxelFilter's host analog). With `seen` (a set of
+    cell-key bytes) the dedup is streaming across batches. Vectorized:
+    np.unique finds per-batch first occurrences; only the batch's unique
+    cells touch the Python set."""
+    points = np.asarray(points)
+    if len(points) == 0:
+        return points
+    cells = np.floor(points / float(voxel_size)).astype(np.int64)
+    _, first = np.unique(cells, axis=0, return_index=True)
+    first = np.sort(first)
+    if seen is None:
+        return points[first]
+    keep = []
+    for row in first:
+        key = cells[row].tobytes()
+        if key not in seen:
+            seen.add(key)
+            keep.append(row)
+    return points[keep]
 
 
 def write_ply(path: str, points: np.ndarray) -> None:

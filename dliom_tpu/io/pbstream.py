@@ -30,7 +30,7 @@ from typing import Iterable, List, Tuple
 
 import numpy as np
 
-from dliom_tpu.transform.rigid import Rigid3, np_compose, np_rigid
+from dliom_tpu.transform.rigid import Rigid3, np_compose, np_inverse, np_rigid
 
 MAGIC = 0x7B1D1F7B5BF501DB
 FORMAT_VERSION = 1  # io/internal/mapping_state_serialization.h:27
@@ -400,17 +400,29 @@ def write_pbstream(path: str, pg, include_grids: bool = True) -> None:
         chains.setdefault(t, []).append((prev, nid, rel))
     for t, links in chains.items():
         links.sort(key=lambda x: x[1])
-        cur = Rigid3.identity()
+        cur = np_rigid(Rigid3.identity())
         emitted = set()
+        last_nid = None
         for prev, nid, rel in links:
-            for node_id, pose in ((prev, cur), (nid, np_compose(np_rigid(cur), np_rigid(rel)))):
+            if last_nid is not None and prev != last_nid:
+                # coverage gap (odometry dropout between last_nid and prev):
+                # bridge with the frontend's local-pose relative so a
+                # consumer interpolating across the gap sees the SLAM-
+                # estimated motion, not a fabricated zero motion
+                bridge = np_compose(
+                    np_inverse(np_rigid(pg.nodes[last_nid].local_pose)),
+                    np_rigid(pg.nodes[prev].local_pose),
+                )
+                cur = np_compose(cur, bridge)
+            for node_id, pose in ((prev, cur), (nid, np_compose(cur, np_rigid(rel)))):
                 if node_id not in emitted:
                     body = fv(1, to_universal_ticks(pg.nodes[node_id].time)) + fm(
                         2, _rigid3d(pose)
                     )
                     w.write(fm(7, fv(1, t) + fm(2, body, keep_empty=True), keep_empty=True))
                     emitted.add(node_id)
-            cur = np_compose(np_rigid(cur), np_rigid(rel))
+            cur = np_compose(cur, np_rigid(rel))
+            last_nid = nid
 
     # FixedFramePoseData (serialization.proto:47): GPS observations at node
     # stamps, translation-only poses (sensor_bridge navsat convention)
@@ -698,6 +710,7 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
     # pass 2: submaps and nodes, in stream order
     ff_msgs: list = []  # (local tid, time, position)
     lm_msgs: list = []  # (local tid, time, name, rq, pos, tw, rw)
+    odo_msgs: list = []  # (local tid, time, Rigid3)
     for blob in blobs[2:]:
         m = parse_message(blob)
         kind = next(iter(m))
@@ -768,6 +781,12 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
                     trajectory_id=map_tid(tid_l),
                 )
             )
+        elif kind == 7:  # OdometryData
+            om_ = parse_message(_first(m, 7))
+            tid_l = _varint_field(om_, 1)
+            body = parse_message(_first(om_, 2, b""))
+            t = from_universal_ticks(_signed64(_varint_field(body, 1)))
+            odo_msgs.append((tid_l, t, _parse_rigid3d(_first(body, 2, b""))))
         elif kind == 8:  # FixedFramePoseData (GPS)
             fm_ = parse_message(_first(m, 8))
             tid_l = _varint_field(fm_, 1)
@@ -795,9 +814,11 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
                     np.float64,
                 )
                 rq = np.asarray(_parse_quat(qm2), np.float64)
+                # proto3 zero-skip: absent weights are 0.0, NOT 1.0 — a
+                # weight-0 (disabled) cost must stay disabled on import
                 lm_msgs.append(
-                    (tid_l, t, name, rq, pos, _double(om, 3, 1.0),
-                     _double(om, 4, 0.0))
+                    (tid_l, t, name, rq, pos, _double(om, 3),
+                     _double(om, 4))
                 )
 
     # sensor streams attach to the nearest-in-time node of their trajectory
@@ -821,6 +842,29 @@ def load_pbstream_into(pg, path: str, frozen: bool = False) -> dict:
         cands = [j for j in (i - 1, i) if 0 <= j < len(times)]
         best = min(cands, key=lambda j: abs(times[j][0] - t))
         return times[best][1]
+
+    # odometry: rebuild consecutive-node links via interpolation at node
+    # stamps (CalculateOdometryBetweenNodes — exactly what the reference's
+    # LoadState-fed optimization problem does with the stream)
+    if odo_msgs:
+        from dliom_tpu.transform.interpolation import (
+            TransformInterpolationBuffer,
+        )
+
+        bufs: dict = {}
+        for tid_l, t, pose in sorted(odo_msgs, key=lambda x: (x[0], x[1])):
+            buf = bufs.setdefault(tid_l, TransformInterpolationBuffer())
+            if len(buf) and t <= buf.latest_time:
+                continue
+            buf.push(t, pose)
+        for tid_l, buf in bufs.items():
+            times = by_traj.get(tid_l, [])
+            for (t0, n0), (t1, n1) in zip(times, times[1:]):
+                if buf.has(t0) and buf.has(t1):
+                    p0, p1 = buf.lookup(t0), buf.lookup(t1)
+                    pg.odometry_links.append(
+                        (n0, n1, np_compose(np_inverse(np_rigid(p0)), np_rigid(p1)))
+                    )
 
     for tid_l, t, pos in ff_msgs:
         nid = _nearest_node(tid_l, t)

@@ -32,13 +32,14 @@ from typing import Dict, Iterable, List, Tuple
 import numpy as np
 
 from dliom_tpu.io.assets_writer import (
+    iter_world_clouds,
     snapshot_node_clouds,
+    voxel_dedup,
     write_pcd,
     write_ply,
     write_probability_grid_npz,
     write_xray_pgm,
 )
-from dliom_tpu.transform.rigid import np_quat_rotate
 
 _LOG = logging.getLogger("dliom_tpu.points_pipeline")
 
@@ -82,14 +83,7 @@ class _VoxelFilter(_Stage):
         self._seen: set = set()
 
     def process(self, points, origin):
-        cells = np.floor(points / self.size).astype(np.int64)
-        keep = np.zeros(len(points), bool)
-        seen = self._seen
-        for i, c in enumerate(map(tuple, cells)):
-            if c not in seen:
-                seen.add(c)
-                keep[i] = True
-        return points[keep]
+        return voxel_dedup(points, self.size, seen=self._seen)
 
 
 class _DumpNumPoints(_Stage):
@@ -185,12 +179,9 @@ def run_pipeline(pose_graph, pipeline: List[Dict], out_dir: str) -> dict:
         stages.append(_ACTIONS[action](out_dir, spec))
 
     snapshot = snapshot_node_clouds(pose_graph)
-    for pose, cloud, mask in snapshot:
-        q = np.asarray(pose.rotation, np.float64)
-        t = np.asarray(pose.translation, np.float64)
-        pts = np_quat_rotate(q, np.asarray(cloud, np.float64)[mask]) + t
+    for pts, origin in iter_world_clouds(snapshot):
         for stage in stages:
-            pts = stage.process(pts, t)
+            pts = stage.process(pts, origin)
             if len(pts) == 0:
                 break
     for stage in stages:

@@ -316,6 +316,7 @@ def test_sensor_streams_roundtrip():
         rotation_in_tracking=np.asarray([0.0, 0.0, 0.0, 1.0]),
         rotation_weight=4.5,
     )
+    pg.add_landmark_observation(1, "lm_off", [1.0, 0.0, 0.0], weight=0.0)
     rel = Rigid3.translation_only(jnp.asarray([2.0, 0.5, 0.0]))
     pg.odometry_links.append((0, 1, rel))
 
@@ -326,7 +327,7 @@ def test_sensor_streams_roundtrip():
         kinds = [next(iter(parse_message(b))) for b in PbstreamReader(path)]
         assert kinds.count(7) == 2  # two odometry samples (node 0, node 1)
         assert kinds.count(8) == 2
-        assert kinds.count(9) == 1
+        assert kinds.count(9) == 2
 
         pg2 = PoseGraph(cfg.pose_graph, cfg.trajectory_builder)
         load_pbstream_into(pg2, path)
@@ -334,9 +335,19 @@ def test_sensor_streams_roundtrip():
         nid, pos, _w = pg2.fixed_frame_observations[1]
         assert nid == 1
         np.testing.assert_allclose(pos, [2.1, 0.7, 0.3], atol=1e-9)
-        assert len(pg2.landmark_observations) == 1
+        assert len(pg2.landmark_observations) == 2
         (n0, n1, alpha, lid, rq, lpos, tw, rw) = pg2.landmark_observations[0]
         assert n1 == 1 and "lm_7" in pg2._landmark_ids
         np.testing.assert_allclose(lpos, [0.5, -0.2, 1.0], atol=1e-9)
         np.testing.assert_allclose(rq, [0.0, 0.0, 0.0, 1.0], atol=1e-9)
         assert tw == 123.0 and rw == 4.5
+        # a deliberately weight-0 (disabled) landmark cost stays disabled
+        # across the round trip (proto3 zero-skip: absent -> 0.0, not 1.0)
+        assert pg2.landmark_observations[1][6] == 0.0
+        # odometry links rebuild from the serialized stream
+        assert len(pg2.odometry_links) == 1
+        a, b, orel = pg2.odometry_links[0]
+        assert (a, b) == (0, 1)
+        np.testing.assert_allclose(
+            np.asarray(orel.translation), [2.0, 0.5, 0.0], atol=1e-5
+        )

@@ -95,16 +95,19 @@ def _make_node(cfg, points, local_pose, gravity_q=None):
     mask = jnp.ones(pts.shape[0], bool)
     # cache the (eager, dispatch-heavy) histogram per distinct cloud: the
     # soak test makes 5k nodes from ONE cloud and must time graph
-    # bookkeeping, not fixture compute
+    # bookkeeping, not fixture compute. The cache holds the points array
+    # itself and re-checks identity — id() alone can be recycled after GC.
     key = (id(points), cfg.trajectory_builder.rotational_histogram_size)
-    hist = _HISTOGRAM_CACHE.get(key)
-    if hist is None:
+    entry = _HISTOGRAM_CACHE.get(key)
+    if entry is not None and entry[0] is points:
+        hist = entry[1]
+    else:
         hist = np.asarray(
             compute_histogram(
                 pts, mask, cfg.trajectory_builder.rotational_histogram_size
             )
         )
-        _HISTOGRAM_CACHE[key] = hist
+        _HISTOGRAM_CACHE[key] = (points, hist)
     return NodeRecord(
         time=0.0,
         local_pose=local_pose,
