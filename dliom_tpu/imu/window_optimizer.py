@@ -293,7 +293,14 @@ def optimize(
         d = jnp.sqrt(jnp.clip(jnp.diag(h), 1e-12, None))
         hs = h / d[:, None] / d[None, :] + 1e-5 * eye
         gs = g / d
-        delta = -jnp.linalg.solve(hs, gs) / d
+        # hs is damped-SPD (J^T J + 1e-5 I): Cholesky solve — no pivoting
+        # (LU's row pivots serialize badly on TPU) and half the flops
+        delta = (
+            -jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(hs, lower=True), gs
+            )
+            / d
+        )
         delta = jnp.where(active_mask, delta, 0.0)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # simple step clamp for robustness

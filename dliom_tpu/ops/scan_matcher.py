@@ -165,7 +165,13 @@ def match(
         grad = jac.T @ r
         hess = jac.T @ jac
         d2 = jnp.clip(jnp.diag(hess), 1e-12, 1e32)
-        step = -jnp.linalg.solve(hess + (1.0 / radius) * jnp.diag(d2), grad)
+        # damped-SPD system: Cholesky beats LU's pivoting on TPU
+        step = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(
+                hess + (1.0 / radius) * jnp.diag(d2), lower=True
+            ),
+            grad,
+        )
         cand = _apply_delta(pose, step, only_optimize_yaw)
         cand_r, cand_jac = r_and_jac(cand)
         new_cost = jnp.sum(cand_r * cand_r)
