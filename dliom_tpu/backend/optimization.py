@@ -52,6 +52,12 @@ class PoseGraphData(NamedTuple):
     c_trans_weight: jnp.ndarray  # (C,)
     c_rot_weight: jnp.ndarray  # (C,)
     c_valid: jnp.ndarray  # (C,)
+    # INTER (loop-closure) flag: with inter_huber_scale > 0, these blocks
+    # get a Huber loss — upstream cartographer's behavior
+    # (optimization_problem_3d.cc:335 shows the original
+    # `new ceres::HuberLoss(huber_scale)` that D-LIOM replaced with
+    # TrivialLoss); off by default for reference parity.
+    c_is_inter: jnp.ndarray  # (C,)
     # frozen poses stay fixed during optimization (FreezeTrajectory /
     # pure localization, map_builder.cc:220-234)
     submap_fixed: jnp.ndarray  # (S,)
@@ -121,6 +127,7 @@ def make_pose_graph_data(
         c_trans_weight=jnp.zeros(max_constraints, jnp.float32),
         c_rot_weight=jnp.zeros(max_constraints, jnp.float32),
         c_valid=jnp.zeros(max_constraints, bool),
+        c_is_inter=jnp.zeros(max_constraints, bool),
         submap_fixed=jnp.zeros(max_submaps, bool),
         node_fixed=jnp.zeros(max_nodes, bool),
         ff_node=jnp.zeros(max_fixed_frame, jnp.int32),
@@ -166,6 +173,7 @@ def _residuals(
     d_node: jnp.ndarray,
     d_extra: jnp.ndarray,
     ff_huber_scale: float = 0.0,
+    inter_huber_scale: float = 0.0,
 ):
     """Weighted residuals at perturbed poses; delta layout per pose:
     [dt (3), dtheta (3)], left-multiplicative rotation. `d_extra` holds
@@ -191,7 +199,17 @@ def _residuals(
         nq[data.c_node], nt[data.c_node],
         data.c_q, data.c_t, data.c_trans_weight, data.c_rot_weight,
     )
-    r = jnp.where(data.c_valid[:, None], r, 0.0).reshape(-1)
+    r = jnp.where(data.c_valid[:, None], r, 0.0)
+    if inter_huber_scale > 0.0:
+        # Huber on INTER blocks only (upstream's HuberLoss(huber_scale) on
+        # loop constraints) via IRLS, same scheme as the fixed-frame blocks
+        a = jnp.float32(inter_huber_scale)
+        s = jax.lax.stop_gradient(jnp.sum(r * r, axis=-1))
+        w = jnp.where(
+            s <= a * a, 1.0, jnp.sqrt(a / jnp.sqrt(jnp.maximum(s, 1e-12)))
+        )
+        r = jnp.where(data.c_is_inter[:, None], r * w[:, None], r)
+    r = r.reshape(-1)
 
     # node-node relative costs (odometry / consecutive local-SLAM poses)
     r_nn = _relative_pose_error(
@@ -249,6 +267,7 @@ def solve(
     cg_iterations: int = 64,
     fix_first_submap: bool = True,
     ff_huber_scale: float = 0.0,
+    inter_huber_scale: float = 0.0,
     mesh=None,
 ) -> PoseGraphData:
     """Gauss-Newton with matrix-free PCG on the normal equations.
@@ -277,6 +296,7 @@ def solve(
             c_trans_weight=shard_c(data.c_trans_weight),
             c_rot_weight=shard_c(data.c_rot_weight),
             c_valid=shard_c(data.c_valid),
+            c_is_inter=shard_c(data.c_is_inter),
         )
     s = data.submap_q.shape[0]
     n = data.node_q.shape[0]
@@ -304,6 +324,7 @@ def solve(
             return _residuals(
                 d, ds * submap_mask, dn * node_mask, de * lm_free,
                 ff_huber_scale=ff_huber_scale,
+                inter_huber_scale=inter_huber_scale,
             ).reshape(-1)
 
         zero = (

@@ -720,7 +720,8 @@ class PoseGraph:
                 stack([n.histogram for n in nodes]),
                 submap_hist,
                 jnp.asarray(
-                    [float(quat_yaw(i.rotation)) for i in initials], jnp.float32
+                    [np_quat_yaw(np.asarray(i.rotation, np.float64))
+                     for i in initials], jnp.float32
                 ),
                 min_score=float(self.cfg.constraint_builder.min_score),
             )
@@ -1022,13 +1023,13 @@ class PoseGraph:
         cq = np.zeros((C, 4), np.float32); cq[:, 0] = 1
         ct = np.zeros((C, 3), np.float32)
         ctw = np.zeros(C, np.float32); crw = np.zeros(C, np.float32)
-        cv = np.zeros(C, bool)
+        cv = np.zeros(C, bool); ci = np.zeros(C, bool)
         for i, c in enumerate(self.constraints):
             cs[i] = c.submap_id; cn[i] = c.node_id
             cq[i] = np.asarray(c.relative.rotation)
             ct[i] = np.asarray(c.relative.translation)
             ctw[i] = c.translation_weight; crw[i] = c.rotation_weight
-            cv[i] = True
+            cv[i] = True; ci[i] = c.tag == "INTER"
         F = data.ff_node.shape[0]
         ffn = np.zeros(F, np.int32); fft = np.zeros((F, 3), np.float32)
         ffw = np.zeros(F, np.float32); ffv = np.zeros(F, bool)
@@ -1106,7 +1107,7 @@ class PoseGraph:
             c_submap=jnp.asarray(cs), c_node=jnp.asarray(cn),
             c_q=jnp.asarray(cq), c_t=jnp.asarray(ct),
             c_trans_weight=jnp.asarray(ctw), c_rot_weight=jnp.asarray(crw),
-            c_valid=jnp.asarray(cv),
+            c_valid=jnp.asarray(cv), c_is_inter=jnp.asarray(ci),
             submap_fixed=jnp.asarray(sfx), node_fixed=jnp.asarray(nfx),
             ff_node=jnp.asarray(ffn), ff_t=jnp.asarray(fft),
             ff_weight=jnp.asarray(ffw), ff_valid=jnp.asarray(ffv),
@@ -1154,6 +1155,14 @@ class PoseGraph:
                     fix_first_submap=False,
                     ff_huber_scale=float(
                         self.cfg.optimization_problem.huber_scale
+                    ),
+                    # upstream cartographer's HuberLoss(huber_scale) on loop
+                    # constraints (the original the reference commented out,
+                    # optimization_problem_3d.cc:335); opt-in for parity
+                    inter_huber_scale=(
+                        float(self.cfg.optimization_problem.huber_scale)
+                        if self.cfg.optimization_problem.use_inter_huber
+                        else 0.0
                     ),
                 ),
                 static_argnames=("iterations",),

@@ -271,6 +271,12 @@ class OptimizationProblemConfig:
     # local-slam consecutive-node costs from the same commented block ARE
     # restored here behind `use_consecutive_node_costs`.
     huber_scale: float = 1e2  # Huber loss on fixed-frame costs (:491-548)
+    # Huber on INTER (loop) constraints too — upstream cartographer's
+    # behavior; the D-LIOM reference replaced it with TrivialLoss (the
+    # original shows in its comment, optimization_problem_3d.cc:335).
+    # Default False = reference parity; True bounds the damage of a
+    # false loop closure that slips past min_score.
+    use_inter_huber: bool = False
     local_slam_pose_translation_weight: float = 1e5
     local_slam_pose_rotation_weight: float = 1e5
     odometry_translation_weight: float = 1e5

@@ -342,3 +342,54 @@ def test_final_optimization_converges_within_capped_iterations():
         jnp.max(jnp.abs(at_cap.submap_t[:10] - beyond.submap_t[:10]))
     )
     assert drift_beyond < 1e-3, drift_beyond
+
+
+def test_inter_huber_bounds_false_loop_damage():
+    """use_inter_huber (upstream cartographer's HuberLoss on loop
+    constraints — the original that the reference's TrivialLoss replaced,
+    optimization_problem_3d.cc:335): one wildly-wrong INTER constraint must
+    not drag the solution; without the robust loss it does."""
+    rng = np.random.default_rng(23)
+    data, true_submaps, true_nodes = _build_problem(
+        rng, num_submaps=6, nodes_per_submap=5, perturb=0.05
+    )
+    # inject a false loop: node 2 claimed to sit AT submap 4's origin
+    # (truth: several meters away), loop-closure weights
+    ci = np.zeros(data.c_valid.shape[0], bool)
+    k = int(np.asarray(data.c_valid).sum())
+    cs = np.asarray(data.c_submap).copy(); cn = np.asarray(data.c_node).copy()
+    cq = np.asarray(data.c_q).copy(); ct = np.asarray(data.c_t).copy()
+    ctw = np.asarray(data.c_trans_weight).copy()
+    crw = np.asarray(data.c_rot_weight).copy()
+    cv = np.asarray(data.c_valid).copy()
+    cs[k], cn[k] = 4, 2
+    cq[k] = [1, 0, 0, 0]; ct[k] = [0, 0, 0]  # false: "node 2 at submap 4"
+    # weight-matched to the INTRA chain: the Huber influence bound scales
+    # with the OUTLIER's weight (a false 1e4-weight loop against a 5e2
+    # chain retains ~weight-ratio leverage even robustified — inherent to
+    # any linear-tail loss; the primary production gate is min_score)
+    ctw[k], crw[k] = 100.0, 100.0
+    cv[k], ci[k] = True, True
+    data = data._replace(
+        c_submap=jnp.asarray(cs), c_node=jnp.asarray(cn),
+        c_q=jnp.asarray(cq), c_t=jnp.asarray(ct),
+        c_trans_weight=jnp.asarray(ctw), c_rot_weight=jnp.asarray(crw),
+        c_valid=jnp.asarray(cv), c_is_inter=jnp.asarray(ci),
+    )
+
+    def max_err(out):
+        return max(
+            float(jnp.linalg.norm(out.submap_t[i] - p.translation))
+            for i, p in enumerate(true_submaps)
+        )
+
+    plain = solve(data, iterations=12, cg_iterations=64)
+    robust = solve(
+        data, iterations=12, cg_iterations=64, inter_huber_scale=1.0
+    )
+    e_plain, e_robust = max_err(plain), max_err(robust)
+    # the false loop corrupts the quadratic solve (measured ~24 m)...
+    assert e_plain > 1.0, e_plain
+    # ...and the Huber solve holds the graph near truth (measured ~0.09 m)
+    assert e_robust < 0.2, (e_robust, e_plain)
+    assert e_robust < 0.05 * e_plain
