@@ -64,7 +64,13 @@ def build_config():
                     "use_brick_grid": True,
                     "brick_dir_extent": 160,  # ±64 m at 0.1 m
                     "brick_max_bricks": 65536,
-                    "brick_apply_groups": 1024,
+                    # Apply-capacity tuned to the measured touched-group
+                    # working set (~400/insert on this world; 384 drops,
+                    # 512 holds zero drops — verified via the
+                    # brick_groups_dropped gauge). Kernel grid steps and
+                    # the group-table one-hot matmul both scale with this:
+                    # 1024 -> 512 bought ~11% whole-step throughput.
+                    "brick_apply_groups": 512,
                     "dense_apply_groups": 256,
                     "high_resolution_extent": 448,  # backend capture crop
                     "low_resolution_extent": 128,  # backend capture crop
@@ -75,7 +81,7 @@ def build_config():
                     "use_brick_grid_low": True,
                     "low_brick_dir_extent": 40,
                     "low_brick_max_bricks": 8192,
-                    "low_brick_apply_groups": 512,
+                    "low_brick_apply_groups": 192,
                     "low_brick_apply_group_bricks": 8,
                 },
                 "max_filtered_points": 8192,
