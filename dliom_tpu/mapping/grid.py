@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from dliom_tpu.mapping import probability as pv
 
@@ -81,8 +82,11 @@ def linear_index(cells: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.n
     return lin, in_bounds
 
 
-_CORNERS = jnp.asarray(
-    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], jnp.int32
+# Host-side constant (np, not jnp): module import must not create device
+# arrays — that would initialize the default backend (possibly a broken TPU
+# plugin) before callers can pin a platform. XLA folds it at trace time.
+_CORNERS = np.asarray(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], np.int32
 )
 
 

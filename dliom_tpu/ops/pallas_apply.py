@@ -60,7 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dliom_tpu.mapping import probability as pv
 
-_SENTINEL = jnp.int32(2**31 - 1)
+# Python int, not jnp.int32: module import must not create device arrays
+# (would initialize the default backend before callers pin a platform).
+_SENTINEL = 2**31 - 1
 
 # Group size for DENSE banks (16 KiB int16 blocks measured fastest on v5e).
 # Dense banks on the grouped path carry ONE extra group of padding at their
