@@ -1239,6 +1239,49 @@ class PoseGraph:
     def constraint_list(self) -> List[Constraint]:
         return list(self.constraints)
 
+    def submap_query(self, submap_id: int) -> dict:
+        """Single-submap texture + pose query (`MapBuilder::SubmapToProto`,
+        map_builder.cc:186-204; `Submap3D::ToResponseProto`,
+        submap_3d.cc:253: the reference serves each submap as a textured
+        2D slice with its pose/resolution for viewers — the ROS SubmapQuery
+        service, cartographer_ros/node.cc:107-114).
+
+        Returns a plain dict (wire-friendly): version (node count), poses,
+        finished flag, and — when the finished grid is still held — the
+        top-down texture of the high-res grid as uint8 with its
+        meters-per-pixel scale. Unfinished/trimmed submaps serve pose-only
+        (their grids live on the frontend / were dropped by a trimmer).
+        Raises KeyError for an id that does not exist, as the reference
+        answers 'Requested submap X but it does not exist'."""
+        if not (0 <= submap_id < len(self.submaps)):
+            raise KeyError(f"Requested submap {submap_id} but it does not exist")
+        s = self.submaps[submap_id]
+        out = {
+            "submap_id": submap_id,
+            "trajectory_id": s.trajectory_id,
+            "submap_index": s.index_in_trajectory,
+            "version": len(s.node_ids),
+            "finished": bool(s.finished),
+            "trimmed": bool(s.trimmed),
+            "local_pose_q": np.asarray(s.local_pose.rotation, np.float32),
+            "local_pose_t": np.asarray(s.local_pose.translation, np.float32),
+            "global_pose_q": np.asarray(s.global_pose.rotation, np.float32),
+            "global_pose_t": np.asarray(s.global_pose.translation, np.float32),
+        }
+        if s.finished and s.high is not None:
+            if s.image is not None:
+                img = s.image  # reuse the loop-proposal projection
+            else:
+                dense = decompress(s.high, self._hi_spec)
+                img = jax.tree.map(
+                    np.asarray, project_to_image(dense, self._hi_spec)
+                )
+            out["texture"] = np.asarray(
+                np.clip(np.asarray(img.image) * 255.0, 0, 255), np.uint8
+            )
+            out["meters_per_pixel"] = float(img.meters_per_pixel)
+        return out
+
     def num_inter_constraints(self) -> int:
         return sum(1 for c in self.constraints if c.tag == "INTER")
 

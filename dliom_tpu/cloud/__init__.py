@@ -11,5 +11,6 @@ async_grpc/protobuf — same handler surface, no codegen.
 
 from dliom_tpu.cloud.server import MapBuilderServer
 from dliom_tpu.cloud.client import MapBuilderStub
+from dliom_tpu.cloud.uploader import LocalTrajectoryUploader
 
-__all__ = ["MapBuilderServer", "MapBuilderStub"]
+__all__ = ["MapBuilderServer", "MapBuilderStub", "LocalTrajectoryUploader"]

@@ -155,6 +155,14 @@ class MapBuilderStub:
         r = self._call("occupancy_grid", resolution=float(resolution))
         return r["image"], r["origin_xy"], r["resolution"]
 
+    def submap_query(self, submap_id: int) -> dict:
+        """Per-submap texture + pose (SubmapQuery service analog,
+        cartographer_ros/node.cc:107-114): dict with poses/version and,
+        for finished submaps, a uint8 top-down texture + meters_per_pixel."""
+        r = dict(self._call("submap_query", submap_id=int(submap_id)))
+        r.pop("ok", None)
+        return r
+
     def map_cloud(self, voxel_size: float = 0.0) -> np.ndarray:
         """Full-map point cloud under the current optimized poses (node.cc
         full-map publisher analog); voxel_size > 0 downsamples."""

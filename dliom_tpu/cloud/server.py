@@ -31,6 +31,8 @@ class MapBuilderServer:
         self._listener.listen(8)
         self.address = self._listener.getsockname()
         self._threads = []
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
 
     # ----- lifecycle -----
 
@@ -49,11 +51,30 @@ class MapBuilderServer:
             self._listener.close()
         except OSError:
             pass
+        # Close live connections too: once the SLAM thread stops draining,
+        # acking further sensor RPCs would fake acceptance of data that will
+        # never be processed (an uplink client must instead see the failure
+        # and retain its batch — LocalTrajectoryUploader resend semantics).
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
 
     # ----- SLAM thread (ProcessSensorDataQueue) -----
 
     def _slam_loop(self) -> None:
-        while not self._stop.is_set():
+        # Drain stays alive until the queue is empty even after shutdown():
+        # an acked sensor RPC means "will be processed"; dropping queued
+        # items at stop would silently break that contract for uplink
+        # clients whose batches were already acknowledged.
+        while not self._stop.is_set() or not self._queue.empty():
             try:
                 item = self._queue.get(timeout=0.1)
             except queue.Empty:
@@ -126,23 +147,32 @@ class MapBuilderServer:
                 conn, _ = self._listener.accept()
             except OSError:
                 return
+            with self._conns_lock:
+                self._conns.add(conn)
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
 
     def _serve_conn(self, conn: socket.socket) -> None:
-        with conn:
-            while not self._stop.is_set():
-                try:
-                    msg = wire.recv_msg(conn)
-                except (ConnectionError, ValueError):
-                    return
-                if msg is None:
-                    return
-                try:
-                    reply = self._handle(msg)
-                except Exception as e:  # handler errors answer, not kill
-                    reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-                wire.send_msg(conn, reply)
+        try:
+            with conn:
+                while not self._stop.is_set():
+                    try:
+                        msg = wire.recv_msg(conn)
+                    except (OSError, ValueError):
+                        return
+                    if msg is None or self._stop.is_set():
+                        return
+                    try:
+                        reply = self._handle(msg)
+                    except Exception as e:  # handler errors answer, not kill
+                        reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                    try:
+                        wire.send_msg(conn, reply)
+                    except OSError:
+                        return
+        finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
 
     # ----- handlers (cloud/internal/handlers/) -----
 
@@ -159,6 +189,30 @@ class MapBuilderServer:
                     "add_navsat_data": "navsat"}[method]
             self._queue.put((kind, p, None))
             return {"ok": True}
+        if method == "add_sensor_data_batch":
+            # batching uplink (add_sensor_data_batch_handler.cc): one RPC
+            # carries many sensor items from a LocalTrajectoryUploader; all
+            # enqueue in order, the ack means "accepted into the SLAM queue"
+            kinds = {"imu", "range", "fixed_frame", "navsat", "odometry",
+                     "landmark", "finish"}
+            items = p.get("items", [])
+            for item in items:
+                if item.get("kind") not in kinds:
+                    return {
+                        "ok": False,
+                        "error": f"unknown batch item kind {item.get('kind')!r}",
+                    }
+            for item in items:
+                self._queue.put((item["kind"], item.get("params", {}), None))
+            return {"ok": True, "count": len(items)}
+        if method == "submap_query":
+            # per-submap texture+pose query (MapBuilder::SubmapToProto,
+            # map_builder.cc:186-204 / Submap3D::ToResponseProto,
+            # submap_3d.cc:253; ROS SubmapQuery service, node.cc:107-114)
+            with self._lock:
+                return dict(
+                    self.map_builder.submap_query(int(p["submap_id"])), ok=True
+                )
         if method == "add_trajectory":
             # synchronous (add_trajectory_handler): the id must return
             with self._lock:

@@ -100,6 +100,8 @@ class _TrajectoryBuilder:
         self._navsat = None  # lazily-anchored NavSatConverter
         self._jit_aux: dict = {}
         self._collator = None
+        self._last_queue_time: dict = {}  # per-sensor monotonicity guard
+        self.num_out_of_order_dropped = 0
         self.finished = False
         self._prev_node = None  # (pose-graph node id, time) of the last node
         # num_accumulated_range_data > 1: merged scans accumulate (in the
@@ -137,7 +139,33 @@ class _TrajectoryBuilder:
             )
             self._drain_collator()
             return
+        if self._reject_out_of_order("imu", float(time)):
+            return
         self._handle_imu_data(time, linear_acceleration, angular_velocity)
+
+    def _reject_out_of_order(self, queue: str, time: float) -> bool:
+        """Default-path ordering invariant (OrderedMultiQueue's per-queue
+        monotonicity CHECK, sensor/internal/ordered_multi_queue.cc): the
+        reference CRASHES on a non-increasing stamp within one sensor
+        queue; the default Python ingest (no native collator) instead
+        drops the sample with a warning — a negative-dt IMU sample would
+        otherwise silently corrupt the preintegration window. Returns True
+        if the sample must be dropped."""
+        last = self._last_queue_time.get(queue)
+        if last is not None and time <= last:
+            import warnings
+
+            self.num_out_of_order_dropped += 1
+            warnings.warn(
+                f"out-of-order {queue} sample dropped: t={time:.6f} <= last "
+                f"dispatched t={last:.6f} (trajectory {self.trajectory_id}); "
+                "feed sensors in time order or enable the native collator "
+                "(MapBuilder(use_native_collator=True))",
+                stacklevel=3,
+            )
+            return True
+        self._last_queue_time[queue] = time
+        return False
 
     def _handle_imu_data(self, time, linear_acceleration, angular_velocity):
         self.parent._pulse(self.trajectory_id, "imu", time)
@@ -227,6 +255,10 @@ class _TrajectoryBuilder:
                 (points, point_times),
             )
             return self._drain_collator()
+        if self._reject_out_of_order(
+            sensor_id or self._synchronizer.primary, float(time)
+        ):
+            return None
         return self._handle_range_data(time, points, point_times, sensor_id)
 
     def _handle_range_data(
@@ -710,6 +742,11 @@ class MapBuilder:
         return {k: v.rate() for k, v in self._rate_timers.items()}
 
     # ----- queries -----
+
+    def submap_query(self, submap_id: int) -> dict:
+        """Per-submap texture+pose query (MapBuilder::SubmapToProto,
+        map_builder.cc:186-204); see PoseGraph.submap_query."""
+        return self.pose_graph.submap_query(submap_id)
 
     def local_trajectory(self, trajectory_id: int = 0) -> List[dict]:
         return list(self._trajectories[trajectory_id]._results)

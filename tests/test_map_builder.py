@@ -425,3 +425,34 @@ def test_imu_bridge_capacity_scales_with_accumulation():
         _, _, _, mask2 = traj._imu_bridge(2.0)
     assert any("IMU bridge overflow" in str(x.message) for x in w)
     assert int(np.asarray(mask2).sum()) == 2 * cap1
+
+
+def test_out_of_order_samples_rejected_on_default_path():
+    """Default (non-collator) ingest enforces the reference's per-queue
+    monotonicity invariant (OrderedMultiQueue, ordered_multi_queue.cc): a
+    non-increasing stamp is dropped with a warning instead of silently
+    corrupting the IMU window with a negative dt."""
+    import warnings
+
+    builder = MapBuilder(_config())
+    traj = builder._trajectories[0]
+    builder.add_imu_data(0.10, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+    builder.add_imu_data(0.11, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        builder.add_imu_data(0.105, [0.0, 0.0, G], [0.0, 0.0, 0.0])  # late
+        builder.add_imu_data(0.11, [0.0, 0.0, G], [0.0, 0.0, 0.0])  # dup
+    assert sum("out-of-order imu" in str(x.message) for x in w) == 2
+    assert traj.num_out_of_order_dropped == 2
+    assert traj._imu_times == [0.10, 0.11]
+    # in-order continues to flow
+    builder.add_imu_data(0.12, [0.0, 0.0, G], [0.0, 0.0, 0.0])
+    assert traj._imu_times == [0.10, 0.11, 0.12]
+    # range queue has its own independent monotonicity guard
+    pts = np.zeros((8, 3), np.float32)
+    builder.add_range_data(0.3, pts)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        builder.add_range_data(0.25, pts)
+    assert sum("out-of-order" in str(x.message) for x in w) == 1
+    assert traj.num_out_of_order_dropped == 3
