@@ -157,6 +157,35 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_sec = MEASURE * CHUNK / dt
+
+    # Validity guard: apply-group capacity overflow silently degrades the
+    # map (updates dropped, only a gauge increments) while throughput stays
+    # flat — a bench number with nonzero drops is not a valid result.
+    sm = join(grids, rest).frontend.submaps
+    drops = {
+        "brick_groups_dropped": (
+            int(np.asarray(sm.high_brick.dropped)[0])
+            if sm.high_brick is not None
+            else 0
+        ),
+        "low_brick_groups_dropped": (
+            int(np.asarray(sm.low_brick.dropped)[0])
+            if sm.low_brick is not None
+            else 0
+        ),
+        "dense_groups_dropped": (
+            int(np.asarray(sm.dense_dropped)[0])
+            if sm.dense_dropped is not None
+            else 0
+        ),
+    }
+    if any(drops.values()):
+        raise SystemExit(
+            f"benchmark invalid: grid updates were dropped {drops} — raise "
+            "the apply-group capacities (brick_apply_groups / "
+            "low_brick_apply_groups / dense_apply_groups)"
+        )
+
     print(
         json.dumps(
             {
@@ -164,6 +193,7 @@ def main():
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / 30.0, 2),
+                **drops,
             }
         )
     )
