@@ -167,6 +167,11 @@ class PoseGraph:
         self._landmark_ids: Dict[str, int] = {}
         # node-node relative odometry links (first, second, Rigid3)
         self.odometry_links: List[Tuple[int, int, Rigid3]] = []
+        # per-finished-submap constraint-search wall latency (seconds), one
+        # entry per _compute_constraints_for_submap call — the analog of the
+        # reference's work-item queue latency on its 8 background threads
+        # (constraint_builder_3d.cc WhenDone timing); benchmark surface.
+        self.constraint_search_seconds: List[float] = []
 
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
@@ -635,6 +640,17 @@ class PoseGraph:
         return out[-k:] if k > 0 else []
 
     def _compute_constraints_for_submap(self, from_id: int) -> int:
+        """Timed entry: records per-finished-submap search wall latency in
+        `constraint_search_seconds` (covers inline and pool-worker paths)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            return self._compute_constraints_for_submap_impl(from_id)
+        finally:
+            self.constraint_search_seconds.append(_time.perf_counter() - t0)
+
+    def _compute_constraints_for_submap_impl(self, from_id: int) -> int:
         """ComputeConstraintsBetweenSubmaps (constraint_builder_3d.cc:162):
         every `every_nodes_to_find_constraint`-th node of the finishing
         submap is matched against each close older submap; submaps of

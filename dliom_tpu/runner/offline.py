@@ -111,7 +111,16 @@ def _load_npz_dataset(path: str):
     return scans, imu, gt
 
 
-def run(args) -> dict:
+def run(args, on_builder=None) -> dict:
+    """Replay the dataset and return the report dict. `on_builder`
+    (optional) is called with the finished MapBuilder just before
+    returning, so callers (e.g. tools/long_course.py) can derive extra
+    metrics — constraint precision vs ground truth — from the final pose
+    graph without re-running the replay."""
+    return _run(args, on_builder)
+
+
+def _run(args, on_builder=None) -> dict:
     cfg = load_config(args.preset, json.loads(args.config_overrides or "{}"))
     if args.dataset == "synthetic":
         cfg = cfg.override(
@@ -207,6 +216,15 @@ def run(args) -> dict:
                     f" inserted={res['inserted']}",
                     file=sys.stderr,
                 )
+    # Finish trajectories and wait for the background constraint searches,
+    # then capture PRE-final-optimization poses (the frontend+periodic-SPA
+    # estimate) before RunFinalOptimization — the reference's eval loop
+    # likewise distinguishes the online estimate from the final one
+    # (offline_node.cc RunFinalOptimization after the bag ends).
+    for tid in list(builder._trajectories):
+        builder.finish_trajectory(tid)
+    builder.pose_graph.wait_for_all_computations()
+    pre_nodes = builder.optimized_node_poses()
     builder.finish_trajectory()
     elapsed = wall.perf_counter() - t0
     if profile_dir:
@@ -229,6 +247,16 @@ def run(args) -> dict:
         "wall_seconds": round(elapsed, 2),
         "scans_per_sec": round(len(scans) / max(elapsed, 1e-9), 2),
     }
+    lat = builder.pose_graph.constraint_search_seconds
+    if lat:
+        # per-finished-submap loop-search latency (backend-on benchmark
+        # surface; the reference runs these on 8 background threads)
+        report["constraint_search_latency_s"] = {
+            "count": len(lat),
+            "mean": round(float(np.mean(lat)), 3),
+            "p50": round(float(np.median(lat)), 3),
+            "max": round(float(np.max(lat)), 3),
+        }
     if nodes and args.output_csv:
         write_trajectory_csv(
             args.output_csv, [t for t, _ in nodes], [p for _, p in nodes]
@@ -304,16 +332,32 @@ def run(args) -> dict:
         report["assets_pipeline"] = stats
     if gt is not None and nodes:
         gt_t, gt_p = gt
-        est_t = np.asarray([t for t, _ in nodes])
-        est_p = np.stack([np.asarray(p.translation) for _, p in nodes])
         from dliom_tpu.evaluation.ate import associate
 
-        est_cov, gt_interp = associate(est_t, est_p, gt_t, gt_p)
-        if len(est_cov) >= 3:
-            report["ate_rmse_m"] = round(ate_rmse(est_cov, gt_interp, align=False), 4)
-            report["ate_rmse_aligned_m"] = round(
-                ate_rmse(est_cov, gt_interp, align=True), 4
+        def _ate(node_list):
+            est_t = np.asarray([t for t, _ in node_list])
+            est_p = np.stack(
+                [np.asarray(p.translation) for _, p in node_list]
             )
+            est_cov, gt_interp = associate(est_t, est_p, gt_t, gt_p)
+            if len(est_cov) < 3:
+                return None, None
+            return (
+                round(ate_rmse(est_cov, gt_interp, align=False), 4),
+                round(ate_rmse(est_cov, gt_interp, align=True), 4),
+            )
+
+        raw, aligned = _ate(nodes)
+        if raw is not None:
+            report["ate_rmse_m"] = raw
+            report["ate_rmse_aligned_m"] = aligned
+        if pre_nodes:
+            raw, aligned = _ate(pre_nodes)
+            if raw is not None:
+                report["pre_optimization_ate_rmse_m"] = raw
+                report["pre_optimization_ate_rmse_aligned_m"] = aligned
+    if on_builder is not None:
+        on_builder(builder, report)
     return report
 
 
