@@ -160,6 +160,38 @@ def convert_rosbag(
     return k
 
 
+def convert_ntu_viral(bag_path: str, out_path: str,
+                      max_scans: Optional[int] = None) -> int:
+    """NTU VIRAL bag (e.g. eee_01.bag) -> canonical .npz, with the exact
+    topic wiring of the reference's demo (demo_dlio_viral.launch:28-30:
+    imu:=/imu/imu, points2:=/os1_cloud_node1/points — the horizontal
+    Ouster OS1-16; the second LiDAR is commented out in the demo too).
+
+    Full reproduction of the reference's NTU VIRAL eval (BASELINE.md ATE
+    target), to run in any ROS environment with the bag downloaded from
+    https://ntu-aris.github.io/ntu_viral_dataset/ :
+
+      python -c "from dliom_tpu.io.datasets import convert_ntu_viral; \\
+                 convert_ntu_viral('eee_01.bag', 'eee_01.npz')"
+      python -m dliom_tpu.runner.offline --dataset eee_01.npz \\
+          --preset viral --output-csv eee_01_traj.csv
+
+    then compare the CSV against the dataset's ground truth
+    (`/leica/pose/relative` topic / the published ATE tooling) — the same
+    eval loop as the reference's offline_node replay +
+    WriteTrajectoryForDLIO (offline_node.cc, map_builder_bridge.cc:310).
+    This container has no network egress and does not bundle the bag, so
+    the command is documented rather than executed here; the synthetic
+    ≥1 km evidence lives in tools/long_course.py."""
+    return convert_rosbag(
+        bag_path, out_path,
+        points_topics=["/os1_cloud_node1/points"],
+        imu_topic="/imu/imu",
+        sensor_type="ouster",
+        max_scans=max_scans,
+    )
+
+
 def write_npz_sequence(
     out_path: str,
     scans: Sequence[Tuple[float, np.ndarray, Optional[np.ndarray]]],
