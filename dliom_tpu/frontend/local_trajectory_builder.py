@@ -47,7 +47,6 @@ from dliom_tpu.ops.scan_matcher import match
 from dliom_tpu.ops.voxel_filter import (
     FilteredCloud,
     adaptive_voxel_filter,
-    truncate_cloud,
     voxel_filter,
     voxel_filter_mask,
 )
@@ -164,9 +163,9 @@ def step(
     # 4. Voxel filter at full size -> filtered range data in local frame
     #    (:477-482); origin = current (scan-end) position.
     filtered = voxel_filter(
-        hits_local, half.times, in_range, cfg.voxel_filter_size
+        hits_local, half.times, in_range, cfg.voxel_filter_size,
+        out_capacity=cfg.max_filtered_points,
     )
-    filtered = truncate_cloud(filtered, cfg.max_filtered_points)
     current_origin = prediction.translation
 
     # 5. To tracking frame; adaptive filters (AddAccumulatedRangeData:506-534).

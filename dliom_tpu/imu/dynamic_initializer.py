@@ -33,7 +33,7 @@ from dliom_tpu.imu import preintegration as pre
 from dliom_tpu.imu.initialization import AlignmentInput, initialize_dynamic
 from dliom_tpu.mapping.grid import GridSpec
 from dliom_tpu.ops.ndt import build_field, match as ndt_match
-from dliom_tpu.ops.voxel_filter import voxel_filter, truncate_cloud
+from dliom_tpu.ops.voxel_filter import voxel_filter
 from dliom_tpu.transform.rigid import Rigid3, quat_from_two_vectors, quat_multiply, quat_normalize, quat_rotate
 
 
@@ -126,8 +126,10 @@ class DynamicInitializer:
     def _prep(self, points: np.ndarray):
         pts = jnp.asarray(points, jnp.float32).reshape(-1, 3)
         n = pts.shape[0]
-        f = voxel_filter(pts, jnp.zeros(n), jnp.ones(n, bool), 0.3)
-        return truncate_cloud(f, self.ODOM_POINTS)
+        return voxel_filter(
+            pts, jnp.zeros(n), jnp.ones(n, bool), 0.3,
+            out_capacity=self.ODOM_POINTS,
+        )
 
     def add_scan(self, stamp: float, points: np.ndarray) -> Optional[InitResult]:
         cur = self._prep(points)

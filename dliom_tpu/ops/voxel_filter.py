@@ -1,4 +1,4 @@
-"""Fixed-capacity voxel downsampling filters (single-sort implementations).
+"""Fixed-capacity voxel downsampling filters (sorted-domain selection).
 
 TPU-native counterpart of the reference's hash-set `VoxelFilter` /
 `AdaptiveVoxelFilter` (`cartographer/sensor/internal/voxel_filter.cc`):
@@ -10,9 +10,23 @@ TPU-native counterpart of the reference's hash-set `VoxelFilter` /
     max_range (:37-74).
 
 Vectorization strategy (scatter/sort ops on TPU are latency-bound per
-element, so each filter does exactly ONE sort):
+element; sort cost scales with operand count, so the design minimizes
+*array passes through sorts*, not just sort invocations):
 
-  * plain filter: one sort of clamped linear voxel keys + segmented-first;
+  * plain filter: one 2-array sort of clamped linear voxel keys +
+    segmented-first in the sorted domain, then ONE single-array rank sort
+    that simultaneously compacts survivors to the front, restores input
+    order, and applies the output-capacity cut — payloads are fetched once
+    with a single `out_capacity`-row gather instead of riding 5-array
+    payload sorts (previously: sort + unsort + 5-payload compaction sort +
+    truncation gather — 9 sorted-array passes; now 3);
+  * capacity cut: when survivors exceed `out_capacity`, the filter keeps
+    the first survivor of each output slot `(rank * capacity) // count` —
+    a uniform-stride subsample like `truncate_cloud`, but stratified over
+    the *voxel-code order* (i.e. spatially) rather than over scan order,
+    which is the better sampling and costs nothing extra (the rank is a
+    byproduct of the selection cumsum). Under capacity the two are
+    identical (all survivors, input order, compacted to the front);
   * adaptive filter: voxels at the *finest* ladder length are Morton-encoded
     (ops/morton.py), so every coarser dyadic level is a prefix of the same
     sorted array — counts for all levels and the survivor set of the chosen
@@ -39,10 +53,11 @@ import jax.numpy as jnp
 from dliom_tpu.ops import morton
 
 _LINEAR_R = 1280  # linear keys: 1280^3 < 2^31
+_IDX_SENTINEL = 2**31 - 1
 
 
 class FilteredCloud(NamedTuple):
-    """Survivors compacted to the front; same capacity as input."""
+    """Survivors compacted to the front (input order preserved)."""
 
     points: jnp.ndarray  # (N, 3)
     times: jnp.ndarray  # (N,)
@@ -61,23 +76,51 @@ def _unsort(s_idx: jnp.ndarray, s_vals: jnp.ndarray) -> jnp.ndarray:
     return vals
 
 
-def _compact(points, times, mask, keep) -> FilteredCloud:
-    """Compact survivors to the front (input order preserved). One payload
-    sort by (dropped, index) — TPU sorts are ~4x faster than the two random
-    scatters of the cumsum-destination formulation."""
+def _select_compact(
+    points: jnp.ndarray,
+    times: jnp.ndarray,
+    keep_sorted: jnp.ndarray,  # (N,) keep flags in sorted-key domain
+    s_idx: jnp.ndarray,  # (N,) original index per sorted position
+    out_capacity: int,
+) -> FilteredCloud:
+    """Shared filter tail: capacity-select survivors (flagged in the sorted
+    domain) and emit them compacted to the front in input order.
+
+    Selection: survivor rank r (position among keeps in sorted-key order) is
+    kept iff its output slot `(r * capacity) // count` differs from rank
+    r-1's — the first survivor of each slot. For count <= capacity that is
+    every survivor; beyond, it is a uniform stride over the code-sorted
+    (spatially stratified) survivor sequence. One single-array sort of the
+    selected original indices then yields output order + compaction + the
+    capacity slice together; payloads are gathered once at out_capacity
+    rows."""
     n = points.shape[0]
-    keep = keep & mask
-    idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(keep, idx, jnp.int32(n) + idx)
-    _, out_x, out_y, out_z, out_t = jax.lax.sort(
-        [key, points[:, 0], points[:, 1], points[:, 2], times], num_keys=1
-    )
-    count = jnp.sum(keep.astype(jnp.int32))
-    out_m = idx < count
-    out_p = jnp.where(
-        out_m[:, None], jnp.stack([out_x, out_y, out_z], axis=1), 0.0
-    )
-    return FilteredCloud(out_p, jnp.where(out_m, out_t, 0.0), out_m)
+    cap = min(out_capacity, n)
+    if cap < n:
+        # rank * cap rides int32 (the frontend's 32768 * 8192 < 2^31); the
+        # uncapped path below never forms the product
+        assert n * cap < 2**31, "capacity cut exceeds int32 rank arithmetic"
+        keep_i = keep_sorted.astype(jnp.int32)
+        rank = jnp.cumsum(keep_i) - keep_i
+        count = jnp.maximum(jnp.sum(keep_i), 1)
+        over = count > cap
+        slot = (rank * cap) // count
+        prev_slot = ((rank - 1) * cap) // count
+        sel = keep_sorted & (~over | (rank == 0) | (slot != prev_slot))
+    else:
+        sel = keep_sorted
+    out_key = jnp.where(sel, s_idx, _IDX_SENTINEL)
+    out_idx = jax.lax.sort(out_key)[:cap]
+    out_mask = out_idx < _IDX_SENTINEL
+    safe = jnp.where(out_mask, out_idx, 0)
+    out_p = jnp.where(out_mask[:, None], points[safe], 0.0)
+    out_t = jnp.where(out_mask, times[safe], 0.0)
+    if out_capacity > cap:
+        pad = out_capacity - cap
+        out_p = jnp.pad(out_p, ((0, pad), (0, 0)))
+        out_t = jnp.pad(out_t, (0, pad))
+        out_mask = jnp.pad(out_mask, (0, pad))
+    return FilteredCloud(out_p, out_t, out_mask)
 
 
 def voxel_filter_mask(
@@ -86,9 +129,8 @@ def voxel_filter_mask(
     """Keep-mask (in input order) of the plain voxel filter.
 
     For consumers that work under masking and don't need the survivors
-    compacted to the front: one sort + one bool scatter, instead of the
-    full filter's additional cumsum + point/time scatters.
-    """
+    compacted to the front: one sort + one unsort-sort, no payload
+    movement."""
     n = points.shape[0]
     cells = jnp.round(points / edge_length).astype(jnp.int32)
     c = jnp.clip(cells + _LINEAR_R // 2, 0, _LINEAR_R - 1)
@@ -105,10 +147,22 @@ def voxel_filter(
     times: jnp.ndarray,
     mask: jnp.ndarray,
     edge_length: float,
+    out_capacity: int | None = None,
 ) -> FilteredCloud:
-    """Plain voxel filter at a fixed edge length. One sort."""
-    keep = voxel_filter_mask(points, mask, edge_length)
-    return _compact(points, times, mask, keep)
+    """Plain voxel filter at a fixed edge length, optionally capacity-cut.
+
+    Output arrays have `out_capacity` rows (default: input size). Passing
+    `out_capacity` here replaces a `voxel_filter` + `truncate_cloud` chain
+    at one third of the sorted-array traffic and no full-width gather."""
+    n = points.shape[0]
+    cells = jnp.round(points / edge_length).astype(jnp.int32)
+    c = jnp.clip(cells + _LINEAR_R // 2, 0, _LINEAR_R - 1)
+    code = (c[:, 0] * _LINEAR_R + c[:, 1]) * _LINEAR_R + c[:, 2]
+    code = jnp.where(mask, code, jnp.int32(2**31 - 1))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
+    return _select_compact(points, times, keep_sorted, s_idx, out_capacity or n)
 
 
 def adaptive_voxel_filter(
@@ -162,15 +216,15 @@ def adaptive_voxel_filter(
     # Sparse-enough input bypasses filtering (voxel_filter.cc:39-42).
     keep_sorted = jnp.where(n_valid <= min_num_points, s_valid, keep_sorted)
 
-    keep = _unsort(s_idx, keep_sorted.astype(jnp.int32)).astype(bool)
-    out = _compact(points, times, in_range, keep)
-    if out_capacity is not None and out_capacity != n:
-        out = truncate_cloud(out, out_capacity)
-    return out
+    return _select_compact(points, times, keep_sorted, s_idx, out_capacity or n)
 
 
 def truncate_cloud(cloud: FilteredCloud, capacity: int) -> FilteredCloud:
-    """Uniform-stride downsample of a compacted cloud to a smaller capacity."""
+    """Uniform-stride downsample of a compacted cloud to a smaller capacity.
+
+    Standalone consumer surface (pipelines, initializer odometry); the
+    frontend filters take `out_capacity` directly, which folds this into
+    their selection sort."""
     n = cloud.points.shape[0]
     if capacity >= n:
         pad = capacity - n
