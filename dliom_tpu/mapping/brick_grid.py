@@ -336,8 +336,9 @@ def _insert_brick_slots(
 
     if spec.apply_groups > 0:
         # Fast path: allocation + directory maintenance at GRID-STEP
-        # granularity. build_group_tables (one-hot matmuls, no scatters)
-        # yields the per-step dir-group ids; gather/alloc/scatter then touch
+        # granularity. build_group_tables (binary search over the head
+        # cumsum, no scatters) yields the per-step dir-group ids;
+        # gather/alloc/scatter then touch
         # `apply_groups` elements instead of M. "Update once, hits first"
         # emerges from the kernel's count encoding (ops/pallas_apply.py).
         from dliom_tpu.ops.pallas_apply import (
@@ -345,10 +346,6 @@ def _insert_brick_slots(
             build_group_tables,
         )
 
-        # build_group_tables carries group ids and record positions through
-        # f32 matmul channels — both must stay exactly representable
-        assert ndg_flat < 2**24, "slot-qualified dir-group ids exceed f32 ints"
-        assert m < 2**24, "record count exceeds f32-exact positions"
         rows_dir, starts, ends = build_group_tables(
             s_g, s_valid, int(spec.apply_groups)
         )

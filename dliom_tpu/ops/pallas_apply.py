@@ -115,45 +115,32 @@ def build_group_tables(group_of: jnp.ndarray, valid: jnp.ndarray,
     entirely (never half-applied: its range is simply absent). Group ranks
     come from a cumsum, so they are gapless — `ends[r]` is just
     `starts[r+1]`, with `n_valid` as the default (simultaneously the end of
-    the last real group and the empty range for unused steps)."""
-    m = group_of.shape[0]
-    pos = jnp.arange(m, dtype=jnp.int32)
+    the last real group and the empty range for unused steps).
+
+    The head with rank r sits at the first position where the head-cumsum
+    reaches r+1, so all B+1 head positions come from one vectorized binary
+    search over the (nondecreasing) cumsum — B*log2(M) gathered elements.
+    The previous formulation selected heads with an (M, B+1) one-hot MXU
+    contraction, whose operand materialization scales with M*B (~800 MB of
+    f32 at M=400k, B=512) and dominated the insert at large record counts.
+    bounds[B] is the FIRST overflow head (rank == B), so records of dropped
+    groups never leak into group B-1's range."""
     head = jnp.concatenate(
         [jnp.ones(1, bool), group_of[1:] != group_of[:-1]]
     )
     vhead = head & valid
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    rank = jnp.cumsum(vhead.astype(jnp.int32)) - vhead.astype(jnp.int32)
-    # Ranks are unique per head, so "the head with rank r" is a selection,
-    # expressible as a one-hot matmul instead of two M-index scatters (TPU
-    # scatter serializes per index; the MXU contraction is one pass).
-    # Channels: [group id, start pos, presence]; group ids and positions are
-    # < 2^24, exact in f32. bounds[B] comes from the FIRST overflow head
-    # (rank == B, unique), so records of dropped groups never leak into
-    # group B-1's range; heads with rank > B match no column.
-    tgt = jnp.where(vhead, rank, jnp.int32(num_groups + 1))
-    oh = (
-        tgt[:, None] == jnp.arange(num_groups + 1, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)
-    vals = jnp.stack(
-        [
-            group_of.astype(jnp.float32),
-            pos.astype(jnp.float32),
-            jnp.ones((m,), jnp.float32),
-        ],
-        axis=1,
-    )
-    agg = jax.lax.dot_general(
-        oh, vals, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (num_groups + 1, 3)
-    present = agg[:, 2] > 0.0
+    c = jnp.cumsum(vhead.astype(jnp.int32))
+    heads_total = c[-1]
+    targets = jnp.arange(1, num_groups + 2, dtype=jnp.int32)
+    bounds = jnp.searchsorted(c, targets, side="left").astype(jnp.int32)
+    present = targets <= heads_total
+    bounds = jnp.where(present, bounds, n_valid)
     rows = jnp.where(
         present[:num_groups],
-        agg[:num_groups, 0].astype(jnp.int32),
+        group_of[jnp.clip(bounds[:num_groups], 0, group_of.shape[0] - 1)],
         jnp.int32(-1),
     )
-    bounds = jnp.where(present, agg[:, 1].astype(jnp.int32), n_valid)
     return rows, bounds[:num_groups], bounds[1:]
 
 
@@ -246,9 +233,6 @@ def apply_grouped_updates(
     cb = cell_bits(cells_per_group)
     g_total = pool_flat.shape[0] // cells_per_group
     assert g_total << cb < 2**31, "packed key group id overflow"
-    # group ids and record positions ride f32 matmul channels in
-    # build_group_tables — both must stay exactly representable
-    assert g_total < 2**24 and sorted_keys.shape[0] < 2**24
     group_of = sorted_keys >> cb
     valid = sorted_keys != _SENTINEL
     rows, starts, ends = build_group_tables(group_of, valid, num_groups)

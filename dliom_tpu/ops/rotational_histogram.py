@@ -67,24 +67,33 @@ def compute_histogram(
     # Sort by (slice, angle); invalid/too-close points go last. One payload
     # sort carrying the xy columns directly (the only coordinates the pair
     # math needs) — gathering rows by the sorted order serializes per
-    # element on TPU, the payload sort does not.
+    # element on TPU, the payload sort does not. Slice and angle pack into
+    # ONE int32 key (slice < 2^11 in the high bits, angle quantized to 20
+    # bits over [-pi, pi] — ~6 urad buckets, far below sensor angular
+    # noise), and validity needs no payload: invalid entries carry the
+    # sentinel slice, so `sorted key >= _NUM_SLICES << 20` recovers it.
     valid = mask & far_enough
-    big = jnp.float32(1e9)
-    sort_slice = jnp.where(valid, seg, _NUM_SLICES + 1)
-    ang_key = jnp.where(valid, angle_about_centroid, big)
-    sseg, _, spx, spy, scx, scy, svalid_i = jax.lax.sort(
+    aq = jnp.clip(
+        ((angle_about_centroid + jnp.pi) * ((1 << 20) / (2.0 * jnp.pi)))
+        .astype(jnp.int32),
+        0,
+        (1 << 20) - 1,
+    )
+    key = jnp.where(
+        valid, (seg << 20) | aq, jnp.int32((_NUM_SLICES + 1) << 20)
+    )
+    skey, spx, spy, scx, scy = jax.lax.sort(
         [
-            sort_slice,
-            ang_key,
+            key,
             points[:, 0],
             points[:, 1],
             centroid[:, 0],
             centroid[:, 1],
-            valid.astype(jnp.int32),
         ],
-        num_keys=2,
+        num_keys=1,
     )
-    svalid = svalid_i.astype(bool)
+    sseg = skey >> 20
+    svalid = sseg < _NUM_SLICES
     sp = jnp.stack([spx, spy], axis=-1)
     sc = jnp.stack([scx, scy], axis=-1)
 
