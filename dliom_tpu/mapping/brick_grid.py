@@ -98,6 +98,12 @@ class BrickGridSpec(NamedTuple):
         return self.max_bricks // self.alloc_bricks
 
     @property
+    def pg_bits(self) -> int:
+        """Bits of a directory entry holding the pool-group id; the
+        remaining high bits carry the slot's spawn EPOCH (see reset_slot)."""
+        return max(1, int(self.num_pool_groups - 1).bit_length())
+
+    @property
     def num_pool_cells(self) -> int:
         return self.max_bricks * BRICK_CELLS
 
@@ -107,9 +113,18 @@ class BrickGridSpec(NamedTuple):
 
 
 class BrickBank(NamedTuple):
-    """Two-slot active-submap bank (all arrays flat, slot-offset indexed)."""
+    """Two-slot active-submap bank (all arrays flat, slot-offset indexed).
 
-    directory: jnp.ndarray  # (2 * num_dir_groups,) int32, -1 = unallocated
+    Directory entries are EPOCH-TAGGED: a non-negative entry is
+    `(epoch << spec.pg_bits) | pool_group`, valid only while `epoch` equals
+    the slot's current `epochs[slot]`. Spawning a submap then recycles a
+    slot by bumping its epoch — O(1) — instead of scattering -1 over every
+    allocated entry (a per-index-serialized ~num_pool_groups scatter that
+    ran EVERY step under the masked-reset discipline; measured ~6% of the
+    batched step). Entries from earlier epochs read as unallocated.
+    -1 = never allocated."""
+
+    directory: jnp.ndarray  # (2 * num_dir_groups,) int32 epoch-tagged entry
     pool: jnp.ndarray  # (2 * num_pool_cells,) int16
     counts: jnp.ndarray  # (2,) int32 allocated groups per slot
     group_of_slot: jnp.ndarray  # (2 * num_pool_groups,) int32 pool group -> dir group
@@ -118,6 +133,10 @@ class BrickBank(NamedTuple):
     # Nonzero means the capacity model is undersized for the data — no
     # silent truncation (exposed as the `brick_groups_dropped` gauge).
     dropped: jnp.ndarray
+    # (2,) int32 per-slot spawn epoch. 31 - pg_bits epoch bits (2^20 spawns
+    # at 2048 pool groups = 42M scans at 40 scans/submap) before wraparound
+    # could false-validate a never-rewritten stale entry.
+    epochs: jnp.ndarray
 
 
 def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
@@ -127,7 +146,18 @@ def make_brick_bank(spec: BrickGridSpec) -> BrickBank:
         counts=jnp.zeros(2, jnp.int32),
         group_of_slot=jnp.zeros(2 * spec.num_pool_groups, jnp.int32),
         dropped=jnp.zeros(1, jnp.int32),
+        epochs=jnp.zeros(2, jnp.int32),
     )
+
+
+def _decode_dir(raw: jnp.ndarray, epoch: jnp.ndarray, spec: BrickGridSpec):
+    """Epoch-tagged entry -> (pool group, currently-allocated?)."""
+    ok = (raw >= 0) & ((raw >> spec.pg_bits) == epoch)
+    return raw & ((1 << spec.pg_bits) - 1), ok
+
+
+def _encode_dir(pg: jnp.ndarray, epoch: jnp.ndarray, spec: BrickGridSpec):
+    return (epoch << spec.pg_bits) | pg
 
 
 def _morton_brick(brick: jnp.ndarray) -> jnp.ndarray:
@@ -174,8 +204,9 @@ def lookup_value_brick(
     an unallocated group. Two chained gathers (directory then pool)."""
     group, cig, ok = _split_cells(cells, spec)
     dir_base = slot * spec.num_dir_groups
-    pg = bank.directory[dir_base + group]
-    has = ok & (pg >= 0)
+    raw = bank.directory[dir_base + group]
+    pg, cur = _decode_dir(raw, bank.epochs[slot], spec)
+    has = ok & cur
     pool_base = slot * spec.num_pool_cells
     addr = (
         pool_base
@@ -214,33 +245,27 @@ def reset_slot(
     branches over the big banks make XLA copy them every step, masked ops
     don't.
 
-    Grouped-apply configs clear ONLY the slot's allocated directory entries
-    (a num_pool_groups-sized scatter via the reverse map, ~KBs): the pool's
-    stale cells become unreachable, and the insert kernel zero-fills a
-    group's whole block when it is (re-)allocated (`fresh`,
-    ops/pallas_apply.py). The XLA fallback path writes only record cells, so
-    there the pool region is cleared for real."""
+    Grouped-apply configs reset in O(1): bump the slot's epoch, which
+    invalidates every directory entry tagged with the old epoch (see
+    BrickBank). The pool's stale cells become unreachable, and the insert
+    kernel zero-fills a group's whole block when it is (re-)allocated
+    (`fresh`, ops/pallas_apply.py). The XLA fallback path writes only
+    record cells, so there the pool region is cleared for real."""
     pending = jnp.asarray(pending)
     counts = bank.counts.at[slot].set(
         jnp.where(pending, 0, bank.counts[slot])
     )
     if spec.apply_groups > 0:
-        npg = spec.num_pool_groups
-        j = jnp.arange(npg, dtype=jnp.int32)
-        allocated = j < bank.counts[slot]
-        dgroups = bank.group_of_slot[slot * npg + j]
-        idx = jnp.where(
-            pending & allocated,
-            slot * spec.num_dir_groups + dgroups,
-            bank.directory.shape[0],
+        epochs = bank.epochs.at[slot].add(
+            jnp.where(pending, jnp.int32(1), jnp.int32(0))
         )
-        directory = bank.directory.at[idx].set(-1, mode="drop")
         return BrickBank(
-            directory=directory,
+            directory=bank.directory,  # old-epoch entries now unallocated
             pool=bank.pool,  # stale; unreachable until re-allocated (fresh)
             counts=counts,
             group_of_slot=bank.group_of_slot,
             dropped=bank.dropped,
+            epochs=epochs,
         )
     # elementwise masked clears, not dynamic_update_slice: under vmap the
     # latter lowers to a scatter on a (B, ·) operand (whole-bank copy)
@@ -254,6 +279,7 @@ def reset_slot(
         counts=counts,
         group_of_slot=bank.group_of_slot,  # stale entries map zeroed cells
         dropped=bank.dropped,
+        epochs=bank.epochs,
     )
 
 
@@ -325,7 +351,10 @@ def _insert_brick_slots(
     # — and the sorted secondary IS the kernel's record key.
     gaddr = jnp.where(valid, slot * ndg + g_lin, ndg_flat)
     sec = cig * 2 + is_miss
-    s_g, s_sec = jax.lax.sort([gaddr, sec], num_keys=2)
+    # unstable: duplicate (group, cell, kind) records are interchangeable
+    # (update-once collapses them), and a stable TPU sort carries an extra
+    # iota tiebreaker operand (+50% sorted bytes, measured +50% time)
+    s_g, s_sec = jax.lax.sort([gaddr, sec], num_keys=2, is_stable=False)
     s_cig = s_sec >> 1
     s_miss = s_sec & 1
     m = s_g.shape[0]
@@ -351,9 +380,10 @@ def _insert_brick_slots(
         )
         present = rows_dir >= 0  # absent steps trail (ranks are gapless)
         row_slot = jnp.clip(jnp.where(present, rows_dir, 0) // ndg, 0, s_count - 1)
-        cur = jnp.where(
-            present, bank.directory[jnp.clip(rows_dir, 0, ndg_flat - 1)], -1
-        )
+        row_epoch = bank.epochs[row_slot]
+        cur_raw = bank.directory[jnp.clip(rows_dir, 0, ndg_flat - 1)]
+        cur_pg, cur_ok = _decode_dir(cur_raw, row_epoch, spec)
+        cur = jnp.where(present & cur_ok, cur_pg, -1)
         needs = present & (cur < 0)
         needs_i = needs.astype(jnp.int32)
         incl = jnp.cumsum(needs_i)
@@ -371,7 +401,8 @@ def _insert_brick_slots(
         pool_row = jnp.where(cur >= 0, cur, jnp.where(alloc, new_pg, -1))
 
         directory = bank.directory.at[jnp.where(alloc, rows_dir, ndg_flat)].set(
-            jnp.where(alloc, new_pg, 0), mode="drop"
+            jnp.where(alloc, _encode_dir(new_pg, row_epoch, spec), 0),
+            mode="drop",
         )
         gos_idx = jnp.where(alloc, row_slot * npg + new_pg, s_count * npg)
         group_of_slot = bank.group_of_slot.at[gos_idx].set(
@@ -417,6 +448,7 @@ def _insert_brick_slots(
         return BrickBank(
             directory=directory, pool=pool, counts=counts,
             group_of_slot=group_of_slot, dropped=dropped,
+            epochs=bank.epochs,
         )
 
     # ---- XLA fallback (tests / CPU) — per-record translation ----
@@ -428,7 +460,10 @@ def _insert_brick_slots(
     # is the head's exclusive prefix at every record of the group).
     s_slot = jnp.clip(s_g // ndg, 0, s_count - 1)
     group_head = jnp.concatenate([jnp.ones(1, bool), s_g[1:] != s_g[:-1]]) & s_valid
-    cur_pg = bank.directory[jnp.clip(s_g, 0, ndg_flat - 1)]
+    s_epoch = bank.epochs[s_slot]
+    raw_pg = bank.directory[jnp.clip(s_g, 0, ndg_flat - 1)]
+    dec_pg, dec_ok = _decode_dir(raw_pg, s_epoch, spec)
+    cur_pg = jnp.where(dec_ok, dec_pg, -1)
     needs = group_head & (cur_pg < 0)
     needs_i = needs.astype(jnp.int32)
     incl = jnp.cumsum(needs_i)
@@ -449,7 +484,7 @@ def _insert_brick_slots(
     alloc_ok = needs & fits
 
     directory = bank.directory.at[jnp.where(alloc_ok, s_g, ndg_flat)].set(
-        jnp.where(alloc_ok, new_pg, 0), mode="drop"
+        jnp.where(alloc_ok, _encode_dir(new_pg, s_epoch, spec), 0), mode="drop"
     )
     gos_idx = jnp.where(alloc_ok, s_slot * npg + new_pg, s_count * npg)
     group_of_slot = bank.group_of_slot.at[gos_idx].set(
@@ -488,7 +523,7 @@ def _insert_brick_slots(
     )
     return BrickBank(
         directory=directory, pool=pool, counts=counts,
-        group_of_slot=group_of_slot, dropped=dropped,
+        group_of_slot=group_of_slot, dropped=dropped, epochs=bank.epochs,
     )
 
 
@@ -499,8 +534,10 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
     Integer-valued op, no AD required."""
 
     @jax.custom_batching.custom_vmap
-    def f(directory, pool, counts, group_of_slot, dropped, origins, hits, masks):
-        bank = BrickBank(directory, pool, counts, group_of_slot, dropped)
+    def f(directory, pool, counts, group_of_slot, dropped, epochs,
+          origins, hits, masks):
+        bank = BrickBank(directory, pool, counts, group_of_slot, dropped,
+                         epochs)
         out = _insert_brick_slots(
             bank, origins, hits, masks, spec=spec,
             hit_probability=hp, miss_probability=mp, num_free_space_voxels=k,
@@ -512,13 +549,15 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        directory, pool, counts, group_of_slot, dropped, origins, hits, masks = (
+        (directory, pool, counts, group_of_slot, dropped, epochs,
+         origins, hits, masks) = (
             bc(x, b) for x, b in zip(args, in_batched)
         )
         s = hits.shape[1]
         bank = BrickBank(
             directory.reshape(-1), pool.reshape(-1), counts.reshape(-1),
             group_of_slot.reshape(-1), dropped.reshape(-1),
+            epochs.reshape(-1),
         )
         out = _insert_brick_slots(
             bank,
@@ -530,7 +569,7 @@ def _brick_with_batch_rule(spec: BrickGridSpec, hp: float, mp: float, k: int):
         )
         return (
             tuple(x.reshape(axis_size, -1) for x in out),
-            (True, True, True, True, True),
+            (True, True, True, True, True, True),
         )
 
     return f
@@ -552,7 +591,7 @@ def insert_range_data_brick_dual(
         spec, float(hit_probability), float(miss_probability),
         int(num_free_space_voxels),
     )(bank.directory, bank.pool, bank.counts, bank.group_of_slot,
-      bank.dropped, origins, hits, masks)
+      bank.dropped, bank.epochs, origins, hits, masks)
     return BrickBank(*out)
 
 

@@ -112,7 +112,7 @@ def insert_range_data(
     sentinel = spec.num_cells
     lin_key = jnp.where(all_valid, all_lin, sentinel)
     key = lin_key * 2 + is_miss.astype(jnp.int32)
-    s_key, s_lin = jax.lax.sort([key, lin_key], num_keys=1)
+    s_key, s_lin = jax.lax.sort([key, lin_key], num_keys=1, is_stable=False)
     s_miss = s_key & 1
     m = s_lin.shape[0]
     first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
@@ -212,8 +212,11 @@ def _insert_slots(
         valid = all_lin < num_flat
         group = all_lin // DENSE_CELLS_PER_GROUP
         cell = all_lin % DENSE_CELLS_PER_GROUP
+        # unstable: duplicate packed records are interchangeable, and a
+        # stable TPU sort carries an extra iota tiebreaker operand
         keys = jax.lax.sort(
-            pack_keys(group, cell, 1 - is_miss, valid, DENSE_CELLS_PER_GROUP)
+            pack_keys(group, cell, 1 - is_miss, valid, DENSE_CELLS_PER_GROUP),
+            is_stable=False,
         )
         return apply_grouped_updates(
             values,
@@ -230,11 +233,11 @@ def _insert_slots(
     # moves half the bytes of a two-key sort).
     if 2 * (num_flat + 1) < 2**31:
         key = all_lin * 2 + is_miss
-        s_key = jax.lax.sort(key)
+        s_key = jax.lax.sort(key, is_stable=False)
         s_lin = s_key >> 1
         s_miss = s_key & 1
     else:
-        s_lin, s_miss = jax.lax.sort([all_lin, is_miss], num_keys=2)
+        s_lin, s_miss = jax.lax.sort([all_lin, is_miss], num_keys=2, is_stable=False)
     m = s_lin.shape[0]
     first = jnp.concatenate([jnp.ones(1, bool), s_lin[1:] != s_lin[:-1]])
     head_pos = jax.lax.cummax(jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0))

@@ -82,6 +82,9 @@ def compute_histogram(
     key = jnp.where(
         valid, (seg << 20) | aq, jnp.int32((_NUM_SLICES + 1) << 20)
     )
+    # unstable: ties share a ~6 urad angle bucket, so pair order within a
+    # tie is physically indistinguishable; stability would drag an extra
+    # iota tiebreaker operand through the 5-array sort
     skey, spx, spy, scx, scy = jax.lax.sort(
         [
             key,
@@ -91,6 +94,7 @@ def compute_histogram(
             centroid[:, 1],
         ],
         num_keys=1,
+        is_stable=False,
     )
     sseg = skey >> 20
     svalid = sseg < _NUM_SLICES

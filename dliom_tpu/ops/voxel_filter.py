@@ -72,7 +72,7 @@ def _first_of_sorted_group(codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarra
 def _unsort(s_idx: jnp.ndarray, s_vals: jnp.ndarray) -> jnp.ndarray:
     """Restore `s_vals` (int32) to input order given the permutation `s_idx`.
     A key-sort is ~4x faster than the equivalent random scatter on TPU."""
-    _, vals = jax.lax.sort([s_idx, s_vals], num_keys=1)
+    _, vals = jax.lax.sort([s_idx, s_vals], num_keys=1, is_stable=False)
     return vals
 
 
@@ -110,7 +110,10 @@ def _select_compact(
     else:
         sel = keep_sorted
     out_key = jnp.where(sel, s_idx, _IDX_SENTINEL)
-    out_idx = jax.lax.sort(out_key)[:cap]
+    # unstable sorts throughout this module: every key below is unique
+    # (original indices / (code, idx) composites), so stability buys nothing
+    # and a stable TPU sort drags an extra iota tiebreaker array along
+    out_idx = jax.lax.sort(out_key, is_stable=False)[:cap]
     out_mask = out_idx < _IDX_SENTINEL
     safe = jnp.where(out_mask, out_idx, 0)
     out_p = jnp.where(out_mask[:, None], points[safe], 0.0)
@@ -137,7 +140,7 @@ def voxel_filter_mask(
     code = (c[:, 0] * _LINEAR_R + c[:, 1]) * _LINEAR_R + c[:, 2]
     code = jnp.where(mask, code, jnp.int32(2**31 - 1))
     idx = jnp.arange(n, dtype=jnp.int32)
-    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2, is_stable=False)
     keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
     return _unsort(s_idx, keep_sorted.astype(jnp.int32)).astype(bool)
 
@@ -160,7 +163,7 @@ def voxel_filter(
     code = (c[:, 0] * _LINEAR_R + c[:, 1]) * _LINEAR_R + c[:, 2]
     code = jnp.where(mask, code, jnp.int32(2**31 - 1))
     idx = jnp.arange(n, dtype=jnp.int32)
-    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2, is_stable=False)
     keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
     return _select_compact(points, times, keep_sorted, s_idx, out_capacity or n)
 
@@ -197,7 +200,7 @@ def adaptive_voxel_filter(
     code = morton.encode(cells)
     code = jnp.where(in_range, code, jnp.int32(2**30))
     idx = jnp.arange(n, dtype=jnp.int32)
-    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2)
+    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2, is_stable=False)
     s_valid = s_code < 2**30
 
     # First-of-group masks for every level, finest (i=0) to coarsest.

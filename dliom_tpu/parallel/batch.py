@@ -87,6 +87,7 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
             counts=jnp.zeros(2 * batch, jnp.int32),
             group_of_slot=jnp.zeros(2 * batch * bspec.num_pool_groups, jnp.int32),
             dropped=jnp.zeros(batch, jnp.int32),
+            epochs=jnp.zeros(2 * batch, jnp.int32),
         )
         high_values = jnp.zeros(0, GRID_DTYPE)
     else:
@@ -103,6 +104,7 @@ def make_batched_lio_state(cfg: TrajectoryBuilderConfig, batch: int) -> LioState
             counts=jnp.zeros(2 * batch, jnp.int32),
             group_of_slot=jnp.zeros(2 * batch * lbspec.num_pool_groups, jnp.int32),
             dropped=jnp.zeros(batch, jnp.int32),
+            epochs=jnp.zeros(2 * batch, jnp.int32),
         )
         low_values = jnp.zeros(0, GRID_DTYPE)
     else:
@@ -193,6 +195,7 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                         counts=br.counts.at[s].set(0),
                         group_of_slot=br.group_of_slot,
                         dropped=br.dropped,
+                        epochs=br.epochs,
                     ),
                     lambda br: br,
                     brick,
@@ -227,6 +230,7 @@ def clear_spawned_slots(cfg: TrajectoryBuilderConfig, state: LioState) -> LioSta
                         counts=br.counts.at[s].set(0),
                         group_of_slot=br.group_of_slot,
                         dropped=br.dropped,
+                        epochs=br.epochs,
                     ),
                     lambda br: br,
                     lbrick,

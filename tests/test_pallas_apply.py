@@ -188,3 +188,33 @@ def test_reset_and_reinsert_grouped_matches_fresh():
     assert int(ca.count) == int(cb.count) and int(ca.count) > 0
     np.testing.assert_array_equal(np.asarray(ca.indices), np.asarray(cb.indices))
     np.testing.assert_array_equal(np.asarray(ca.values), np.asarray(cb.values))
+
+
+def test_many_epochs_recycle_grouped():
+    """The O(1) epoch-bump reset must stay correct across MANY recycles:
+    entries tagged with any older epoch read as unallocated, and each
+    re-insert matches a fresh bank bit-for-bit (directory entries are
+    `(epoch << pg_bits) | pool_group`, mapping/brick_grid.py BrickBank)."""
+    from dliom_tpu.mapping.brick_grid import dense_crop, reset_slot
+
+    base = dict(resolution=0.1, dir_extent=16, max_bricks=768)
+    spec_p = BrickGridSpec(**base, apply_groups=128)
+    rng = np.random.default_rng(11)
+    masks = jnp.asarray(np.ones((2, 256), bool))
+    origins = jnp.asarray(np.zeros((2, 3), np.float32))
+
+    bank = make_brick_bank(spec_p)
+    for epoch in range(1, 6):
+        hits = jnp.asarray(
+            rng.normal(0.1 * epoch, 0.8, (2, 256, 3)).astype(np.float32)
+        )
+        bank = reset_slot(bank, spec_p, 0)
+        assert int(bank.epochs[0]) == epoch and int(bank.epochs[1]) == 0
+        # every pre-reset cell reads as unknown through the bumped epoch
+        assert int(np.abs(np.asarray(dense_crop(bank, spec_p, 0, 32))).sum()) == 0
+        bank = _insert(spec_p, bank, origins, hits, masks)
+        fresh = _insert(spec_p, make_brick_bank(spec_p), origins, hits, masks)
+        np.testing.assert_array_equal(
+            np.asarray(dense_crop(bank, spec_p, 0, 64)),
+            np.asarray(dense_crop(fresh, spec_p, 0, 64)),
+        )
