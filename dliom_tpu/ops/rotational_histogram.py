@@ -51,14 +51,29 @@ def compute_histogram(
     slice_id = jnp.clip(z_slice + _NUM_SLICES // 2, 0, _NUM_SLICES - 1)
     seg = jnp.where(mask, slice_id, _NUM_SLICES)
 
-    # Per-slice centroid (sum and count in one matmul pass).
+    # Per-slice xy centroid (sum and count in one matmul pass), then the
+    # per-point centroid via a SECOND contraction of the same one-hot —
+    # `centroids[seg]` is a per-row-serialized gather (profiled at 57% of
+    # the whole batched frontend step); `oh @ centroids` rides the MXU and
+    # XLA fuses the one-hot build into both matmuls (never materialized).
+    # Only xy is consumed downstream, so z never enters either contraction.
+    # Invalid points (sentinel seg) have an all-zero one-hot row: their
+    # centroid is 0, harmless — they are masked out of `valid` below.
     ones = mask.astype(jnp.float32)
-    sums4 = _segment_sum_mm(
-        seg, _NUM_SLICES,
-        jnp.concatenate([points * ones[:, None], ones[:, None]], axis=1),
+    oh = (
+        seg[:, None] == jnp.arange(_NUM_SLICES, dtype=seg.dtype)[None, :]
+    ).astype(jnp.float32)
+    sums3 = jax.lax.dot_general(
+        oh,
+        jnp.concatenate([points[:, :2] * ones[:, None], ones[:, None]], axis=1),
+        (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    centroids = sums4[:, :3] / jnp.maximum(sums4[:, 3], 1.0)[:, None]
-    centroid = centroids[jnp.clip(seg, 0, _NUM_SLICES - 1)]
+    centroids = sums3[:, :2] / jnp.maximum(sums3[:, 2], 1.0)[:, None]
+    centroid = jax.lax.dot_general(
+        oh, centroids, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     offs = points[:, :2] - centroid[:, :2]
     far_enough = jnp.linalg.norm(offs, axis=-1) >= MIN_DISTANCE

@@ -9,17 +9,16 @@ TPU-native counterpart of the reference's hash-set `VoxelFilter` /
     that still yields >= min_num_points points after filtering points beyond
     max_range (:37-74).
 
-Vectorization strategy (scatter/sort ops on TPU are latency-bound per
-element; sort cost scales with operand count, so the design minimizes
-*array passes through sorts*, not just sort invocations):
+Vectorization strategy (gathers/scatters on TPU are latency-bound PER
+ROW — a capacity-row `points[idx]` gather profiled at 60% of the whole
+batched frontend step — while extra payload arrays riding an existing
+sort stream at memory bandwidth; so coordinates always MOVE AS SORT
+PAYLOADS and the design never materializes a row gather):
 
-  * plain filter: one 2-array sort of clamped linear voxel keys +
-    segmented-first in the sorted domain, then ONE single-array rank sort
-    that simultaneously compacts survivors to the front, restores input
-    order, and applies the output-capacity cut — payloads are fetched once
-    with a single `out_capacity`-row gather instead of riding 5-array
-    payload sorts (previously: sort + unsort + 5-payload compaction sort +
-    truncation gather — 9 sorted-array passes; now 3);
+  * plain filter: one 6-array sort of clamped linear voxel keys carrying
+    (idx, x, y, z, t) + segmented-first in the sorted domain, then one
+    5-array rank sort that simultaneously compacts survivors to the front,
+    restores input order, and applies the output-capacity cut;
   * capacity cut: when survivors exceed `out_capacity`, the filter keeps
     the first survivor of each output slot `(rank * capacity) // count` —
     a uniform-stride subsample like `truncate_cloud`, but stratified over
@@ -77,8 +76,7 @@ def _unsort(s_idx: jnp.ndarray, s_vals: jnp.ndarray) -> jnp.ndarray:
 
 
 def _select_compact(
-    points: jnp.ndarray,
-    times: jnp.ndarray,
+    s_cols: tuple,  # (spx, spy, spz, st): point columns in sorted-key order
     keep_sorted: jnp.ndarray,  # (N,) keep flags in sorted-key domain
     s_idx: jnp.ndarray,  # (N,) original index per sorted position
     out_capacity: int,
@@ -90,11 +88,13 @@ def _select_compact(
     kept iff its output slot `(r * capacity) // count` differs from rank
     r-1's — the first survivor of each slot. For count <= capacity that is
     every survivor; beyond, it is a uniform stride over the code-sorted
-    (spatially stratified) survivor sequence. One single-array sort of the
+    (spatially stratified) survivor sequence. One payload sort keyed on the
     selected original indices then yields output order + compaction + the
-    capacity slice together; payloads are gathered once at out_capacity
-    rows."""
-    n = points.shape[0]
+    capacity slice together, moving the coordinates AS SORT PAYLOADS: a TPU
+    row gather serializes per row (~30 ns each; profiled at 60% of the
+    whole batched step as capacity-row `points[idx]`), while extra payload
+    arrays riding an existing sort stream at memory bandwidth."""
+    n = s_idx.shape[0]
     cap = min(out_capacity, n)
     if cap < n:
         # rank * cap rides int32 (the frontend's 32768 * 8192 < 2^31); the
@@ -113,11 +113,16 @@ def _select_compact(
     # unstable sorts throughout this module: every key below is unique
     # (original indices / (code, idx) composites), so stability buys nothing
     # and a stable TPU sort drags an extra iota tiebreaker array along
-    out_idx = jax.lax.sort(out_key, is_stable=False)[:cap]
-    out_mask = out_idx < _IDX_SENTINEL
-    safe = jnp.where(out_mask, out_idx, 0)
-    out_p = jnp.where(out_mask[:, None], points[safe], 0.0)
-    out_t = jnp.where(out_mask, times[safe], 0.0)
+    out_idx, opx, opy, opz, ot = jax.lax.sort(
+        [out_key, *s_cols], num_keys=1, is_stable=False
+    )
+    out_mask = out_idx[:cap] < _IDX_SENTINEL
+    out_p = jnp.where(
+        out_mask[:, None],
+        jnp.stack([opx[:cap], opy[:cap], opz[:cap]], axis=-1),
+        0.0,
+    )
+    out_t = jnp.where(out_mask, ot[:cap], 0.0)
     if out_capacity > cap:
         pad = out_capacity - cap
         out_p = jnp.pad(out_p, ((0, pad), (0, 0)))
@@ -163,9 +168,15 @@ def voxel_filter(
     code = (c[:, 0] * _LINEAR_R + c[:, 1]) * _LINEAR_R + c[:, 2]
     code = jnp.where(mask, code, jnp.int32(2**31 - 1))
     idx = jnp.arange(n, dtype=jnp.int32)
-    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2, is_stable=False)
+    s_code, s_idx, spx, spy, spz, st = jax.lax.sort(
+        [code, idx, points[:, 0], points[:, 1], points[:, 2], times],
+        num_keys=2,
+        is_stable=False,
+    )
     keep_sorted = _first_of_sorted_group(s_code, s_code < 2**31 - 1)
-    return _select_compact(points, times, keep_sorted, s_idx, out_capacity or n)
+    return _select_compact(
+        (spx, spy, spz, st), keep_sorted, s_idx, out_capacity or n
+    )
 
 
 def adaptive_voxel_filter(
@@ -200,7 +211,11 @@ def adaptive_voxel_filter(
     code = morton.encode(cells)
     code = jnp.where(in_range, code, jnp.int32(2**30))
     idx = jnp.arange(n, dtype=jnp.int32)
-    s_code, s_idx = jax.lax.sort([code, idx], num_keys=2, is_stable=False)
+    s_code, s_idx, spx, spy, spz, st = jax.lax.sort(
+        [code, idx, points[:, 0], points[:, 1], points[:, 2], times],
+        num_keys=2,
+        is_stable=False,
+    )
     s_valid = s_code < 2**30
 
     # First-of-group masks for every level, finest (i=0) to coarsest.
@@ -219,7 +234,9 @@ def adaptive_voxel_filter(
     # Sparse-enough input bypasses filtering (voxel_filter.cc:39-42).
     keep_sorted = jnp.where(n_valid <= min_num_points, s_valid, keep_sorted)
 
-    return _select_compact(points, times, keep_sorted, s_idx, out_capacity or n)
+    return _select_compact(
+        (spx, spy, spz, st), keep_sorted, s_idx, out_capacity or n
+    )
 
 
 def truncate_cloud(cloud: FilteredCloud, capacity: int) -> FilteredCloud:
