@@ -13,6 +13,7 @@ from __future__ import annotations
 import queue
 import socket
 import threading
+import uuid
 
 import numpy as np
 
@@ -22,6 +23,16 @@ from dliom_tpu.cloud import wire
 class MapBuilderServer:
     def __init__(self, map_builder, host: str = "127.0.0.1", port: int = 0):
         self.map_builder = map_builder
+        # Boot/session token: minted once per server PROCESS. An uplink
+        # client (LocalTrajectoryUploader) compares it across reconnects to
+        # tell a transient transport failure to a surviving server (same
+        # token -> its cloud trajectory ids are still valid, do NOT
+        # re-register) from an actual server restart (new token -> the
+        # trajectory registry is gone, re-register). The reference never
+        # needs this because its gRPC channel retries writes on the same
+        # channel and never re-registers (local_trajectory_uploader.cc:
+        # 133-143); surviving a restart is beyond-reference behavior.
+        self.boot_token = uuid.uuid4().hex
         self._queue: queue.Queue = queue.Queue(maxsize=2048)
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -318,6 +329,12 @@ class MapBuilderServer:
             with self._lock:
                 save_state(p["path"], self.map_builder.pose_graph)
             return {"ok": True}
+        if method == "session_info":
+            return {"ok": True, "boot_token": self.boot_token}
         if method == "ping":
-            return {"ok": True, "queued": self._queue.qsize()}
+            return {
+                "ok": True,
+                "queued": self._queue.qsize(),
+                "boot_token": self.boot_token,
+            }
         return {"ok": False, "error": f"unknown method {method!r}"}

@@ -10,18 +10,31 @@ the robot's LOCAL trajectory ids into the uplink server's CLOUD ids at send
 time (`TranslateTrajectoryId`, local_trajectory_uploader.cc:143).
 
 Beyond the reference (whose gRPC client retries writes with an unlimited
-constant-delay strategy, local_trajectory_uploader.cc:133-136), the
-reconnect path here also survives a server RESTART: on connection loss the
-in-flight batch is retained, the uploader re-registers every known local
-trajectory on the new connection (fresh cloud ids), re-translates, and
-resends — no enqueued datum is ever dropped. Delivery is at-least-once and
+constant-delay strategy on the SAME channel and never re-registers,
+local_trajectory_uploader.cc:133-143), the reconnect path here also
+survives a server RESTART: on connection loss the in-flight batch is
+retained and resent. The uploader distinguishes the two failure worlds by
+the server's boot/session token (`session_info` RPC): a reconnect to a
+SURVIVING server (transient TCP reset / RPC timeout) reuses the existing
+cloud trajectory ids — matching the reference's retry-without-re-register
+semantics — while a token change (actual restart: the server's trajectory
+registry is gone) re-registers every known local trajectory (fresh cloud
+ids) and re-translates before resending. No enqueued datum is ever
+dropped by transport failures; delivery is at-least-once and
 order-preserving per uploader.
+
+Application-level rejections (the server is alive and deterministically
+refuses a batch, e.g. a malformed item kind) are NOT retried — retrying a
+persistently rejected batch would wedge the uplink forever. Such batches
+are dead-lettered (bounded `dead_letters` buffer + counters) and the
+stream continues.
 """
 
 from __future__ import annotations
 
 import threading
 import time
+import warnings
 from collections import deque
 from typing import Dict, List, Optional
 
@@ -55,15 +68,21 @@ class LocalTrajectoryUploader:
         self._stub: Optional[MapBuilderStub] = None
 
         # local trajectory id -> (cloud id, range_sensor_ids); the cloud half
-        # is refreshed on every (re)connect (TranslateTrajectoryId state).
+        # (TranslateTrajectoryId state) is valid for one server SESSION —
+        # identified by the boot token below — and rebuilt only when the
+        # token changes (server restart), never on a mere reconnect.
         self._trajectories: Dict[int, dict] = {}
         self._to_cloud: Dict[int, int] = {}
+        self._server_token: Optional[str] = None
         self._traj_lock = threading.Lock()
 
         # observability
         self.num_batches_sent = 0
         self.num_items_sent = 0
         self.num_reconnects = 0
+        self.num_batches_rejected = 0
+        self.num_items_rejected = 0
+        self.dead_letters: List[dict] = []  # last few rejected batches
 
     # ----- lifecycle (Start/Shutdown, local_trajectory_uploader.cc:97-110) --
 
@@ -213,34 +232,56 @@ class LocalTrajectoryUploader:
                 time.sleep(min(0.005, self._flush_interval / 4))
 
     def _send_with_retry(self, items: List[dict]) -> None:
-        """One batch, at-least-once: retried across reconnects (and server
-        restarts) until acked. Translation local->cloud happens here, per
-        attempt, because a reconnect mints fresh cloud ids."""
-        while not self._stop.is_set() or items:
+        """One batch, at-least-once across TRANSPORT failures: retried over
+        reconnects (and server restarts) until acked. Translation
+        local->cloud happens here, per attempt, because a server restart
+        mints fresh cloud ids. APPLICATION rejections (the server answered
+        ok=False: it is alive and refuses this batch deterministically) are
+        dead-lettered instead — retrying them would wedge the uplink and,
+        before the session-token fix, minted an unbounded stream of empty
+        trajectories on the live server."""
+        while True:  # items is non-empty; drain even after stop is set
             try:
                 stub = self._ensure_connected()
-                wire_items = [
-                    {
-                        "kind": it["kind"],
-                        "params": dict(
-                            it["params"],
-                            trajectory_id=self._to_cloud.get(it["tid"], it["tid"]),
-                        ),
-                    }
-                    for it in items
-                ]
-                stub._call("add_sensor_data_batch", items=wire_items)
-                return
-            except (OSError, ConnectionError, RuntimeError):
-                # RuntimeError covers a server-side handler error reply; a
-                # malformed datum must not wedge the uplink forever, but a
-                # whole-batch transport failure must retry. Handler errors
-                # are per-batch ok=False only for unknown methods, which
-                # would be a version mismatch — retrying is still the
-                # conservative choice the reference makes (unlimited
-                # constant-delay retry strategy).
+            except (OSError, ConnectionError):
                 self._drop_connection()
                 time.sleep(self._backoff)
+                continue
+            except RuntimeError:
+                # server alive but rejected session query / registration:
+                # back off and retry on the same connection — dropping it
+                # would only churn
+                time.sleep(self._backoff)
+                continue
+            wire_items = [
+                {
+                    "kind": it["kind"],
+                    "params": dict(
+                        it["params"],
+                        trajectory_id=self._to_cloud.get(it["tid"], it["tid"]),
+                    ),
+                }
+                for it in items
+            ]
+            try:
+                stub._call("add_sensor_data_batch", items=wire_items)
+                return
+            except (OSError, ConnectionError):
+                self._drop_connection()
+                time.sleep(self._backoff)
+            except RuntimeError as e:
+                self.num_batches_rejected += 1
+                self.num_items_rejected += len(items)
+                self.dead_letters.append(
+                    {"error": str(e), "items": list(items)}
+                )
+                del self.dead_letters[:-8]  # bounded
+                warnings.warn(
+                    f"uplink batch of {len(items)} items rejected by the "
+                    f"server and dead-lettered: {e}",
+                    stacklevel=2,
+                )
+                return
 
     def _ensure_connected(self) -> MapBuilderStub:
         if self._stub is None:
@@ -248,13 +289,28 @@ class LocalTrajectoryUploader:
                 self._addr[0], self._addr[1], timeout=self._rpc_timeout
             )
             self.num_reconnects += 1
-            # re-register every local trajectory on the fresh server
-            # (fresh cloud ids; TranslateTrajectoryId's map is rebuilt)
-            with self._traj_lock:
-                trajs = sorted(self._trajectories.items())
-            for local_id, info in trajs:
-                cloud_id = self._stub.add_trajectory(info["range_sensor_ids"])
-                self._to_cloud[local_id] = cloud_id
+            # Same server session (matching boot token) -> the existing
+            # cloud ids are still valid; re-registering would fork the
+            # stream onto brand-new server trajectories mid-flight. Only a
+            # token CHANGE (restart: registry lost) invalidates them.
+            try:
+                token = self._stub._call("session_info").get("boot_token")
+            except RuntimeError:
+                token = None  # server without session_info: can't tell
+            if token is None or token != self._server_token:
+                self._to_cloud.clear()
+                self._server_token = token
+        # register any local trajectory this server session doesn't know yet
+        # (first connect, post-restart, or added after the last connect)
+        with self._traj_lock:
+            missing = [
+                (lid, info)
+                for lid, info in sorted(self._trajectories.items())
+                if lid not in self._to_cloud
+            ]
+        for local_id, info in missing:
+            cloud_id = self._stub.add_trajectory(info["range_sensor_ids"])
+            self._to_cloud[local_id] = cloud_id
         return self._stub
 
     def _drop_connection(self) -> None:

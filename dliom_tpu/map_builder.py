@@ -143,16 +143,25 @@ class _TrajectoryBuilder:
             return
         self._handle_imu_data(time, linear_acceleration, angular_velocity)
 
-    def _reject_out_of_order(self, queue: str, time: float) -> bool:
+    def _reject_out_of_order(
+        self, queue: str, time: float, allow_equal: bool = False
+    ) -> bool:
         """Default-path ordering invariant (OrderedMultiQueue's per-queue
-        monotonicity CHECK, sensor/internal/ordered_multi_queue.cc): the
-        reference CRASHES on a non-increasing stamp within one sensor
-        queue; the default Python ingest (no native collator) instead
-        drops the sample with a warning — a negative-dt IMU sample would
-        otherwise silently corrupt the preintegration window. Returns True
-        if the sample must be dropped."""
+        monotonicity check, sensor/internal/ordered_multi_queue.cc:112 —
+        CHECK_LE, i.e. NON-DECREASING stamps are legal): the reference
+        CRASHES on a decreasing stamp within one sensor queue; the default
+        Python ingest (no native collator) instead drops the sample with a
+        warning. Range queues pass `allow_equal=True` to accept equal
+        stamps, matching CHECK_LE — two LiDARs feeding the primary queue
+        without distinct sensor ids may legitimately stamp two scans
+        identically, and the reference would dispatch both. The IMU queue
+        keeps the stricter `<=` rejection: a dt=0 IMU sample contributes
+        nothing to the preintegration window but would corrupt it with a
+        duplicate reading (and an exact-duplicate resend from an
+        at-least-once uplink is intentionally deduplicated there). Returns
+        True if the sample must be dropped."""
         last = self._last_queue_time.get(queue)
-        if last is not None and time <= last:
+        if last is not None and (time < last if allow_equal else time <= last):
             import warnings
 
             self.num_out_of_order_dropped += 1
@@ -256,7 +265,8 @@ class _TrajectoryBuilder:
             )
             return self._drain_collator()
         if self._reject_out_of_order(
-            sensor_id or self._synchronizer.primary, float(time)
+            sensor_id or self._synchronizer.primary, float(time),
+            allow_equal=True,
         ):
             return None
         return self._handle_range_data(time, points, point_times, sensor_id)

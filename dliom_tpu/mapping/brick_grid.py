@@ -104,6 +104,29 @@ class BrickGridSpec(NamedTuple):
         return max(1, int(self.num_pool_groups - 1).bit_length())
 
     @property
+    def epoch_mask(self) -> int:
+        """Largest storable slot epoch. Directory entries pack
+        `(epoch << pg_bits) | pool_group` into a NON-NEGATIVE int32, so
+        epochs live in [0, 2^(31-pg_bits)); reset_slot wraps the epoch
+        through this mask (an unmasked bump would eventually set the sign
+        bit, making every entry decode as unallocated forever) and
+        incrementally sweeps stale entries so the wrap can never
+        false-validate an old never-rewritten entry either."""
+        return (1 << (31 - self.pg_bits)) - 1
+
+    @property
+    def sweep_per_reset(self) -> int:
+        """Directory entries of the recycled slot cleared per reset_slot.
+        Clearing K consecutive entries at a rotating offset `epoch*K mod
+        num_dir_groups` rewrites every entry of the slot at least once per
+        epoch-wrap period of `epoch_mask+1` resets (the cleared integer
+        range over one period is contiguous of length K*(epoch_mask+1) >=
+        num_dir_groups, hence surjective mod num_dir_groups) — so an entry
+        tagged with epoch e is always cleared before the masked epoch
+        returns to e. Usually 1."""
+        return -(-self.num_dir_groups // (self.epoch_mask + 1))  # ceil
+
+    @property
     def num_pool_cells(self) -> int:
         return self.max_bricks * BRICK_CELLS
 
@@ -133,9 +156,12 @@ class BrickBank(NamedTuple):
     # Nonzero means the capacity model is undersized for the data — no
     # silent truncation (exposed as the `brick_groups_dropped` gauge).
     dropped: jnp.ndarray
-    # (2,) int32 per-slot spawn epoch. 31 - pg_bits epoch bits (2^20 spawns
-    # at 2048 pool groups = 42M scans at 40 scans/submap) before wraparound
-    # could false-validate a never-rewritten stale entry.
+    # (2,) int32 per-slot spawn epoch, wrapped through spec.epoch_mask
+    # (31 - pg_bits bits; 2^20 at 2048 pool groups). The wrap is HARMLESS:
+    # reset_slot clears spec.sweep_per_reset rotating directory entries per
+    # reset, rewriting every entry of the slot at least once per wrap
+    # period, so a stale entry can never false-validate against a wrapped
+    # epoch and encoding never overflows into the int32 sign bit.
     epochs: jnp.ndarray
 
 
@@ -256,11 +282,37 @@ def reset_slot(
         jnp.where(pending, 0, bank.counts[slot])
     )
     if spec.apply_groups > 0:
-        epochs = bank.epochs.at[slot].add(
-            jnp.where(pending, jnp.int32(1), jnp.int32(0))
+        old_epoch = bank.epochs[slot]
+        # wrap through the mask: an unmasked bump overflows into the int32
+        # sign bit after 2^(31-pg_bits) resets, after which every encoded
+        # entry would decode as unallocated forever (silent lookup misses)
+        epochs = bank.epochs.at[slot].set(
+            jnp.where(
+                pending,
+                (old_epoch + 1) & jnp.int32(spec.epoch_mask),
+                old_epoch,
+            )
+        )
+        # Incremental stale-entry sweep: at reset time EVERY entry of this
+        # slot is invalid (the epoch bump just invalidated them), so
+        # clearing any of them is safe. Clearing sweep_per_reset rotating
+        # entries guarantees each one is rewritten at least once per
+        # epoch-wrap period, so a wrapped epoch can never false-validate a
+        # stale entry. Cost: a K-element gather+scatter per reset (K = 1 at
+        # the shipped specs), not a directory-wide pass.
+        k = spec.sweep_per_reset
+        base = jnp.int32(slot) * jnp.int32(spec.num_dir_groups)
+        # epoch*k never overflows int32: epoch <= epoch_mask, and either
+        # k == 1 (epoch_mask < 2^30) or k = ceil(D/P) so P*k < D + P <= 2D
+        start = old_epoch * jnp.int32(k)
+        idx = base + (start + jnp.arange(k, dtype=jnp.int32)) % jnp.int32(
+            spec.num_dir_groups
+        )
+        directory = bank.directory.at[idx].set(
+            jnp.where(pending, jnp.full(k, -1, jnp.int32), bank.directory[idx])
         )
         return BrickBank(
-            directory=bank.directory,  # old-epoch entries now unallocated
+            directory=directory,  # old-epoch entries now unallocated
             pool=bank.pool,  # stale; unreachable until re-allocated (fresh)
             counts=counts,
             group_of_slot=bank.group_of_slot,

@@ -115,6 +115,71 @@ def test_reset_slot_recycles():
     np.testing.assert_array_equal(crop_a, crop_b)
 
 
+GROUPED = BrickGridSpec(
+    resolution=0.1, dir_extent=40, max_bricks=4096, apply_groups=128
+)
+
+
+def test_epoch_wrap_is_harmless():
+    """Epoch-tagged slot resets survive epoch-space wraparound: the bump
+    wraps through spec.epoch_mask (an unmasked increment would overflow
+    into the int32 sign bit, after which every lookup silently misses
+    forever), encoded entries stay non-negative at the top of the epoch
+    space, and post-wrap inserts behave exactly like fresh ones."""
+    spec = GROUPED
+    # static guard arithmetic: the incremental sweep covers the whole
+    # directory within one epoch-wrap period
+    assert spec.epoch_mask > 0
+    assert spec.sweep_per_reset * (spec.epoch_mask + 1) >= spec.num_dir_groups
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.uniform(-4, 4, (2, 128, 3)).astype(np.float32))
+    masks = jnp.ones((2, 128), bool)
+    origins = jnp.zeros((2, 3), jnp.float32)
+    f = jax.jit(functools.partial(insert_range_data_brick_dual, spec=spec))
+
+    # park slot 0 one reset below the top of the epoch space
+    bank = make_brick_bank(spec)._replace(
+        epochs=jnp.asarray([spec.epoch_mask - 1, 0], jnp.int32)
+    )
+    bank = reset_slot(bank, spec, 0)  # -> epoch_mask (top)
+    assert int(bank.epochs[0]) == spec.epoch_mask
+    bank = f(bank, origins, pts, masks)  # entries tagged with the top epoch
+    cell = jnp.round(pts[0, 0] / spec.resolution).astype(jnp.int32)
+    assert int(lookup_value_brick(bank, cell, spec, 0)) > 0
+    assert int(np.asarray(bank.directory).max()) >= 0  # sign bit never set
+
+    bank = reset_slot(bank, spec, 0)  # WRAP: epoch_mask -> 0
+    assert int(bank.epochs[0]) == 0
+    # top-epoch-tagged entries must not validate at the wrapped epoch
+    assert int(lookup_value_brick(bank, cell, spec, 0)) == 0
+    # reinsert into the wrapped slot matches a fresh bank's content
+    bank_re = f(bank, origins, pts, masks)
+    fresh = f(make_brick_bank(spec), origins, pts, masks)
+    np.testing.assert_array_equal(
+        np.asarray(dense_crop(bank_re, spec, 0, 64)),
+        np.asarray(dense_crop(fresh, spec, 0, 64)),
+    )
+
+
+def test_reset_slot_incremental_sweep_clears_rotating_entry():
+    """Each reset clears sweep_per_reset rotating directory entries of the
+    recycled slot, so every entry is rewritten at least once per epoch-wrap
+    period and a wrapped epoch can never false-validate a stale entry."""
+    spec = GROUPED
+    e, k = 7, spec.sweep_per_reset
+    idx = (e * k) % spec.num_dir_groups  # slot-0 entry the sweep visits
+    bank = make_brick_bank(spec)._replace(
+        epochs=jnp.asarray([e, 0], jnp.int32)
+    )
+    bank = bank._replace(directory=bank.directory.at[idx].set(123))
+    kept = reset_slot(bank, spec, 0, pending=False)
+    assert int(kept.directory[idx]) == 123 and int(kept.epochs[0]) == e
+    swept = reset_slot(bank, spec, 0)
+    assert int(swept.directory[idx]) == -1
+    assert int(swept.epochs[0]) == e + 1
+
+
 def test_pool_overflow_drops_new_bricks():
     tiny = BrickGridSpec(resolution=0.1, dir_extent=40, max_bricks=8)
     rng = np.random.default_rng(4)

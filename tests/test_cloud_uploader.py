@@ -156,6 +156,92 @@ def test_uploader_survives_server_restart_without_loss():
         up.shutdown()
 
 
+def test_transient_reconnect_does_not_reregister():
+    """A reconnect to a SURVIVING server (transient TCP reset, not a
+    restart) must reuse the existing cloud trajectory ids: re-registering
+    would silently fork the robot's stream onto brand-new server
+    trajectories mid-flight. The boot/session token tells the two cases
+    apart (the reference never re-registers at all — it retries on the
+    same channel, local_trajectory_uploader.cc:133-143)."""
+    rec = _Recorder()
+    server = MapBuilderServer(rec)
+    server.start()
+    host, port = server.address
+    up = LocalTrajectoryUploader(
+        host, port, batch_size=4, flush_interval=0.01, reconnect_backoff=0.02
+    )
+    up.start()
+    local = up.add_trajectory()
+    try:
+        for i in range(8):
+            up.add_range_data(float(i), np.zeros((2, 3), np.float32),
+                              trajectory_id=local)
+        up.flush()
+        _wait_drained(server)
+
+        # transient transport failure: the uploader's connection dies but
+        # the server lives on (same boot token on reconnect)
+        up._drop_connection()
+
+        for i in range(8, 16):
+            up.add_range_data(float(i), np.zeros((2, 3), np.float32),
+                              trajectory_id=local)
+        up.flush()
+        _wait_drained(server)
+
+        # exactly ONE registration ever; every datum landed on cloud id 1
+        assert len(rec.of("trajectory")) == 1
+        assert {tid for _, tid, _ in rec.of("range")} == {1}
+        assert {t for _, _, t in rec.of("range")} == {float(i) for i in range(16)}
+        assert up.num_reconnects >= 2
+    finally:
+        up.shutdown()
+        server.shutdown()
+
+
+def test_rejected_batch_is_dead_lettered_not_retried():
+    """An application-level rejection (server alive, answers ok=False) must
+    not wedge the uplink in an infinite retry loop nor mint trajectories:
+    the batch is dead-lettered and the stream continues."""
+    import warnings
+
+    rec = _Recorder()
+    server = MapBuilderServer(rec)
+    server.start()
+    host, port = server.address
+    up = LocalTrajectoryUploader(
+        host, port, batch_size=2, flush_interval=0.01, reconnect_backoff=0.02
+    )
+    local = up.add_trajectory()
+    # poison pill the server's batch handler deterministically rejects,
+    # enqueued between two good batches (before the drain thread starts so
+    # batch packing is deterministic)
+    up.add_imu_data(0.0, [0.0, 0.0, 9.8], [0.0, 0.0, 0.0])
+    up.add_imu_data(0.1, [0.0, 0.0, 9.8], [0.0, 0.0, 0.0])
+    up._enqueue("bogus_kind", {}, local)
+    up._enqueue("bogus_kind", {}, local)
+    up.add_imu_data(0.2, [0.0, 0.0, 9.8], [0.0, 0.0, 0.0])
+    up.add_imu_data(0.3, [0.0, 0.0, 9.8], [0.0, 0.0, 0.0])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        up.start()
+        try:
+            up.flush(timeout=10.0)  # would TimeoutError if the uplink wedged
+            _wait_drained(server)
+        finally:
+            up.shutdown()
+            server.shutdown()
+    assert any("dead-lettered" in str(x.message) for x in w)
+    assert up.num_batches_rejected == 1
+    assert up.num_items_rejected == 2
+    assert len(up.dead_letters) == 1
+    assert "unknown batch item kind" in up.dead_letters[0]["error"]
+    # the good batches around the poison pill all delivered, in order,
+    # onto the ONE registered trajectory
+    assert [t for _, _, t in rec.of("imu")] == [0.0, 0.1, 0.2, 0.3]
+    assert len(rec.of("trajectory")) == 1
+
+
 def test_batch_rpc_rejects_unknown_kind():
     rec = _Recorder()
     server = MapBuilderServer(rec)

@@ -456,3 +456,11 @@ def test_out_of_order_samples_rejected_on_default_path():
         builder.add_range_data(0.25, pts)
     assert sum("out-of-order" in str(x.message) for x in w) == 1
     assert traj.num_out_of_order_dropped == 3
+    # EQUAL stamps on a range queue are legal (the reference's invariant is
+    # CHECK_LE, ordered_multi_queue.cc:112 — e.g. two lidars feeding the
+    # primary queue without distinct sensor ids): dispatched, not dropped
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        builder.add_range_data(0.3, pts)
+    assert sum("out-of-order" in str(x.message) for x in w) == 0
+    assert traj.num_out_of_order_dropped == 3
