@@ -538,6 +538,7 @@ class PoseGraph:
                 rotation_weight=loop_cfg.rotation_weight,
                 only_optimize_yaw=loop_cfg.only_optimize_yaw,
                 max_iterations=loop_cfg.max_num_iterations,
+                function_tolerance=loop_cfg.function_tolerance,
             )
 
         # Batched variants: all sampled nodes of a from-submap match one

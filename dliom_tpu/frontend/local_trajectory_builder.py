@@ -75,6 +75,7 @@ class ScanResult(NamedTuple):
     inserted: jnp.ndarray  # bool: passed the motion filter
     finished_submap: jnp.ndarray  # submap id finished this scan, or -1
     matcher_cost: jnp.ndarray
+    matcher_iterations: jnp.ndarray  # LM iterations run (Ceres summary analog)
     num_hits: jnp.ndarray  # valid accumulated returns
     histogram: jnp.ndarray  # rotational scan matcher histogram
     # TrajectoryNode::Data for the pose graph (InsertionResult)
@@ -251,6 +252,7 @@ def step(
         rotation_weight=cfg.ceres_scan_matcher.rotation_weight,
         only_optimize_yaw=cfg.ceres_scan_matcher.only_optimize_yaw,
         max_iterations=cfg.ceres_scan_matcher.max_num_iterations,
+        function_tolerance=cfg.ceres_scan_matcher.function_tolerance,
     )
     pose_estimate = submap_pose.compose(result.pose)
 
@@ -332,6 +334,7 @@ def step(
         inserted=insert,
         finished_submap=finished,
         matcher_cost=result.cost,
+        matcher_iterations=result.iterations,
         num_hits=jnp.sum(filtered.mask.astype(jnp.int32)),
         histogram=hist,
         high_points=high.points,

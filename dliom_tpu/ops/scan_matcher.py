@@ -44,6 +44,9 @@ class ScanMatcherResult(NamedTuple):
     pose: Rigid3
     cost: jnp.ndarray  # final summed squared residual
     initial_cost: jnp.ndarray
+    iterations: jnp.ndarray = 0  # LM iterations actually run (Python int
+    # default, NOT jnp: class creation runs at import, which must not
+    # initialize a jax backend)
 
 
 def _residuals(
@@ -107,6 +110,7 @@ def match(
     max_iterations: int = 12,
     initial_lambda: float = 1e-4,
     grid_bases: Sequence | None = None,
+    function_tolerance: float = 0.0,
 ) -> ScanMatcherResult:
     """Refine `initial_pose` so the clouds (tracking frame) match the grids
     (submap frame). Mirrors CeresScanMatcher3D::Match: the translation prior
@@ -114,7 +118,18 @@ def match(
     rotation prior toward the initial rotation.
 
     `grid_bases`: per-grid flat offset into a multi-submap bank (slot *
-    num_cells); grids stay 1D so gathers hit the fast path."""
+    num_cells); grids stay 1D so gathers hit the fast path.
+
+    `function_tolerance` > 0 enables Ceres' convergence termination
+    (TrustRegionMinimizer::FunctionToleranceReached: an accepted step whose
+    |cost change| <= tol * cost ends the solve; the reference runs Ceres at
+    its default 1e-6 — CreateCeresSolverOptions sets only max_num_iterations
+    / num_threads / use_nonmonotonic_steps). Each LM iteration is one full
+    residual+Jacobian gather pass against the grids — the dominant frontend
+    cost — so a warm-started steady-state match that converges in 2-3
+    iterations skips the rest instead of burning all `max_iterations`.
+    0 keeps the fixed-trip unrolled loop (bit-identical to the historical
+    behavior)."""
     if target_translation is None:
         target_translation = initial_pose.translation
     if grid_bases is None:
@@ -160,7 +175,7 @@ def match(
     # performs exactly one full residual+Jacobian evaluation (at the
     # candidate) — the candidate's cost check and the next iteration's
     # linearization share the same pass.
-    def lm_step(carry, _):
+    def lm_step(carry):
         pose, r, jac, cost, radius, ref_cost, best_pose, best_cost = carry
         grad = jac.T @ r
         hess = jac.T @ jac
@@ -182,6 +197,12 @@ def match(
         pose = jax.tree.map(sel, cand, pose)
         r = sel(cand_r, r)
         jac = sel(cand_jac, jac)
+        # Ceres FunctionToleranceReached (trust_region_minimizer.cc): checked
+        # for EVERY evaluated candidate, accepted or not — an already-
+        # converged warm start whose proposals get rejected (rho ~ 0) must
+        # still terminate, not burn the remaining trip count shrinking the
+        # radius.
+        converged = jnp.abs(cost - new_cost) <= function_tolerance * cost
         cost = sel(new_cost, cost)
         shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         radius = jnp.where(
@@ -195,7 +216,8 @@ def match(
         )
         best_cost = jnp.where(is_best, new_cost, best_cost)
         ref_cost = jnp.where(accept, 0.5 * ref_cost + 0.5 * new_cost, ref_cost)
-        return (pose, r, jac, cost, radius, ref_cost, best_pose, best_cost), None
+        new_carry = (pose, r, jac, cost, radius, ref_cost, best_pose, best_cost)
+        return new_carry, converged
 
     del initial_lambda  # superseded by the trust-region radius
     r0, jac0 = r_and_jac(initial_pose)
@@ -210,9 +232,36 @@ def match(
         initial_pose,
         initial_cost,
     )
-    # unroll: the trip count is small and static; the rolled loop costs
-    # ~30 us/iteration of pure while-op overhead on TPU
-    (_, _, _, _, _, _, pose, final_cost), _ = jax.lax.scan(
-        lm_step, carry0, None, length=max_iterations, unroll=True
+    if function_tolerance > 0.0:
+        # Rolled loop with convergence exit: each skipped iteration saves a
+        # full residual+Jacobian grid-gather pass (the frontend's dominant
+        # cost); the ~30 us/iteration while-op overhead is far below one
+        # eval. Under vmap the lanes share one while op (XLA ORs the
+        # predicates), so a batch runs to its slowest lane — still a win
+        # whenever all lanes are in warm-started steady state.
+        def w_cond(state):
+            i, done, _ = state
+            return (i < max_iterations) & ~done
+
+        def w_body(state):
+            i, _, carry = state
+            carry, converged = lm_step(carry)
+            return i + 1, converged, carry
+
+        iters, _, (_, _, _, _, _, _, pose, final_cost) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), jnp.bool_(False), carry0)
+        )
+    else:
+        # unroll: the trip count is small and static; fixed-trip historical
+        # behavior (and no while-op overhead)
+        (_, _, _, _, _, _, pose, final_cost), _ = jax.lax.scan(
+            lambda c, _: (lm_step(c)[0], None),
+            carry0,
+            None,
+            length=max_iterations,
+            unroll=True,
+        )
+        iters = jnp.int32(max_iterations)
+    return ScanMatcherResult(
+        pose=pose, cost=final_cost, initial_cost=initial_cost, iterations=iters
     )
-    return ScanMatcherResult(pose=pose, cost=final_cost, initial_cost=initial_cost)

@@ -195,3 +195,39 @@ def test_yaw_only_mode():
     # and the roll/pitch components stayed exactly zero
     assert float(jnp.abs(res.pose.rotation[1])) < 1e-6
     assert float(jnp.abs(res.pose.rotation[2])) < 1e-6
+
+
+def test_function_tolerance_early_exit():
+    """A warm start at the optimum converges in far fewer iterations than
+    max (Ceres FunctionToleranceReached analog); tolerance 0 keeps the fixed
+    trip count; the early-exit pose matches the fixed-trip pose."""
+    grid = _build()
+    pts = jnp.asarray(POINTS)
+    mask = jnp.ones(pts.shape[0], bool)
+
+    def run(initial, tol, iters=12):
+        return match(
+            initial,
+            clouds=[(pts, mask)],
+            grids=[grid],
+            specs=[SPEC],
+            occupied_space_weights=[1.0],
+            translation_weight=0.01,
+            rotation_weight=0.1,
+            max_iterations=iters,
+            function_tolerance=tol,
+        )
+
+    fixed = run(EXPECTED_POSE, 0.0)
+    assert int(fixed.iterations) == 12
+    early = run(EXPECTED_POSE, 1e-4)
+    # already at the optimum: terminates almost immediately
+    assert int(early.iterations) <= 3
+    _assert_near_pose(early.pose, fixed.pose)
+    # a genuinely perturbed start still runs several iterations and lands on
+    # the fixed-trip optimum
+    start = Rigid3.translation_only(jnp.asarray([-1.4, 0.35, 0.3]))
+    early2 = run(start, 1e-6)
+    fixed2 = run(start, 0.0)
+    assert 2 <= int(early2.iterations) <= 12
+    _assert_near_pose(early2.pose, fixed2.pose, tol=8e-2)
