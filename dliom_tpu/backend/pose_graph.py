@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import logging
 import threading
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -499,6 +500,20 @@ class PoseGraph:
         if "match" in self._jit_cache:
             return self._jit_cache["match"], self._jit_cache["refine"]
         fc_cfg = self.cfg.constraint_builder.fast_correlative_scan_matcher
+        # With-initial yaw fan (see ConstraintBuilderConfig): > 1 candidates
+        # search a narrow window around the initial yaw; the fan reuses
+        # fc.match's linspace branch via a narrowed angular_search_window.
+        n_yaw = int(self.cfg.constraint_builder.with_initial_num_yaw_candidates)
+        fc_cfg_initial = (
+            dataclasses.replace(
+                fc_cfg,
+                angular_search_window=float(
+                    self.cfg.constraint_builder.with_initial_yaw_window
+                ),
+            )
+            if n_yaw > 1
+            else fc_cfg
+        )
         loop_cfg = self.cfg.constraint_builder.ceres_scan_matcher
         hi, lo = self._hi_spec, self._lo_spec
 
@@ -519,8 +534,8 @@ class PoseGraph:
         ):
             return fc.match(
                 pyr, hi, g_lo, lo, hp, hm, lp, lm, initial, hist,
-                submap_hist, yaw0, fc_cfg, min_score,
-                num_angles=1, use_rotational_gate=False, beam_width=160,
+                submap_hist, yaw0, fc_cfg_initial, min_score,
+                num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
             )
 
         @jax.jit
@@ -575,8 +590,8 @@ class PoseGraph:
             return jax.vmap(
                 lambda a, b, c, d, e, f, g: fc.match(
                     pyr, hi, g_lo, lo, a, b, c, d, e, f,
-                    submap_hist, g, fc_cfg, min_score,
-                    num_angles=1, use_rotational_gate=False, beam_width=160,
+                    submap_hist, g, fc_cfg_initial, min_score,
+                    num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
                 )
             )(hp, hm, lp, lm, initial, hist, yaw0)
 

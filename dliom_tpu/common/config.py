@@ -260,6 +260,18 @@ class ConstraintBuilderConfig:
     loop_closure_translation_weight: float = 1e4
     loop_closure_rotation_weight: float = 1e2
     log_matches: bool = True
+    # Robustness deviation (documented): the reference's with-initial fast
+    # path searches EXACTLY the initial yaw
+    # (MatchWith3DofInitial, fast_correlative_scan_matcher_3d.cc:165-196), so
+    # a genuine loop whose initial guess carries accumulated yaw drift (the
+    # very drift loop closure exists to fix) scores a smeared side peak and
+    # can fall under min_score. A small yaw fan around the initial — a
+    # restriction of upstream Match()'s full ±45° yaw search (:146-163) that
+    # the with-initial fast path dropped — restores recovery; the
+    # breadth-first batched BnB evaluates the fan at cost linear in the
+    # count. 1 = exact MatchWith3DofInitial semantics.
+    with_initial_num_yaw_candidates: int = 7
+    with_initial_yaw_window: float = 0.15  # rad, fan half-width
     every_nodes_to_find_constraint: int = 3
     # --- TPU image-proposal substitute for the SURF path (C10): dense FFT
     # correlation over candidate yaws; min normalized-correlation score plays

@@ -344,3 +344,72 @@ def test_host_bookkeeping_soak_5k_nodes():
     # generous wall bound: the round-1 linear scan was O(C) per probe and
     # blew far past this on loaded hosts
     assert elapsed < 60.0, elapsed
+
+
+def test_loop_closure_recovers_yaw_drifted_initial():
+    """With-initial yaw fan (ConstraintBuilderConfig
+    .with_initial_num_yaw_candidates): a revisit whose local estimate
+    carries accumulated YAW drift — beyond what the single-yaw
+    MatchWith3DofInitial tolerates — is still recovered, because the fan
+    searches a narrow yaw window around the initial (a restriction of
+    upstream Match()'s ±45° yaw search, fast_correlative_scan_matcher_3d
+    .cc:146-196)."""
+    cfg = _cfg()
+    tb = cfg.trajectory_builder
+    pg = PoseGraph(cfg.pose_graph, tb)
+    hi, lo = grid_specs(tb.submaps)
+    rng = np.random.default_rng(5)
+    points = _world_cloud(rng)
+    pts = jnp.asarray(points)
+    vals = jnp.full(
+        (points.shape[0],), pv.probability_to_value(jnp.float32(0.9))
+    )
+
+    s0 = pg.add_submap(Rigid3.identity())
+    g_hi0 = set_cells(make_grid(hi), cell_index(pts, hi.resolution), vals, hi)
+    g_lo0 = set_cells(make_grid(lo), cell_index(pts, lo.resolution), vals, lo)
+    pg.add_node(_make_node(cfg, points, Rigid3.identity()), (s0,))
+    pg.finish_submap(s0, g_hi0, g_lo0)
+
+    s1 = pg.add_submap(Rigid3.translation_only(jnp.asarray([4.0, 0.0, 0.0])))
+    pg.add_node(
+        _make_node(
+            cfg, points, Rigid3.translation_only(jnp.asarray([4.0, 0.0, 0.0]))
+        ),
+        (s1,),
+    )
+
+    # True pose: origin. Local estimate: 0.6 m translation drift AND a 6
+    # degree yaw error (inside the ±0.15 rad fan window, outside what a
+    # single-yaw discrete match scores above the gate on this world).
+    yaw_err = 0.105
+    drift_pose = Rigid3(
+        quat_from_yaw(jnp.float32(yaw_err)), jnp.asarray([0.6, -0.4, 0.1])
+    )
+    s2 = pg.add_submap(drift_pose)
+    node2 = _make_node(cfg, points, drift_pose)
+    world2 = drift_pose.apply(pts)
+    g_hi2 = set_cells(
+        make_grid(hi), cell_index(world2, hi.resolution), vals, hi
+    )
+    g_lo2 = set_cells(
+        make_grid(lo), cell_index(world2, lo.resolution), vals, lo
+    )
+    pg.add_node(
+        node2, (s2,), newly_finished_submap_id=s2, finished_grids=(g_hi2, g_lo2)
+    )
+
+    inter = [c for c in pg.constraints if c.tag == "INTER"]
+    assert len(inter) >= 1, "yaw-drifted loop constraint not found"
+    c = [c for c in inter if c.submap_id == s0][0]
+    # the recovered relative puts the node near the true origin with the
+    # yaw error corrected (fan spacing 0.05 rad -> up to ~0.025 rad of
+    # residual yaw and a couple of high-res cells of translation before the
+    # GN refinement; the SPA consumes the refined pose)
+    np.testing.assert_allclose(
+        np.asarray(c.relative.translation), [0.0, 0.0, 0.0], atol=0.4
+    )
+    rel_yaw = 2.0 * float(
+        jnp.arctan2(c.relative.rotation[3], c.relative.rotation[0])
+    )
+    assert abs(rel_yaw) < 0.06, rel_yaw
