@@ -14,6 +14,7 @@ D-LIOM replays bags at 3x real time on a desktop CPU
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -22,6 +23,12 @@ import numpy as np
 # (first D2H through the TPU relay can take minutes).
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the backend-on phase compiles the loop-search /
+# SPA programs once; repeated bench runs (and the driver's end-of-round run)
+# then skip straight to execution.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 np.asarray(jnp.zeros(1))
 
@@ -105,6 +112,130 @@ def build_config():
     ).trajectory_builder
 
 
+def bench_e2e():
+    """Full-pipeline throughput: a PROGRESSING drifted circle through
+    MapBuilder with submap finish, background loop-constraint search, and
+    periodic + final optimization all running — the backend-on counterpart
+    of the frontend-only number (the reference's >=3x real-time anchor
+    includes its 8 background threads, basic_config_3d.lua:101 +
+    demo_dlio_viral.launch:41). Returns extra JSON fields."""
+    from dliom_tpu.io.synthetic import ImuNoise, ImuSimulator
+    from dliom_tpu.map_builder import MapBuilder
+    from dliom_tpu.transform.rigid import quat_from_yaw
+
+    radius, speed, scan_period = 5.0, 1.5, 0.1
+    cfg = load_config(
+        "basic",
+        {
+            "trajectory_builder": {
+                "scan_period": scan_period,
+                "frames_for_static_initialization": 8,
+                "enable_ndt_initialization": False,
+                "submaps": {
+                    "high_resolution": 0.2,
+                    "low_resolution": 0.8,
+                    "high_resolution_extent": 128,
+                    "low_resolution_extent": 64,
+                    "num_range_data": 16,
+                },
+            },
+            "pose_graph": {
+                "optimize_every_n_nodes": 32,
+                "max_submaps": 32,
+                "max_nodes": 512,
+                "max_constraints": 2048,
+                "max_radius_enable_loop_detection": 10.0,
+                "num_close_submaps_loop_with_initial_value": 5,
+                "constraint_builder": {
+                    "min_score": 0.45,
+                    "every_nodes_to_find_constraint": 2,
+                },
+            },
+        },
+    )
+    # Background constraint search on the native task pool — the
+    # reference's >=3x real-time anchor runs its searches on 8 background
+    # threads (MAP_BUILDER.num_background_threads), not inline with ingest.
+    builder = MapBuilder(cfg, use_background_threads=True)
+    world = SyntheticWorld.create(num_beams=16, num_azimuths=600)
+    sim = ImuSimulator(
+        rate=100.0,
+        noise=ImuNoise(
+            acc_noise=0.02, gyr_noise=0.002, gyr_bias0=(0.0, 0.0, 0.004)
+        ),
+        gravity=G,
+        seed=4,
+    )
+
+    def circle_pose(tau):
+        w = speed / radius
+        ang = w * tau
+        p = np.array(
+            [radius * np.sin(ang), radius * (1.0 - np.cos(ang)), 0.0]
+        )
+        v = np.array([speed * np.cos(ang), speed * np.sin(ang), 0.0])
+        return (
+            Rigid3(quat_from_yaw(jnp.float32(ang)), jnp.asarray(p, jnp.float32)),
+            v,
+        )
+
+    t = 0.0
+    pose0, _ = circle_pose(0.0)
+
+    def feed(prev_pose, pose, prev_v, v):
+        nonlocal t
+        dts, accs, gyrs, mask = sim.between(
+            prev_pose, pose, prev_v, v, scan_period, 64
+        )
+        for i in range(int(np.asarray(mask).sum())):
+            t += float(dts[i])
+            builder.add_imu_data(t, np.asarray(accs[i]), np.asarray(gyrs[i]))
+        pts, ptimes = world.cast_scan(pose)
+        builder.add_range_data(t, pts, ptimes)
+
+    # UNTIMED warmup: static init + 1.12 laps. The first lap pays every jit
+    # compile exactly once — frontend step, finished-submap decompression +
+    # pyramid, the batched loop search (fires at the revisit), periodic and
+    # final-shape SPA — mirroring how the frontend phase warms its chunk
+    # before timing. Loop closure is ACTIVE during warmup (the 1.12-lap
+    # revisit), so the timed lap below runs the same steady-state mix.
+    for _ in range(int(round(1.6 / scan_period))):
+        feed(pose0, pose0, np.zeros(3), np.zeros(3))
+    lap = 2 * np.pi * radius / speed / scan_period
+    warm = int(round(1.12 * lap))
+    prev_pose, prev_v = pose0, np.zeros(3)
+    tau = 0.0
+    for _ in range(warm):
+        tau += scan_period
+        pose, v = circle_pose(tau)
+        feed(prev_pose, pose, prev_v, v)
+        prev_pose, prev_v = pose, v
+    pg = builder.pose_graph
+    pg.wait_for_all_computations()
+
+    # TIMED: one more full lap with submap finish, loop-constraint search,
+    # and periodic optimization all running — sustained backend-on
+    # throughput (the reference's >=3x real-time anchor includes its
+    # background threads).
+    timed = int(round(lap))
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        tau += scan_period
+        pose, v = circle_pose(tau)
+        feed(prev_pose, pose, prev_v, v)
+        prev_pose, prev_v = pose, v
+    pg.wait_for_all_computations()
+    dt = time.perf_counter() - t0
+    inter = sum(1 for c in pg.constraints if c.tag == "INTER")
+    return {
+        "e2e_scans_per_sec": round(timed / dt, 2),
+        "e2e_vs_baseline": round(timed / dt / 30.0, 2),
+        "e2e_num_inter_constraints": inter,
+        "e2e_num_nodes": len(pg.nodes),
+        "e2e_num_submaps": len(pg.submaps),
+    }
+
+
 def main():
     cfg = build_config()
     world = SyntheticWorld.create()
@@ -186,6 +317,15 @@ def main():
             "low_brick_apply_groups / dense_apply_groups)"
         )
 
+    # Backend-on phase (loop search + SPA in the loop); BENCH_E2E=0 skips
+    # for a quick frontend-only run.
+    e2e = {} if os.environ.get("BENCH_E2E") == "0" else bench_e2e()
+    if e2e and e2e["e2e_num_inter_constraints"] < 1:
+        raise SystemExit(
+            "benchmark invalid: the backend-on phase closed no loop — the "
+            f"e2e throughput would not cover constraint work ({e2e})"
+        )
+
     print(
         json.dumps(
             {
@@ -194,6 +334,7 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / 30.0, 2),
                 **drops,
+                **e2e,
             }
         )
     )
