@@ -690,6 +690,30 @@ class PoseGraph:
         candidates = [c for c in candidates if c not in global_candidates]
         match_batch = self._jit_cache["match_batch"]
         refine_batch = self._jit_cache["refine_batch"]
+
+        # Node batches pad to power-of-two BUCKETS: the batched matchers
+        # jit per leading-axis size, and the surviving-node count varies per
+        # (from, to) pair — unpadded, nearly every search paid a fresh XLA
+        # compile (the big with-initial search program compiles in minutes),
+        # which measured at 0.38 scans/s end-to-end on the loop-dense bench
+        # course. Buckets bound the compile count at log2(max sampled)
+        # shapes, all reused within a run and across runs via the persistent
+        # compile cache. Padding repeats row 0; results beyond the real
+        # count are ignored on host. The reference has no analog (Ceres
+        # re-solves per node without shape specialization); this is pure
+        # XLA-compilation-model plumbing.
+        def bucket(n: int) -> int:
+            return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
+        def bstack(xs, b):
+            a = np.stack([np.asarray(x) for x in xs])
+            if b > len(xs):
+                a = np.concatenate([a, np.repeat(a[:1], b - len(xs), axis=0)])
+            return jnp.asarray(a)
+
+        def bstack_tree(trees, b):
+            return jax.tree.map(lambda *xs: bstack(list(xs), b), *trees)
         for to_id in candidates:
             to_sub = self.submaps[to_id]
             # max_constraint_distance gates each node-submap pair
@@ -740,34 +764,37 @@ class PoseGraph:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
             nodes = [self.nodes[n] for n in node_ids]
-            stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
-            initial_b = jax.tree.map(lambda *xs: jnp.stack(xs), *initials)
+            nb = bucket(len(node_ids))
             res = match_batch(
                 pyr, g_lo,
-                stack([n.high_points for n in nodes]),
-                stack([n.high_mask for n in nodes]),
-                stack([n.low_points for n in nodes]),
-                stack([n.low_mask for n in nodes]),
-                initial_b,
-                stack([n.histogram for n in nodes]),
+                bstack([n.high_points for n in nodes], nb),
+                bstack([n.high_mask for n in nodes], nb),
+                bstack([n.low_points for n in nodes], nb),
+                bstack([n.low_mask for n in nodes], nb),
+                bstack_tree(initials, nb),
+                bstack([n.histogram for n in nodes], nb),
                 submap_hist,
-                jnp.asarray(
-                    [np_quat_yaw(np.asarray(i.rotation, np.float64))
-                     for i in initials], jnp.float32
+                bstack(
+                    [np.float32(np_quat_yaw(np.asarray(i.rotation, np.float64)))
+                     for i in initials], nb
                 ),
                 min_score=float(self.cfg.constraint_builder.min_score),
             )
-            found = np.asarray(res.found)
+            found = np.asarray(res.found)[: len(node_ids)]
             if not found.any():
                 continue
             idx = np.flatnonzero(found)
+            rb = bucket(len(idx))
+            idx_pad = np.concatenate(
+                [idx, np.repeat(idx[:1], rb - len(idx))]
+            ) if rb > len(idx) else idx
             refined = refine_batch(
-                jax.tree.map(lambda x: x[jnp.asarray(idx)], res.pose),
+                jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
                 g_hi, g_lo,
-                stack([nodes[i].high_points for i in idx]),
-                stack([nodes[i].high_mask for i in idx]),
-                stack([nodes[i].low_points for i in idx]),
-                stack([nodes[i].low_mask for i in idx]),
+                bstack([nodes[i].high_points for i in idx], rb),
+                bstack([nodes[i].high_mask for i in idx], rb),
+                bstack([nodes[i].low_points for i in idx], rb),
+                bstack([nodes[i].low_mask for i in idx], rb),
             )
             scores = np.asarray(res.score)
             for j, i in enumerate(idx):
@@ -803,7 +830,6 @@ class PoseGraph:
         # (MaybeAddGlobalConstraint / MatchFullSubmap) ----
         match_full = self._jit_cache["match_full_batch"]
         stride = max(1, int(round(1.0 / max(self.cfg.global_sampling_ratio, 1e-6))))
-        stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
         for to_id in global_candidates:
             to_sub = self.submaps[to_id]
             node_ids = [
@@ -817,9 +843,10 @@ class PoseGraph:
             if self._metrics:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
+            nb = bucket(max(len(sampled[::stride]), 1))
             # roll/pitch-consistent rotation guess from the gravity-aligned
             # global estimates; yaw error is irrelevant under the ±pi search
-            rots = stack(
+            rots = bstack(
                 [
                     np.asarray(
                         quat_multiply(
@@ -828,32 +855,37 @@ class PoseGraph:
                         )
                     )
                     for n in nodes
-                ]
+                ],
+                nb,
             )
             res = match_full(
                 pyr, g_lo,
-                stack([n.high_points for n in nodes]),
-                stack([n.high_mask for n in nodes]),
-                stack([n.low_points for n in nodes]),
-                stack([n.low_mask for n in nodes]),
+                bstack([n.high_points for n in nodes], nb),
+                bstack([n.high_mask for n in nodes], nb),
+                bstack([n.low_points for n in nodes], nb),
+                bstack([n.low_mask for n in nodes], nb),
                 rots,
-                stack([n.histogram for n in nodes]),
+                bstack([n.histogram for n in nodes], nb),
                 submap_hist,
                 min_score=float(
                     self.cfg.constraint_builder.global_localization_min_score
                 ),
             )
-            found = np.asarray(res.found)
+            found = np.asarray(res.found)[: len(node_ids)]
             if not found.any():
                 continue
             idx = np.flatnonzero(found)
+            rb = bucket(len(idx))
+            idx_pad = np.concatenate(
+                [idx, np.repeat(idx[:1], rb - len(idx))]
+            ) if rb > len(idx) else idx
             refined = refine_batch(
-                jax.tree.map(lambda x: x[jnp.asarray(idx)], res.pose),
+                jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
                 g_hi, g_lo,
-                stack([nodes[i].high_points for i in idx]),
-                stack([nodes[i].high_mask for i in idx]),
-                stack([nodes[i].low_points for i in idx]),
-                stack([nodes[i].low_mask for i in idx]),
+                bstack([nodes[i].high_points for i in idx], rb),
+                bstack([nodes[i].high_mask for i in idx], rb),
+                bstack([nodes[i].low_points for i in idx], rb),
+                bstack([nodes[i].low_mask for i in idx], rb),
             )
             scores = np.asarray(res.score)
             for j, i in enumerate(idx):

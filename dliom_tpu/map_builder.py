@@ -355,31 +355,55 @@ class _TrajectoryBuilder:
 
         t0 = _wall.perf_counter()
         self._lio, res = self._jit_step(self._lio, inp)
-        self._forward_to_pose_graph(time, res)
+        # ONE batched host fetch per scan: a synchronous device read over a
+        # tunneled TPU costs a full relay round trip (~30 ms measured), so
+        # every scalar/small array the host bookkeeping needs rides a single
+        # device_get instead of per-leaf float()/np.asarray reads.
+        submaps = self._lio.frontend.submaps
+        fetch = {
+            "matcher_cost": res.scan.matcher_cost,
+            "failed": res.failed,
+            "inserted": res.scan.inserted,
+            "finished_submap": res.scan.finished_submap,
+            "insertion_submap_ids": res.scan.insertion_submap_ids,
+            "gravity_alignment": res.scan.gravity_alignment,
+            "local_q": res.scan.local_pose.rotation,
+            "local_t": res.scan.local_pose.translation,
+            "velocity": res.velocity,
+            "num_created": submaps.num_created,
+            "pending_spawn": submaps.pending_spawn,
+            "pose_rotation": submaps.pose_rotation,
+            "pose_translation": submaps.pose_translation,
+            "pending_rotation": submaps.pending_rotation,
+            "pending_translation": submaps.pending_translation,
+        }
+        if submaps.high_brick is not None:
+            fetch["hi_dropped"] = submaps.high_brick.dropped
+        if submaps.low_brick is not None:
+            fetch["lo_dropped"] = submaps.low_brick.dropped
+        if submaps.dense_dropped is not None:
+            fetch["dense_dropped"] = submaps.dense_dropped
+        host = jax.device_get(fetch)
+        self._forward_to_pose_graph(time, res, host)
         m = self.parent._metrics
         m["local_slam_latency"].add().set(_wall.perf_counter() - t0)
-        m["scan_matcher_cost"].add().observe(float(res.scan.matcher_cost))
+        m["scan_matcher_cost"].add().observe(float(host["matcher_cost"]))
         dropped_total = None
-        for bank in (
-            self._lio.frontend.submaps.high_brick,
-            self._lio.frontend.submaps.low_brick,
-        ):
-            if bank is not None:
-                dropped_total = (dropped_total or 0.0) + float(bank.dropped[0])
-        dd = self._lio.frontend.submaps.dense_dropped
-        if dd is not None:
-            # dense grouped-apply drops count in the same gauge (both are
-            # "grid update groups lost to capacity" — no silent truncation)
-            dropped_total = (dropped_total or 0.0) + float(dd[0])
+        for key in ("hi_dropped", "lo_dropped", "dense_dropped"):
+            if key in host:
+                # brick and dense grouped-apply drops count in one gauge
+                # (both are "grid update groups lost to capacity" — no
+                # silent truncation)
+                dropped_total = (dropped_total or 0.0) + float(host[key][0])
         if dropped_total is not None:
             m["brick_groups_dropped"].add().set(dropped_total)
         out = {
             "time": time,
             "trajectory_id": self.trajectory_id,
-            "local_pose": jax.tree.map(np.asarray, res.scan.local_pose),
-            "velocity": np.asarray(res.velocity),
-            "failed": bool(res.failed),
-            "inserted": bool(res.scan.inserted),
+            "local_pose": Rigid3(host["local_q"], host["local_t"]),
+            "velocity": host["velocity"],
+            "failed": bool(host["failed"]),
+            "inserted": bool(host["inserted"]),
         }
         self._results.append(out)
         return out
@@ -403,17 +427,17 @@ class _TrajectoryBuilder:
     # ----- local -> global routing (GlobalTrajectoryBuilder::AddSensorData,
     # global_trajectory_builder.cc:56-97) -----
 
-    def _sync_submaps(self, res: LioResult):
-        """Mirror frontend submap spawns into the pose graph."""
+    def _sync_submaps(self, host):
+        """Mirror frontend submap spawns into the pose graph. `host` is the
+        per-scan batched device_get dict from `_add_range_data`."""
         pg = self.parent.pose_graph
-        submaps = self._lio.frontend.submaps
-        num_created = int(submaps.num_created)
-        pending = bool(submaps.pending_spawn)
+        num_created = int(host["num_created"])
+        pending = bool(host["pending_spawn"])
         while len(self._pg_submap_ids) < num_created:
             slot = len(self._pg_submap_ids) % 2
             pose = Rigid3(
-                jnp.asarray(np.asarray(submaps.pose_rotation[slot])),
-                jnp.asarray(np.asarray(submaps.pose_translation[slot])),
+                jnp.asarray(host["pose_rotation"][slot]),
+                jnp.asarray(host["pose_translation"][slot]),
             )
             self._pg_submap_ids.append(
                 pg.add_submap(pose, trajectory_id=self.trajectory_id)
@@ -421,8 +445,8 @@ class _TrajectoryBuilder:
         if pending and len(self._pg_submap_ids) == num_created:
             # the next step spawns submap num_created with the pending pose
             pose = Rigid3(
-                jnp.asarray(np.asarray(submaps.pending_rotation)),
-                jnp.asarray(np.asarray(submaps.pending_translation)),
+                jnp.asarray(host["pending_rotation"]),
+                jnp.asarray(host["pending_translation"]),
             )
             self._pg_submap_ids.append(
                 pg.add_submap(pose, trajectory_id=self.trajectory_id)
@@ -504,19 +528,19 @@ class _TrajectoryBuilder:
             # drop samples no future node can need (keep one for bracketing)
             self._odom_buffer.trim_before(node_time)
 
-    def _forward_to_pose_graph(self, time, res: LioResult):
-        if not bool(res.scan.inserted):
+    def _forward_to_pose_graph(self, time, res: LioResult, host):
+        if not bool(host["inserted"]):
             return
-        self._sync_submaps(res)
+        self._sync_submaps(host)
         ids = tuple(
-            int(i)
-            for i in np.asarray(res.scan.insertion_submap_ids)
-            if int(i) >= 0
+            int(i) for i in host["insertion_submap_ids"] if int(i) >= 0
         )
         node = NodeRecord(
             time=time,
-            local_pose=jax.tree.map(jnp.asarray, res.scan.local_pose),
-            gravity_alignment=np.asarray(res.scan.gravity_alignment),
+            local_pose=Rigid3(
+                jnp.asarray(host["local_q"]), jnp.asarray(host["local_t"])
+            ),
+            gravity_alignment=host["gravity_alignment"],
             high_points=res.scan.high_points,
             high_mask=res.scan.high_mask,
             low_points=res.scan.low_points,
@@ -525,7 +549,7 @@ class _TrajectoryBuilder:
             submap_ids=ids,
             trajectory_id=self.trajectory_id,
         )
-        finished = int(res.scan.finished_submap)
+        finished = int(host["finished_submap"])
         grids = None
         pg = self.parent.pose_graph
         if finished >= 0:
