@@ -229,6 +229,67 @@ def test_pbstream_read_path_roundtrip():
         pg2.run_optimization(iterations=2)
 
 
+def test_localizes_against_reference_schema_fixture():
+    """End-to-end interop with an artifact built THROUGH the reference's
+    own proto schema: `tests/fixtures/reference_map.pbstream` was generated
+    by `tools/make_reference_fixture.py` — its messages are serialized by
+    protoc-compiled classes from the reference's serialization.proto (the
+    byte encoding the reference's ProtoStreamWriter produces), NOT by this
+    repo's writer. Loading it frozen and driving a live revisit must
+    localize onto the fixture map (LoadState + pure localization,
+    map_builder.cc:209-367 + 147-151)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.make_reference_fixture import fixture_specs, fixture_world_cloud
+
+    from dliom_tpu.map_builder import map_builder_from_state
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "reference_map.pbstream"
+    )
+    assert os.path.exists(fixture), "checked-in fixture missing"
+    cfg = _cfg()
+    (hi_res, hi_ext), (lo_res, lo_ext) = fixture_specs()
+    sm = cfg.trajectory_builder.submaps
+    assert (sm.high_resolution, sm.high_resolution_extent) == (hi_res, hi_ext)
+    assert (sm.low_resolution, sm.low_resolution_extent) == (lo_res, lo_ext)
+
+    builder = map_builder_from_state(fixture, cfg, pure_localization=True)
+    pg = builder.pose_graph
+    frozen_tid = pg.submaps[0].trajectory_id
+    assert pg.submaps[0].frozen and pg.submaps[0].finished
+    assert pg.trajectory_states()[frozen_tid] == "FROZEN"
+    # the fixture's grids decode into usable compressed grids
+    assert int(pg.submaps[0].high.count) > 0
+
+    # live revisit of the SAME world from a wrong local frame: the global
+    # (MatchFullSubmap) search must localize it onto the fixture map
+    world = fixture_world_cloud()
+    live = 0  # the builder's eagerly-created live trajectory
+    wrong_start = Rigid3.translation_only(jnp.asarray([3.0, -2.0, 0.0]))
+    s1 = pg.add_submap(wrong_start, trajectory_id=live)
+    node = _make_node(cfg, world, wrong_start)
+    node.trajectory_id = live
+    from tests.test_multi_trajectory import _grids
+
+    g_hi1, g_lo1 = _grids(cfg, world)
+    pg.add_node(
+        node, (s1,), newly_finished_submap_id=s1,
+        finished_grids=(g_hi1, g_lo1),
+    )
+    inter = [c for c in pg.constraints if c.tag == "INTER"]
+    assert inter, "no localization constraint against the fixture map"
+    assert pg.trajectories_connected(frozen_tid, live)
+    pg.run_final_optimization()
+    # the live node's true pose is the fixture map's origin
+    err = float(np.linalg.norm(np.asarray(pg.nodes[-1].global_pose.translation)))
+    assert err < 0.4, err
+    np.testing.assert_allclose(
+        np.asarray(pg.submaps[0].global_pose.translation), 0.0, atol=1e-6
+    )
+
+
 def test_map_builder_localizes_from_pbstream():
     """map_builder_from_state accepts .pbstream paths: a map produced in
     the reference schema loads FROZEN for pure localization."""
