@@ -27,7 +27,10 @@ import jax.numpy as jnp
 # Persistent compile cache: the backend-on phase compiles the loop-search /
 # SPA programs once; repeated bench runs (and the driver's end-of-round run)
 # then skip straight to execution.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 np.asarray(jnp.zeros(1))
@@ -106,24 +109,67 @@ def build_config():
                 # canonical corkscrew harness at the same 0.1 m bound as the
                 # reference fixture (validated, see tests/test_lio.py).
                 "gn_iterations": 3,
-                "ceres_scan_matcher": {"max_num_iterations": 6},
+                # 1e-3 is the measured bench-world opt-in (config default
+                # stays at the reference's Ceres-default 1e-6; see
+                # CeresScanMatcherConfig.function_tolerance)
+                "ceres_scan_matcher": {
+                    "max_num_iterations": 6,
+                    "function_tolerance": 1e-3,
+                },
             }
         },
     ).trajectory_builder
 
 
-def bench_e2e():
+def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
     """Full-pipeline throughput: a PROGRESSING drifted circle through
     MapBuilder with submap finish, background loop-constraint search, and
     periodic + final optimization all running — the backend-on counterpart
     of the frontend-only number (the reference's >=3x real-time anchor
     includes its 8 background threads, basic_config_3d.lua:101 +
-    demo_dlio_viral.launch:41). Returns extra JSON fields."""
+    demo_dlio_viral.launch:41). Returns extra JSON fields.
+
+    `flagship=True` runs the same course at the VIRAL-faithful dual-brick
+    configuration (0.1 m / 60 m high, 0.45 m low — the frontend phase's
+    grids) instead of the toy dense config, so the backend cost is measured
+    at the flagship submap scale (VERDICT r4 #3)."""
     from dliom_tpu.io.synthetic import ImuNoise, ImuSimulator
     from dliom_tpu.map_builder import MapBuilder
     from dliom_tpu.transform.rigid import quat_from_yaw
 
     radius, speed, scan_period = 5.0, 1.5, 0.1
+    submaps = (
+        {
+            # dual-brick flagship grids (see build_config) with the
+            # backend capture crop at 256 cells (25.6 m — covers the
+            # 5 m-radius course with full margin); loop search decompresses
+            # at this extent
+            "high_resolution": 0.1,
+            "high_resolution_max_range": 60.0,
+            "low_resolution": 0.45,
+            "num_range_data": 16,
+            "use_brick_grid": True,
+            "brick_dir_extent": 160,
+            "brick_max_bricks": 65536,
+            "brick_apply_groups": 512,
+            "dense_apply_groups": 256,
+            "high_resolution_extent": 256,
+            "low_resolution_extent": 64,
+            "use_brick_grid_low": True,
+            "low_brick_dir_extent": 40,
+            "low_brick_max_bricks": 8192,
+            "low_brick_apply_groups": 192,
+            "low_brick_apply_group_bricks": 8,
+        }
+        if flagship
+        else {
+            "high_resolution": 0.2,
+            "low_resolution": 0.8,
+            "high_resolution_extent": 128,
+            "low_resolution_extent": 64,
+            "num_range_data": 16,
+        }
+    )
     cfg = load_config(
         "basic",
         {
@@ -131,13 +177,16 @@ def bench_e2e():
                 "scan_period": scan_period,
                 "frames_for_static_initialization": 8,
                 "enable_ndt_initialization": False,
-                "submaps": {
-                    "high_resolution": 0.2,
-                    "low_resolution": 0.8,
-                    "high_resolution_extent": 128,
-                    "low_resolution_extent": 64,
-                    "num_range_data": 16,
-                },
+                "submaps": submaps,
+                **(
+                    {
+                        "max_filtered_points": 8192,
+                        "max_high_res_points": 256,
+                        "max_low_res_points": 256,
+                    }
+                    if flagship
+                    else {}
+                ),
             },
             "pose_graph": {
                 "optimize_every_n_nodes": 32,
@@ -156,7 +205,23 @@ def bench_e2e():
     # Background constraint search on the native task pool — the
     # reference's >=3x real-time anchor runs its searches on 8 background
     # threads (MAP_BUILDER.num_background_threads), not inline with ingest.
-    builder = MapBuilder(cfg, use_background_threads=True)
+    # pipeline_depth=1: each scan's host fetch overlaps the next scan's
+    # step, hiding the ~30 ms tunneled-TPU round trip.
+    # BENCH_E2E_POOL overrides the worker count (0 = inline searches) for
+    # contention experiments; the chip executes one program at a time, so
+    # extra workers buy queue-ahead, not parallel compute.
+    pool_env = os.environ.get("BENCH_E2E_POOL")
+    if pool_env is not None:
+        n_pool = int(pool_env)
+        if n_pool > 0:
+            cfg = cfg.override(
+                {"map_builder": {"num_background_threads": n_pool}}
+            )
+        builder = MapBuilder(
+            cfg, use_background_threads=n_pool > 0, pipeline_depth=1
+        )
+    else:
+        builder = MapBuilder(cfg, use_background_threads=True, pipeline_depth=1)
     world = SyntheticWorld.create(num_beams=16, num_azimuths=600)
     sim = ImuSimulator(
         rate=100.0,
@@ -211,7 +276,12 @@ def bench_e2e():
         feed(prev_pose, pose, prev_v, v)
         prev_pose, prev_v = pose, v
     pg = builder.pose_graph
+    builder.flush()
     pg.wait_for_all_computations()
+    # reset the percentile/phase surfaces so they cover the timed lap only
+    builder.local_slam_latency_seconds.clear()
+    pg.constraint_search_seconds.clear()
+    pg.phase_seconds.clear()
 
     # TIMED: one more full lap with submap finish, loop-constraint search,
     # and periodic optimization all running — sustained backend-on
@@ -224,16 +294,37 @@ def bench_e2e():
         pose, v = circle_pose(tau)
         feed(prev_pose, pose, prev_v, v)
         prev_pose, prev_v = pose, v
+    builder.flush()
     pg.wait_for_all_computations()
     dt = time.perf_counter() - t0
     inter = sum(1 for c in pg.constraints if c.tag == "INTER")
-    return {
-        "e2e_scans_per_sec": round(timed / dt, 2),
-        "e2e_vs_baseline": round(timed / dt / 30.0, 2),
-        "e2e_num_inter_constraints": inter,
-        "e2e_num_nodes": len(pg.nodes),
-        "e2e_num_submaps": len(pg.submaps),
+    lat = np.asarray(builder.local_slam_latency_seconds)
+    search = np.asarray(pg.constraint_search_seconds)
+    p = prefix
+    out = {
+        f"{p}_scans_per_sec": round(timed / dt, 2),
+        f"{p}_vs_baseline": round(timed / dt / 30.0, 2),
+        f"{p}_num_inter_constraints": inter,
+        f"{p}_num_nodes": len(pg.nodes),
+        f"{p}_num_submaps": len(pg.submaps),
     }
+    if len(lat):
+        # online-latency percentiles (VERDICT r4 #5: the reference registers
+        # local_slam_latency, local_trajectory_builder_3d.cc:624-649)
+        out[f"{p}_scan_latency_p50_ms"] = round(
+            float(np.percentile(lat, 50)) * 1e3, 2
+        )
+        out[f"{p}_scan_latency_p99_ms"] = round(
+            float(np.percentile(lat, 99)) * 1e3, 2
+        )
+    if len(search):
+        out[f"{p}_search_p50_s"] = round(float(np.percentile(search, 50)), 3)
+        out[f"{p}_search_p99_s"] = round(float(np.percentile(search, 99)), 3)
+    # per-phase wall breakdown over the timed lap (seconds)
+    for k, v in sorted(pg.phase_seconds.items()):
+        out[f"{p}_phase_{k}_s"] = round(v, 3)
+    out[f"{p}_wall_s"] = round(dt, 2)
+    return out
 
 
 def main():
@@ -318,13 +409,17 @@ def main():
         )
 
     # Backend-on phase (loop search + SPA in the loop); BENCH_E2E=0 skips
-    # for a quick frontend-only run.
+    # for a quick frontend-only run; BENCH_E2E_FLAGSHIP=1 adds a second
+    # backend-on pass at the flagship dual-brick grid configuration
+    # (fields prefixed e2e_flagship_).
     e2e = {} if os.environ.get("BENCH_E2E") == "0" else bench_e2e()
     if e2e and e2e["e2e_num_inter_constraints"] < 1:
         raise SystemExit(
             "benchmark invalid: the backend-on phase closed no loop — the "
             f"e2e throughput would not cover constraint work ({e2e})"
         )
+    if os.environ.get("BENCH_E2E_FLAGSHIP") == "1":
+        e2e.update(bench_e2e(flagship=True, prefix="e2e_flagship"))
 
     print(
         json.dumps(

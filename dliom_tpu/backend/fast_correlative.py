@@ -71,6 +71,7 @@ def match_candidates(
     cfg: FastCorrelativeConfig,
     *,
     beam_width: int = 256,
+    coarse_point_stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Coarse-to-fine search. Returns (scores (K,), offsets (K, 3) int32,
     scan_idx (K,)) of the top-K depth-0 candidates, sorted descending.
@@ -78,7 +79,17 @@ def match_candidates(
     The candidate pose for (offset, a) is
     T = translate(resolution * offset) ∘ R_z(yaw_a) ∘ base_pose
     with the yaw applied about the scan origin (GenerateDiscreteScans
-    :330-345)."""
+    :330-345).
+
+    `coarse_point_stride > 1` scores depths above 1 with every stride-th
+    point only — a DOCUMENTED DEVIATION from ScoreCandidates (which always
+    sums the full cloud): per-candidate gathers serialize on the TPU's
+    scalar memory path at ~10 ns/element, so coarse ranking with an
+    unbiased point subset halves the search's device time; the final
+    depth 0/1 walks (whose scores gate min_score and pick the winner) use
+    the full cloud. The cloud's point order carries no structure (it is
+    voxel-filter output), so a strided subset is an unbiased estimator of
+    the full mean."""
     depth = len(pyramid.levels)
     full_depth = min(cfg.full_resolution_depth, depth)
     res = spec.resolution
@@ -98,12 +109,20 @@ def match_candidates(
         return cell_index(rot.apply(points), res)
 
     all_cells = jax.vmap(scan_cells)(yaw_angles)  # (A, N, 3)
-    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
-    # Precompute per-depth cell tables (A, N, 3)
-    cells_per_depth = [
-        _depth_cells(all_cells, d, full_depth, window_start)
-        for d in range(depth)
+    # Precompute per-depth cell tables (A, N, 3); depths above 1 keep only
+    # every coarse_point_stride-th point (see docstring)
+    stride = max(1, int(coarse_point_stride))
+
+    def depth_table(d):
+        cells = _depth_cells(all_cells, d, full_depth, window_start)
+        return cells[:, ::stride] if d > 1 else cells
+
+    cells_per_depth = [depth_table(d) for d in range(depth)]
+    mask_per_depth = [mask[::stride] if d > 1 else mask for d in range(depth)]
+    nv_per_depth = [
+        jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+        for m in mask_per_depth
     ]
 
     def score(depth_idx: int, scan_idx, offsets):
@@ -112,16 +131,17 @@ def match_candidates(
         e_level = level.shape[0]
         red = max(0, depth_idx - full_depth + 1)
         half_level = half >> red if depth_idx >= full_depth else half
+        d_mask = mask_per_depth[depth_idx]
         cells = cells_per_depth[depth_idx][scan_idx]  # (K, N, 3)
         off = (offsets >> red)[:, None, :]
         idx = cells + off
         shifted = idx + half_level
-        ok = jnp.all((shifted >= 0) & (shifted < e_level), axis=-1) & mask[None, :]
+        ok = jnp.all((shifted >= 0) & (shifted < e_level), axis=-1) & d_mask[None, :]
         c = jnp.clip(shifted, 0, e_level - 1)
         flat = (c[..., 0] * e_level + c[..., 1]) * e_level + c[..., 2]
         vals = level.reshape(-1)[flat]
         s = jnp.sum(jnp.where(ok, vals, 0).astype(jnp.float32), axis=-1)
-        return probability_from_byte(s / n_valid)
+        return probability_from_byte(s / nv_per_depth[depth_idx])
 
     # Lowest-resolution candidate lattice (GenerateLowestResolutionCandidates)
     # — identical for every yaw candidate, so the beam is maintained *per
@@ -226,6 +246,7 @@ def match(
     max_scan_range: float = 60.0,
     use_rotational_gate: bool = True,
     beam_width: int = 256,
+    coarse_point_stride: int = 1,
 ) -> CorrelativeResult:
     """Full search around `initial_pose` (Match / MatchWith3DofInitial).
 
@@ -272,7 +293,7 @@ def match(
 
     scores, offsets, scan_idx = match_candidates(
         pyramid, spec, high_points, high_mask, initial_pose, angles, yaw_mask,
-        cfg, beam_width=beam_width,
+        cfg, beam_width=beam_width, coarse_point_stride=coarse_point_stride,
     )
 
     # Candidate poses; low-resolution gate in score order (BnB depth-0 walk,
@@ -317,6 +338,7 @@ def match_full_submap(
     min_score: float,
     *,
     beam_width: int = 1024,
+    coarse_point_stride: int = 1,
 ) -> CorrelativeResult:
     """Whole-submap, all-yaw search (MatchFullSubmap,
     fast_correlative_scan_matcher_3d.cc:199-250): the linear window spans the
@@ -348,4 +370,5 @@ def match_full_submap(
         num_angles=int(cfg.full_submap_num_angles),
         use_rotational_gate=True,
         beam_width=beam_width,
+        coarse_point_stride=coarse_point_stride,
     )

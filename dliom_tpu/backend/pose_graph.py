@@ -23,9 +23,11 @@ matched against each candidate submap via MatchWith3DofInitial + refinement
 
 from __future__ import annotations
 
+import collections
 import functools
 import logging
 import threading
+import time as _time
 import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -113,6 +115,11 @@ class Constraint:
     rotation_weight: float
     tag: str  # "INTRA" | "INTER"
     score: float = 1.0
+    # INTER only: yaw the search+refinement moved the pose relative to its
+    # initial guess (rad) — i.e. the accumulated yaw drift this loop had to
+    # recover; validates the with-initial yaw fan half-width against the
+    # drift regime actually encountered (VERDICT r4 #8)
+    yaw_correction: float = 0.0
 
 
 class PoseGraph:
@@ -152,6 +159,7 @@ class PoseGraph:
         self._conn_parent: Dict[int, int] = {}  # union-find over trajectories
         self._last_connection: Dict[Tuple[int, int], float] = {}
         self._nodes_since_optimization = 0
+        self._opt_pending = False  # a pool-task solve is queued/running
         self._num_histogram = tb_cfg.rotational_histogram_size
         self._hi_spec, self._lo_spec = grid_specs(tb_cfg.submaps)
         self._compress_capacity = 1 << 18
@@ -173,6 +181,44 @@ class PoseGraph:
         # reference's work-item queue latency on its 8 background threads
         # (constraint_builder_3d.cc WhenDone timing); benchmark surface.
         self.constraint_search_seconds: List[float] = []
+        # cumulative wall seconds per backend phase (search staging /
+        # match+refine wait / SPA solve ...) — the per-phase breakdown the
+        # e2e benchmark reports; the reference's TicToc sum_t_cost_ analog
+        # (pose_graph_3d.cc:446,504).
+        self.phase_seconds: Dict[str, float] = collections.defaultdict(float)
+        self._phase_lock = threading.Lock()
+        # LRU of decompressed (g_hi, g_lo, pyramid) per finished submap:
+        # every (from, to) search pair and every later search round reuses
+        # the same target grids, and re-decompressing + re-max-pooling costs
+        # device time per pair (the reference keeps each finished submap's
+        # HybridGrid + PrecomputationGridStack3D alive for exactly this
+        # reason — constraint_builder_3d.cc submap_scan_matchers_). Capacity
+        # bounds HBM (a flagship 448^3 submap is ~400 MB decompressed).
+        self._grid_cache: "collections.OrderedDict[int, tuple]" = (
+            collections.OrderedDict()
+        )
+
+    def _phase(self, name: str, seconds: float) -> None:
+        with self._phase_lock:
+            self.phase_seconds[name] += seconds
+
+    def _decompressed_grids(self, to_id: int):
+        """(g_hi, g_lo, pyramid) for a finished submap, LRU-cached on
+        device (PrecomputationGridStack3D reuse semantics)."""
+        with self._phase_lock:
+            hit = self._grid_cache.get(to_id)
+            if hit is not None:
+                self._grid_cache.move_to_end(to_id)
+                return hit
+        t0 = _time.perf_counter()
+        sub = self.submaps[to_id]
+        out = self._jit_cache["decompress"](sub.high, sub.low)
+        self._phase("search_decompress", _time.perf_counter() - t0)
+        with self._phase_lock:
+            self._grid_cache[to_id] = out
+            while len(self._grid_cache) > max(1, self.cfg.grid_cache_size):
+                self._grid_cache.popitem(last=False)
+        return out
 
     # ----- data ingestion (GlobalTrajectoryBuilder::AddSensorData ->
     # PoseGraph3D::AddNode, pose_graph_3d.cc:113-144) -----
@@ -275,26 +321,21 @@ class PoseGraph:
         s = self.submaps[submap_id]
         if isinstance(high_values, CompressedGrid):
             s.high = jax.tree.map(jnp.asarray, high_values)
-            dense_high = None
         else:
             s.high = compress(high_values, self._hi_spec, self._compress_capacity)
-            dense_high = high_values
         if isinstance(low_values, CompressedGrid):
             s.low = jax.tree.map(jnp.asarray, low_values)
         else:
             s.low = compress(
                 low_values, self._lo_spec, self.low_compress_capacity
             )
-        if self.cfg.constraint_builder.use_image_proposals:
-            if dense_high is None:
-                dense_high = decompress(s.high, self._hi_spec)
-            s.image = jax.tree.map(
-                np.asarray,
-                project_to_image(
-                    dense_high, self._hi_spec,
-                    self.cfg.constraint_builder.image_proposal_size,
-                ),
-            )
+        # The top-down projection (loop-proposal image) is computed LAZILY
+        # by _submap_image on the search worker, not here: finish_submap
+        # runs on the ingest thread, and projecting (decompress + reduce +
+        # a blocking host fetch) behind the shared device queue would stall
+        # scan ingestion (the reference likewise projects at
+        # feature-extraction time on its task pool,
+        # constraint_builder_3d.cc:436-532).
         s.finished = True
 
     def add_node(
@@ -364,8 +405,27 @@ class PoseGraph:
             self.cfg.optimize_every_n_nodes > 0
             and self._nodes_since_optimization >= self.cfg.optimize_every_n_nodes
         ):
-            self.run_optimization()
+            self._nodes_since_optimization = 0
+            if self._pool is not None:
+                # Periodic optimization runs AS A POOL TASK (the reference's
+                # DispatchOptimization → HandleWorkQueue on its thread pool,
+                # pose_graph_3d.cc:403-420): local SLAM ingest never waits
+                # for the SPA solve. Searches still in flight contribute
+                # their constraints to the next solve. One pending solve at
+                # a time — a second trigger while one is queued is folded
+                # into it (HandleWorkQueue drains the whole queue).
+                if not self._opt_pending:
+                    self._opt_pending = True
+                    self._pool.add_task(self._run_optimization_task)
+            else:
+                self.run_optimization(wait=False)
         return node_id
+
+    def _run_optimization_task(self) -> None:
+        try:
+            self.run_optimization(wait=False)
+        finally:
+            self._opt_pending = False
 
     def add_fixed_frame_pose(
         self, node_id: int, position, weight: Optional[float] = None
@@ -516,6 +576,7 @@ class PoseGraph:
         )
         loop_cfg = self.cfg.constraint_builder.ceres_scan_matcher
         hi, lo = self._hi_spec, self._lo_spec
+        stride = int(self.cfg.constraint_builder.coarse_scoring_stride)
 
         @jax.jit
         def decompress_and_pyramid(high_comp, low_comp):
@@ -536,6 +597,7 @@ class PoseGraph:
                 pyr, hi, g_lo, lo, hp, hm, lp, lm, initial, hist,
                 submap_hist, yaw0, fc_cfg_initial, min_score,
                 num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
+                coarse_point_stride=stride,
             )
 
         @jax.jit
@@ -592,6 +654,7 @@ class PoseGraph:
                     pyr, hi, g_lo, lo, a, b, c, d, e, f,
                     submap_hist, g, fc_cfg_initial, min_score,
                     num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
+                    coarse_point_stride=stride,
                 )
             )(hp, hm, lp, lm, initial, hist, yaw0)
 
@@ -616,6 +679,7 @@ class PoseGraph:
                 lambda a, b, c, d, r, f: fc.match_full_submap(
                     pyr, hi, g_lo, lo, a, b, c, d, r, f,
                     submap_hist, fc_cfg, min_score, beam_width=1024,
+                    coarse_point_stride=stride,
                 )
             )(hp, hm, lp, lm, rot, hist)
 
@@ -658,8 +722,6 @@ class PoseGraph:
     def _compute_constraints_for_submap(self, from_id: int) -> int:
         """Timed entry: records per-finished-submap search wall latency in
         `constraint_search_seconds` (covers inline and pool-worker paths)."""
-        import time as _time
-
         t0 = _time.perf_counter()
         try:
             return self._compute_constraints_for_submap_impl(from_id)
@@ -673,8 +735,7 @@ class PoseGraph:
         unconnected (or long-unconnected) trajectories get the whole-submap
         global search instead."""
         added = 0
-        match_fn, refine_fn = self._matcher_fns()
-        decompress_fn = self._jit_cache["decompress"]
+        self._matcher_fns()  # populate the jit cache
         cb = self.cfg.constraint_builder
         every = max(1, cb.every_nodes_to_find_constraint)
         from_sub = self.submaps[from_id]
@@ -743,7 +804,7 @@ class PoseGraph:
             ]
             if not node_ids:
                 continue
-            g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
+            g_hi, g_lo, pyr = self._decompressed_grids(to_id)
             submap_hist = jnp.asarray(to_sub.histogram)
             initials = []
             for node_id in node_ids:
@@ -763,66 +824,99 @@ class PoseGraph:
             if self._metrics:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
-            nodes = [self.nodes[n] for n in node_ids]
-            nb = bucket(len(node_ids))
-            res = match_batch(
-                pyr, g_lo,
-                bstack([n.high_points for n in nodes], nb),
-                bstack([n.high_mask for n in nodes], nb),
-                bstack([n.low_points for n in nodes], nb),
-                bstack([n.low_mask for n in nodes], nb),
-                bstack_tree(initials, nb),
-                bstack([n.histogram for n in nodes], nb),
-                submap_hist,
-                bstack(
-                    [np.float32(np_quat_yaw(np.asarray(i.rotation, np.float64)))
-                     for i in initials], nb
-                ),
-                min_score=float(self.cfg.constraint_builder.min_score),
-            )
-            found = np.asarray(res.found)[: len(node_ids)]
-            if not found.any():
-                continue
-            idx = np.flatnonzero(found)
-            rb = bucket(len(idx))
-            idx_pad = np.concatenate(
-                [idx, np.repeat(idx[:1], rb - len(idx))]
-            ) if rb > len(idx) else idx
-            refined = refine_batch(
-                jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
-                g_hi, g_lo,
-                bstack([nodes[i].high_points for i in idx], rb),
-                bstack([nodes[i].high_mask for i in idx], rb),
-                bstack([nodes[i].low_points for i in idx], rb),
-                bstack([nodes[i].low_mask for i in idx], rb),
-            )
-            scores = np.asarray(res.score)
-            for j, i in enumerate(idx):
-                with self._mutex:
-                    self._append_constraint_locked(
-                        Constraint(
-                            submap_id=to_id,
-                            node_id=node_ids[i],
-                            relative=jax.tree.map(
-                                lambda x: np.asarray(x[j]), refined.pose
-                            ),
-                            translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
-                            rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
-                            tag="INTER",
-                            score=float(scores[i]),
+            # Chunked dispatch (device-queue hygiene): each chunk is its own
+            # bounded device program, so the latency-critical frontend step
+            # interleaves between chunks instead of waiting out one large
+            # search (the reference's searches run on CPU worker threads and
+            # never block its SLAM thread; on a single shared chip, bounded
+            # program size is the equivalent).
+            chunk = max(1, cb.max_nodes_per_search_dispatch)
+            for lo_i in range(0, len(node_ids), chunk):
+                ids_c = node_ids[lo_i : lo_i + chunk]
+                initials_c = initials[lo_i : lo_i + chunk]
+                nodes = [self.nodes[n] for n in ids_c]
+                nb = bucket(len(ids_c))
+                t_st = _time.perf_counter()
+                staged = (
+                    bstack([n.high_points for n in nodes], nb),
+                    bstack([n.high_mask for n in nodes], nb),
+                    bstack([n.low_points for n in nodes], nb),
+                    bstack([n.low_mask for n in nodes], nb),
+                    bstack_tree(initials_c, nb),
+                    bstack([n.histogram for n in nodes], nb),
+                    submap_hist,
+                    bstack(
+                        [np.float32(
+                            np_quat_yaw(np.asarray(i.rotation, np.float64)))
+                         for i in initials_c], nb
+                    ),
+                )
+                self._phase("search_stage", _time.perf_counter() - t_st)
+                t_m = _time.perf_counter()
+                res = match_batch(
+                    pyr, g_lo, *staged,
+                    min_score=float(self.cfg.constraint_builder.min_score),
+                )
+                found = np.asarray(res.found)[: len(ids_c)]
+                self._phase("search_match", _time.perf_counter() - t_m)
+                if not found.any():
+                    continue
+                idx = np.flatnonzero(found)
+                rb = bucket(len(idx))
+                idx_pad = np.concatenate(
+                    [idx, np.repeat(idx[:1], rb - len(idx))]
+                ) if rb > len(idx) else idx
+                t_r = _time.perf_counter()
+                refined = refine_batch(
+                    jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
+                    g_hi, g_lo,
+                    bstack([nodes[i].high_points for i in idx], rb),
+                    bstack([nodes[i].high_mask for i in idx], rb),
+                    bstack([nodes[i].low_points for i in idx], rb),
+                    bstack([nodes[i].low_mask for i in idx], rb),
+                )
+                refined_np = jax.tree.map(np.asarray, refined.pose)
+                scores = np.asarray(res.score)
+                self._phase("search_refine", _time.perf_counter() - t_r)
+                for j, i in enumerate(idx):
+                    dyaw = float(
+                        np_quat_yaw(
+                            np_quat_multiply(
+                                np.asarray(
+                                    refined_np.rotation[j], np.float64),
+                                np_quat_conjugate(
+                                    np.asarray(
+                                        initials_c[i].rotation, np.float64)
+                                ),
+                            )
                         )
                     )
-                if cb.log_matches:
-                    _LOG.info(
-                        "loop constraint: node %d -> submap %d score %.3f",
-                        node_ids[i], to_id, float(scores[i]),
-                    )
-                if self._metrics:
-                    self._metrics["constraints_found"].add().increment()
-                    self._metrics["constraint_scores"].add().observe(
-                        float(scores[i])
-                    )
-                added += 1
+                    with self._mutex:
+                        self._append_constraint_locked(
+                            Constraint(
+                                submap_id=to_id,
+                                node_id=ids_c[i],
+                                relative=jax.tree.map(
+                                    lambda x: x[j], refined_np
+                                ),
+                                translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
+                                rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
+                                tag="INTER",
+                                score=float(scores[i]),
+                                yaw_correction=dyaw,
+                            )
+                        )
+                    if cb.log_matches:
+                        _LOG.info(
+                            "loop constraint: node %d -> submap %d score %.3f",
+                            ids_c[i], to_id, float(scores[i]),
+                        )
+                    if self._metrics:
+                        self._metrics["constraints_found"].add().increment()
+                        self._metrics["constraint_scores"].add().observe(
+                            float(scores[i])
+                        )
+                    added += 1
 
         # ---- global search: whole-submap all-yaw match against submaps of
         # unconnected (or stale-connected) trajectories, sampled at
@@ -837,83 +931,96 @@ class PoseGraph:
             ]
             if not node_ids:
                 continue
-            g_hi, g_lo, pyr = decompress_fn(to_sub.high, to_sub.low)
+            g_hi, g_lo, pyr = self._decompressed_grids(to_id)
             submap_hist = jnp.asarray(to_sub.histogram)
-            nodes = [self.nodes[n] for n in node_ids]
             if self._metrics:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
-            nb = bucket(max(len(sampled[::stride]), 1))
-            # roll/pitch-consistent rotation guess from the gravity-aligned
-            # global estimates; yaw error is irrelevant under the ±pi search
-            rots = bstack(
-                [
-                    np.asarray(
-                        quat_multiply(
-                            quat_conjugate(to_sub.global_pose.rotation),
-                            n.global_pose.rotation,
+            chunk = max(1, cb.max_nodes_per_search_dispatch)
+            for lo_i in range(0, len(node_ids), chunk):
+                ids_c = node_ids[lo_i : lo_i + chunk]
+                nodes = [self.nodes[n] for n in ids_c]
+                nb = bucket(len(ids_c))
+                t_st = _time.perf_counter()
+                # roll/pitch-consistent rotation guess from the
+                # gravity-aligned global estimates; yaw error is irrelevant
+                # under the ±pi search
+                rots = bstack(
+                    [
+                        np.asarray(
+                            quat_multiply(
+                                quat_conjugate(to_sub.global_pose.rotation),
+                                n.global_pose.rotation,
+                            )
                         )
-                    )
-                    for n in nodes
-                ],
-                nb,
-            )
-            res = match_full(
-                pyr, g_lo,
-                bstack([n.high_points for n in nodes], nb),
-                bstack([n.high_mask for n in nodes], nb),
-                bstack([n.low_points for n in nodes], nb),
-                bstack([n.low_mask for n in nodes], nb),
-                rots,
-                bstack([n.histogram for n in nodes], nb),
-                submap_hist,
-                min_score=float(
-                    self.cfg.constraint_builder.global_localization_min_score
-                ),
-            )
-            found = np.asarray(res.found)[: len(node_ids)]
-            if not found.any():
-                continue
-            idx = np.flatnonzero(found)
-            rb = bucket(len(idx))
-            idx_pad = np.concatenate(
-                [idx, np.repeat(idx[:1], rb - len(idx))]
-            ) if rb > len(idx) else idx
-            refined = refine_batch(
-                jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
-                g_hi, g_lo,
-                bstack([nodes[i].high_points for i in idx], rb),
-                bstack([nodes[i].high_mask for i in idx], rb),
-                bstack([nodes[i].low_points for i in idx], rb),
-                bstack([nodes[i].low_mask for i in idx], rb),
-            )
-            scores = np.asarray(res.score)
-            for j, i in enumerate(idx):
-                with self._mutex:
-                    self._append_constraint_locked(
-                        Constraint(
-                            submap_id=to_id,
-                            node_id=node_ids[i],
-                            relative=jax.tree.map(
-                                lambda x: np.asarray(x[j]), refined.pose
-                            ),
-                            translation_weight=cb.loop_closure_translation_weight,
-                            rotation_weight=cb.loop_closure_rotation_weight,
-                            tag="INTER",
-                            score=float(scores[i]),
+                        for n in nodes
+                    ],
+                    nb,
+                )
+                staged = (
+                    bstack([n.high_points for n in nodes], nb),
+                    bstack([n.high_mask for n in nodes], nb),
+                    bstack([n.low_points for n in nodes], nb),
+                    bstack([n.low_mask for n in nodes], nb),
+                    rots,
+                    bstack([n.histogram for n in nodes], nb),
+                    submap_hist,
+                )
+                self._phase("search_stage", _time.perf_counter() - t_st)
+                t_m = _time.perf_counter()
+                res = match_full(
+                    pyr, g_lo, *staged,
+                    min_score=float(
+                        self.cfg.constraint_builder.global_localization_min_score
+                    ),
+                )
+                found = np.asarray(res.found)[: len(ids_c)]
+                self._phase("search_match", _time.perf_counter() - t_m)
+                if not found.any():
+                    continue
+                idx = np.flatnonzero(found)
+                rb = bucket(len(idx))
+                idx_pad = np.concatenate(
+                    [idx, np.repeat(idx[:1], rb - len(idx))]
+                ) if rb > len(idx) else idx
+                t_r = _time.perf_counter()
+                refined = refine_batch(
+                    jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
+                    g_hi, g_lo,
+                    bstack([nodes[i].high_points for i in idx], rb),
+                    bstack([nodes[i].high_mask for i in idx], rb),
+                    bstack([nodes[i].low_points for i in idx], rb),
+                    bstack([nodes[i].low_mask for i in idx], rb),
+                )
+                refined_np = jax.tree.map(np.asarray, refined.pose)
+                scores = np.asarray(res.score)
+                self._phase("search_refine", _time.perf_counter() - t_r)
+                for j, i in enumerate(idx):
+                    with self._mutex:
+                        self._append_constraint_locked(
+                            Constraint(
+                                submap_id=to_id,
+                                node_id=ids_c[i],
+                                relative=jax.tree.map(
+                                    lambda x: x[j], refined_np
+                                ),
+                                translation_weight=cb.loop_closure_translation_weight,
+                                rotation_weight=cb.loop_closure_rotation_weight,
+                                tag="INTER",
+                                score=float(scores[i]),
+                            )
                         )
-                    )
-                if cb.log_matches:
-                    _LOG.info(
-                        "GLOBAL constraint: node %d -> submap %d score %.3f",
-                        node_ids[i], to_id, float(scores[i]),
-                    )
-                if self._metrics:
-                    self._metrics["constraints_found"].add().increment()
-                    self._metrics["constraint_scores"].add().observe(
-                        float(scores[i])
-                    )
-                added += 1
+                    if cb.log_matches:
+                        _LOG.info(
+                            "GLOBAL constraint: node %d -> submap %d score %.3f",
+                            ids_c[i], to_id, float(scores[i]),
+                        )
+                    if self._metrics:
+                        self._metrics["constraints_found"].add().increment()
+                        self._metrics["constraint_scores"].add().observe(
+                            float(scores[i])
+                        )
+                    added += 1
         # the matching increment only happens on the pool-dispatch path
         if self._metrics and self._pool is not None:
             self._metrics["queue_length"].add().decrement()
@@ -924,6 +1031,25 @@ class PoseGraph:
             np_inverse(np_rigid(to_sub.global_pose)), np_rigid(node.global_pose)
         )
 
+    def _submap_image(self, sid: int) -> Optional[SubmapImage]:
+        """Lazily-computed, cached top-down projection of a finished submap
+        (ProjectToCvMat, submap_3d.cc:381-463). Runs on the calling (search
+        worker) thread; reuses the decompressed-grid LRU."""
+        s = self.submaps[sid]
+        if s.image is not None or not s.finished or s.high is None:
+            return s.image
+        t0 = _time.perf_counter()
+        if "project" not in self._jit_cache:
+            size = self.cfg.constraint_builder.image_proposal_size
+            spec = self._hi_spec
+            self._jit_cache["project"] = jax.jit(
+                lambda g: project_to_image(g, spec, size)
+            )
+        g_hi, _, _ = self._decompressed_grids(sid)
+        s.image = jax.tree.map(np.asarray, self._jit_cache["project"](g_hi))
+        self._phase("search_project", _time.perf_counter() - t0)
+        return s.image
+
     def _image_proposals(self, from_id: int):
         """FFT-correlation submap-to-submap proposals vs older finished
         submaps (the SURF/FLANN/RANSAC substitute, C10). Returns
@@ -932,14 +1058,17 @@ class PoseGraph:
         if not cb.use_image_proposals:
             return {}
         from_sub = self.submaps[from_id]
-        if from_sub.image is None:
+        t0 = _time.perf_counter()
+        from_image = self._submap_image(from_id)
+        if from_image is None:
             return {}
         out = {}
         candidates = [
             sid
             for sid, s in enumerate(self.submaps)
             if s.finished
-            and s.image is not None
+            and s.high is not None
+            and not s.trimmed
             and sid < from_id
             and not (
                 s.trajectory_id == from_sub.trajectory_id
@@ -948,6 +1077,9 @@ class PoseGraph:
             )
         ]
         candidates = candidates[-cb.max_image_proposal_candidates:]
+        candidates = [
+            sid for sid in candidates if self._submap_image(sid) is not None
+        ]
         if not candidates:
             return {}
         if "propose" not in self._jit_cache:
@@ -957,19 +1089,26 @@ class PoseGraph:
                 )
             )
         propose = self._jit_cache["propose"]
-        for to_id in candidates:
-            prop = propose(
+        from_img = SubmapImage(
+            jnp.asarray(from_image.image), from_image.meters_per_pixel
+        )
+        # dispatch ALL candidate correlations before the first blocking
+        # read (the per-pair float() read otherwise pays one device queue
+        # wait per candidate)
+        props = [
+            propose(
                 SubmapImage(
                     jnp.asarray(self.submaps[to_id].image.image),
                     self.submaps[to_id].image.meters_per_pixel,
                 ),
-                SubmapImage(
-                    jnp.asarray(from_sub.image.image),
-                    from_sub.image.meters_per_pixel,
-                ),
+                from_img,
             )
+            for to_id in candidates
+        ]
+        for to_id, prop in zip(candidates, props):
             if float(prop.score) >= cb.image_proposal_min_score:
                 out[to_id] = jax.tree.map(np.asarray, prop)
+        self._phase("search_propose", _time.perf_counter() - t0)
         return out
 
     def _append_constraint(self, c: Constraint) -> None:
@@ -1005,36 +1144,56 @@ class PoseGraph:
     # ----- optimization (HandleWorkQueue -> RunOptimization,
     # pose_graph_3d.cc:444-515, 722) -----
 
-    def _build_problem(self) -> opt.PoseGraphData:
+    def _build_problem(self) -> Tuple[opt.PoseGraphData, int, int]:
+        """Build the SPA problem from a CONSISTENT snapshot: counts are
+        taken under the mutex, and only the first n entries of each
+        append-only list are read — safe while ingest keeps appending nodes
+        and background searches keep appending constraints (the pool-task
+        optimization path). Returns (data, n_submaps, n_nodes) so the
+        caller applies results only to snapshot members."""
+        with self._mutex:
+            submaps = self.submaps[: len(self.submaps)]
+            nodes = self.nodes[: len(self.nodes)]
+            constraints = self.constraints[: len(self.constraints)]
+            ff_obs = list(self.fixed_frame_observations)
+            lm_obs = list(self.landmark_observations)
+            odom_links = list(self.odometry_links)
+        # drop constraints referencing nodes/submaps beyond the snapshot
+        # (cannot happen today — constraints append after their node — but
+        # cheap insurance against reordered ingestion)
+        constraints = [
+            c for c in constraints
+            if c.node_id < len(nodes) and c.submap_id < len(submaps)
+        ]
         S = self.cfg.max_submaps
         N = self.cfg.max_nodes
         C = self.cfg.max_constraints
-        if len(self.submaps) > S or len(self.nodes) > N or len(self.constraints) > C:
+        if len(submaps) > S or len(nodes) > N or len(constraints) > C:
             raise RuntimeError("pose graph capacity exceeded; raise max_* config")
         data = opt.make_pose_graph_data(S, N, C)
         sq = np.zeros((S, 4), np.float32); sq[:, 0] = 1
         st = np.zeros((S, 3), np.float32)
         sv = np.zeros(S, bool)
-        for i, s in enumerate(self.submaps):
+        for i, s in enumerate(submaps):
             sq[i] = np.asarray(s.global_pose.rotation)
             st[i] = np.asarray(s.global_pose.translation)
             sv[i] = True
         nq = np.zeros((N, 4), np.float32); nq[:, 0] = 1
         nt = np.zeros((N, 3), np.float32)
         nv = np.zeros(N, bool)
-        for i, node in enumerate(self.nodes):
+        for i, node in enumerate(nodes):
             nq[i] = np.asarray(node.global_pose.rotation)
             nt[i] = np.asarray(node.global_pose.translation)
             nv[i] = True
         sfx = np.zeros(S, bool)
-        for i, sub in enumerate(self.submaps):
+        for i, sub in enumerate(submaps):
             sfx[i] = sub.frozen
         # Gauge fixing per connected component: the reference holds the
         # (single) first submap constant (optimization_problem_3d.cc:293);
         # with multiple trajectories a component without any frozen/fixed
         # member leaves the GN normal equations singular, so the first
         # submap of each unanchored component is held fixed.
-        parent = list(range(len(self.submaps)))
+        parent = list(range(len(submaps)))
 
         def find(x: int) -> int:
             while parent[x] != x:
@@ -1043,7 +1202,7 @@ class PoseGraph:
             return x
 
         first_sub_of_node: Dict[int, int] = {}
-        for c in self.constraints:
+        for c in constraints:
             if c.node_id in first_sub_of_node:
                 parent[find(first_sub_of_node[c.node_id])] = find(c.submap_id)
             else:
@@ -1058,37 +1217,37 @@ class PoseGraph:
         # component gets its lowest-id submap fixed (the reference fixes
         # the single first submap, optimization_problem_3d.cc:293).
         anchored = set()
-        for i, sub in enumerate(self.submaps):
+        for i, sub in enumerate(submaps):
             if sub.frozen:
                 anchored.add(find(i))
         gps_comps = set()
-        for nid, _, _ in self.fixed_frame_observations:
+        for nid, _, _ in ff_obs:
             if nid in first_sub_of_node:
                 r = find(first_sub_of_node[nid])
                 if r in anchored or r in gps_comps:
                     continue
                 if not gps_comps:  # first GPS component: pin the origin
-                    for i in range(len(self.submaps)):
+                    for i in range(len(submaps)):
                         if find(i) == r:
                             sfx[i] = True
                             anchored.add(r)
                             break
                 gps_comps.add(r)
         anchored |= gps_comps
-        for i in range(len(self.submaps)):
+        for i in range(len(submaps)):
             r = find(i)
             if r not in anchored:
                 sfx[i] = True
                 anchored.add(r)
         nfx = np.zeros(N, bool)
-        for i, node in enumerate(self.nodes):
+        for i, node in enumerate(nodes):
             nfx[i] = node.frozen
         cs = np.zeros(C, np.int32); cn = np.zeros(C, np.int32)
         cq = np.zeros((C, 4), np.float32); cq[:, 0] = 1
         ct = np.zeros((C, 3), np.float32)
         ctw = np.zeros(C, np.float32); crw = np.zeros(C, np.float32)
         cv = np.zeros(C, bool); ci = np.zeros(C, bool)
-        for i, c in enumerate(self.constraints):
+        for i, c in enumerate(constraints):
             cs[i] = c.submap_id; cn[i] = c.node_id
             cq[i] = np.asarray(c.relative.rotation)
             ct[i] = np.asarray(c.relative.translation)
@@ -1100,7 +1259,7 @@ class PoseGraph:
         # keep the MOST RECENT observations when over capacity (recent
         # anchoring matters most on long trajectories; silently dropping the
         # newest fixes would un-anchor the live end of the map)
-        for i, (nid, pos, w) in enumerate(self.fixed_frame_observations[-F:]):
+        for i, (nid, pos, w) in enumerate(ff_obs[-F:]):
             ffn[i], fft[i], ffw[i], ffv[i] = nid, pos, w, True
         L = data.lm_node.shape[0]
         lmn = np.zeros(L, np.int32); lmn2 = np.zeros(L, np.int32)
@@ -1114,7 +1273,7 @@ class PoseGraph:
         lmpq = np.zeros((K, 4), np.float32); lmpq[:, 0] = 1
         lmpv = np.zeros(K, bool)
         for i, (nid, nid2, alpha, lid, rq, rel, tw, rw) in enumerate(
-            self.landmark_observations[-L:]
+            lm_obs[-L:]
         ):
             # ids beyond the landmark-position capacity are dropped, NOT
             # clamped: a clamped gather would alias them onto landmark K-1
@@ -1124,7 +1283,7 @@ class PoseGraph:
             lmv[i] = lid < K
             if lid < K and not lmpv[lid]:
                 # initialize the landmark at its first observation's estimate
-                node = self.nodes[nid]
+                node = nodes[nid]
                 lmp[lid] = np.asarray(node.global_pose.apply(jnp.asarray(rel)))
                 lmpq[lid] = np.asarray(
                     quat_multiply(node.global_pose.rotation, jnp.asarray(rq))
@@ -1143,14 +1302,14 @@ class PoseGraph:
             links: List[Tuple[int, int, Rigid3, float, float]] = [
                 (a, b, rel, op.odometry_translation_weight,
                  op.odometry_rotation_weight)
-                for a, b, rel in self.odometry_links
+                for a, b, rel in odom_links
             ]
             prev_by_traj: Dict[int, int] = {}
-            for nid, node in enumerate(self.nodes):
+            for nid, node in enumerate(nodes):
                 p = prev_by_traj.get(node.trajectory_id)
                 if p is not None and not node.frozen:
                     rel = np_compose(
-                        np_inverse(np_rigid(self.nodes[p].local_pose)),
+                        np_inverse(np_rigid(nodes[p].local_pose)),
                         np_rigid(node.local_pose),
                     )
                     links.append(
@@ -1163,7 +1322,7 @@ class PoseGraph:
                 nnq[i] = np.asarray(rel.rotation)
                 nnt[i] = np.asarray(rel.translation)
                 nntw[i], nnrw[i], nnv[i] = tw, rw, True
-        return data._replace(
+        return (data._replace(
             submap_q=jnp.asarray(sq), submap_t=jnp.asarray(st),
             submap_valid=jnp.asarray(sv),
             node_q=jnp.asarray(nq), node_t=jnp.asarray(nt),
@@ -1186,20 +1345,26 @@ class PoseGraph:
             nn_q=jnp.asarray(nnq), nn_t=jnp.asarray(nnt),
             nn_trans_weight=jnp.asarray(nntw), nn_rot_weight=jnp.asarray(nnrw),
             nn_valid=jnp.asarray(nnv),
-        )
+        ), len(submaps), len(nodes))
 
     def wait_for_all_computations(self) -> None:
         """WaitForAllComputations (pose_graph_3d.cc:517-533)."""
         if self._pool is not None:
             self._pool.wait_all()
 
-    def run_optimization(self, iterations: Optional[int] = None) -> None:
+    def run_optimization(
+        self, iterations: Optional[int] = None, wait: bool = True
+    ) -> None:
         """Solve the SPA problem. `iterations=None` uses the configured
         max_num_iterations; `iterations <= 0` (explicit or configured) skips
         the solve — but still clears the optimize-every-n counter, so a
         non-positive configuration disables optimization instead of
-        re-triggering it on every subsequent node."""
-        self.wait_for_all_computations()
+        re-triggering it on every subsequent node. `wait=False` solves on
+        the current constraint snapshot without draining the pool (the
+        periodic pool-task path — in-flight searches feed the NEXT solve;
+        the final optimization keeps wait=True)."""
+        if wait:
+            self.wait_for_all_computations()
         if not self.constraints or len(self.submaps) < 2:
             self._nodes_since_optimization = 0
             return
@@ -1231,24 +1396,52 @@ class PoseGraph:
                 ),
                 static_argnames=("iterations",),
             )
-        import time as _wall
-
-        t0 = _wall.perf_counter()
-        out = self._jit_cache["solve"](self._build_problem(), iterations=iters)
+        t0 = _time.perf_counter()
+        data, n_sub, n_node = self._build_problem()
+        out = self._jit_cache["solve"](data, iterations=iters)
         self._last_landmark_positions = np.asarray(out.lm_positions)
         sq = np.asarray(out.submap_q); st = np.asarray(out.submap_t)
         nq = np.asarray(out.node_q); nt = np.asarray(out.node_t)
-        for i, s in enumerate(self.submaps):
-            s.global_pose = Rigid3(jnp.asarray(sq[i]), jnp.asarray(st[i]))
-        for i, node in enumerate(self.nodes):
-            node.global_pose = Rigid3(jnp.asarray(nq[i]), jnp.asarray(nt[i]))
+        # Optimized poses live as HOST numpy (the graph bookkeeping frame,
+        # float64-composed on node-rate paths); wrapping each in a device
+        # array would re-upload S+N tiny buffers every solve. Only the
+        # SNAPSHOT members take solver output; entries appended while the
+        # solve ran are then EXTRAPOLATED through their trajectory's pose
+        # correction (HandleWorkQueue's re-anchoring of nodes added during
+        # optimization, pose_graph_3d.cc:444-515).
+        last_by_traj = {
+            s.trajectory_id: i for i, s in enumerate(self.submaps[:n_sub])
+        }
+        old_last = {
+            t: np_rigid(self.submaps[i].global_pose)
+            for t, i in last_by_traj.items()
+        }
+        for i, s in enumerate(self.submaps[:n_sub]):
+            s.global_pose = np_rigid(Rigid3(sq[i], st[i]))
+        for i, node in enumerate(self.nodes[:n_node]):
+            node.global_pose = np_rigid(Rigid3(nq[i], nt[i]))
+        corrections = {
+            t: np_compose(
+                np_rigid(self.submaps[i].global_pose), np_inverse(old_last[t])
+            )
+            for t, i in last_by_traj.items()
+        }
+        for s in self.submaps[n_sub:]:
+            c = corrections.get(s.trajectory_id)
+            if c is not None:
+                s.global_pose = np_compose(c, np_rigid(s.global_pose))
+        for node in self.nodes[n_node:]:
+            c = corrections.get(node.trajectory_id)
+            if c is not None:
+                node.global_pose = np_compose(c, np_rigid(node.global_pose))
         self._nodes_since_optimization = 0
+        self._phase("spa", _time.perf_counter() - t0)
         if self.cfg.optimization_problem.log_solver_summary:
             _LOG.info(
                 "SPA solve: %d GN iters, %d submaps, %d nodes, %d constraints"
                 " in %.3f s",
-                iters, len(self.submaps), len(self.nodes),
-                len(self.constraints), _wall.perf_counter() - t0,
+                iters, n_sub, n_node,
+                len(self.constraints), _time.perf_counter() - t0,
             )
         if self.cfg.log_residual_histograms:
             self._log_residual_histogram()
@@ -1333,8 +1526,8 @@ class PoseGraph:
             "global_pose_t": np.asarray(s.global_pose.translation, np.float32),
         }
         if s.finished and s.high is not None:
-            if s.image is not None:
-                img = s.image  # reuse the loop-proposal projection
+            if self.cfg.constraint_builder.use_image_proposals:
+                img = self._submap_image(submap_id)  # shared cached projection
             else:
                 dense = decompress(s.high, self._hi_spec)
                 img = jax.tree.map(
@@ -1360,15 +1553,19 @@ class PoseGraph:
         # background constraint searches hold references to submap grids;
         # nulling them mid-search would crash the worker
         self.wait_for_all_computations()
-        unfrozen = [s for s in self.submaps if not s.frozen]
+        unfrozen = [
+            (sid, s) for sid, s in enumerate(self.submaps) if not s.frozen
+        ]
         trimmed = 0
         if len(unfrozen) <= keep:
             return 0
-        for s in unfrozen[: len(unfrozen) - keep]:
+        for sid, s in unfrozen[: len(unfrozen) - keep]:
             if not s.trimmed and s.finished:
                 s.high = None
                 s.low = None
                 s.image = None
                 s.trimmed = True
+                with self._phase_lock:
+                    self._grid_cache.pop(sid, None)
                 trimmed += 1
         return trimmed

@@ -122,17 +122,16 @@ class CeresScanMatcherConfig:
     rotation_weight: float = 45.0
     only_optimize_yaw: bool = False
     max_num_iterations: int = 12
-    # Ceres terminates on |cost change| <= function_tolerance * cost (the
-    # reference's CreateCeresSolverOptions leaves it at the Ceres default
-    # 1e-6); iterations after convergence are pure waste — each one is a
-    # full grid-gather residual pass, the frontend's single largest cost.
-    # The default is the f32 calibration of that f64 1e-6: at f32 the cost
-    # sum resolves relative changes only down to ~1e-7, and measured on the
-    # bench world 1e-3 leaves the trajectory unchanged (+5.6 mm on a 693 mm
-    # max-error course) while cutting steady-state iterations 6 -> ~3-4;
-    # 1e-2 visibly degrades (215 mm pose divergence). 0 disables (fixed
-    # trip count, bit-identical to the pre-tolerance behavior).
-    function_tolerance: float = 1e-3
+    # Ceres terminates on |cost change| <= function_tolerance * cost; the
+    # default matches the reference's effective Ceres default 1e-6
+    # (CreateCeresSolverOptions leaves function_tolerance unset). A looser
+    # 1e-3 is a measured throughput opt-in (the bench config uses it): on
+    # the bench world it leaves the trajectory unchanged (+5.6 mm on a
+    # 693 mm max-error course) while cutting steady-state iterations
+    # 6 -> ~3-4 — but that calibration is world-specific, so the DEFAULT
+    # stays at reference fidelity. 1e-2 visibly degrades (215 mm pose
+    # divergence). 0 disables (fixed trip count).
+    function_tolerance: float = 1e-6
 
 
 @dataclass(frozen=True)
@@ -273,6 +272,17 @@ class ConstraintBuilderConfig:
     with_initial_num_yaw_candidates: int = 7
     with_initial_yaw_window: float = 0.15  # rad, fan half-width
     every_nodes_to_find_constraint: int = 3
+    # --- TPU search-cost knobs (device-queue hygiene on a single chip:
+    # loop-search programs share the chip with the latency-critical
+    # frontend step, so their size must stay bounded) ---
+    # Score pyramid depths above 1 with every N-th point only (documented
+    # deviation, see fast_correlative.match_candidates; 1 = reference
+    # ScoreCandidates semantics, full cloud at every depth).
+    coarse_scoring_stride: int = 2
+    # Cap the nodes per batched search dispatch; a finishing submap's
+    # sampled nodes split into chunks of this size so no single device
+    # program exceeds ~100 ms and ingest interleaves between chunks.
+    max_nodes_per_search_dispatch: int = 4
     # --- TPU image-proposal substitute for the SURF path (C10): dense FFT
     # correlation over candidate yaws; min normalized-correlation score plays
     # the role of minimum_good_match_num/RANSAC gates ---
@@ -342,6 +352,15 @@ class PoseGraphConfig:
     max_submaps: int = 512
     max_nodes: int = 8192
     max_constraints: int = 16384
+    # Decompressed-grid + precomputation-pyramid LRU capacity (submaps held
+    # on device for constraint search — the reference keeps every finished
+    # submap's HybridGrid + PrecomputationGridStack3D alive; HBM bounds ours
+    # to the hot set. Must exceed the per-search candidate fan-out
+    # (num_close_submaps + image/global candidates), else every search
+    # round re-decompresses every pair (~300 ms each). A flagship 448^3
+    # target is ~400 MB decompressed → 12 ≈ 5 GB peak, within one v5e's
+    # 16 GB HBM next to the frontend grids.
+    grid_cache_size: int = 12
 
 
 @dataclass(frozen=True)

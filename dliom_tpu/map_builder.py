@@ -104,6 +104,9 @@ class _TrajectoryBuilder:
         self.num_out_of_order_dropped = 0
         self.finished = False
         self._prev_node = None  # (pose-graph node id, time) of the last node
+        # pipelined ingest: deferred (time, fetch, lio_state, t0) of the
+        # most recent scan whose host fetch has not been read yet
+        self._pending: Optional[Tuple] = None
         # num_accumulated_range_data > 1: merged scans accumulate (in the
         # tracking frame at their own stamps; deskew handles intra-scan
         # motion) until N are gathered (local_trajectory_builder_3d.cc:454)
@@ -355,10 +358,17 @@ class _TrajectoryBuilder:
 
         t0 = _wall.perf_counter()
         self._lio, res = self._jit_step(self._lio, inp)
+        self.parent.pose_graph._phase(
+            "ingest_dispatch", _wall.perf_counter() - t0
+        )
         # ONE batched host fetch per scan: a synchronous device read over a
         # tunneled TPU costs a full relay round trip (~30 ms measured), so
         # every scalar/small array the host bookkeeping needs rides a single
-        # device_get instead of per-leaf float()/np.asarray reads.
+        # device_get instead of per-leaf float()/np.asarray reads. The
+        # node's constant data (matched clouds + histogram, ~8 KB) rides the
+        # same fetch so the pose graph holds HOST arrays — the background
+        # constraint search then stages node batches with zero device reads
+        # (a search over dozens of nodes otherwise paid dozens of RTTs).
         submaps = self._lio.frontend.submaps
         fetch = {
             "matcher_cost": res.scan.matcher_cost,
@@ -376,6 +386,11 @@ class _TrajectoryBuilder:
             "pose_translation": submaps.pose_translation,
             "pending_rotation": submaps.pending_rotation,
             "pending_translation": submaps.pending_translation,
+            "high_points": res.scan.high_points,
+            "high_mask": res.scan.high_mask,
+            "low_points": res.scan.low_points,
+            "low_mask": res.scan.low_mask,
+            "histogram": res.scan.histogram,
         }
         if submaps.high_brick is not None:
             fetch["hi_dropped"] = submaps.high_brick.dropped
@@ -383,10 +398,57 @@ class _TrajectoryBuilder:
             fetch["lo_dropped"] = submaps.low_brick.dropped
         if submaps.dense_dropped is not None:
             fetch["dense_dropped"] = submaps.dense_dropped
+        if self.parent._pipeline_depth > 0:
+            # Pipelined ingest: start the device→host copy but defer the
+            # blocking read until the NEXT scan — the ~30 ms relay round
+            # trip then overlaps the next scan's host prep + device step
+            # instead of serializing after every dispatch (the reference's
+            # analog is its free overlap between the ROS callback thread
+            # and the SLAM thread). Results lag ingestion by one scan;
+            # `flush()` drains the tail. Safe because this jit path does
+            # not donate: the retained `self._lio` pytree stays valid for
+            # the deferred finished-grid capture.
+            jax.tree.map(lambda x: x.copy_to_host_async(), fetch)
+            out = self._finish_pending()
+            self._pending = (time, fetch, self._lio, t0)
+            return out
         host = jax.device_get(fetch)
-        self._forward_to_pose_graph(time, res, host)
+        return self._complete_scan(time, host, self._lio, t0)
+
+    def _finish_pending(self) -> Optional[dict]:
+        """Complete the deferred previous scan (pipelined ingest)."""
+        if self._pending is None:
+            return None
+        import time as _wall
+
+        time, fetch, lio, t0 = self._pending
+        self._pending = None
+        t_get = _wall.perf_counter()
+        host = jax.device_get(fetch)
+        self.parent.pose_graph._phase(
+            "ingest_get", _wall.perf_counter() - t_get
+        )
+        return self._complete_scan(time, host, lio, t0)
+
+    def flush(self) -> Optional[dict]:
+        """Drain the pipelined-ingest tail (no-op without pipelining)."""
+        return self._finish_pending()
+
+    def _complete_scan(self, time, host, lio, t0) -> dict:
+        """Host-side completion of one scan: forward to the pose graph,
+        metrics, result record. `lio` is the post-step state that produced
+        `host` (== self._lio except under pipelined ingest)."""
+        import time as _wall
+
+        t_f = _wall.perf_counter()
+        self._forward_to_pose_graph(time, host, lio)
+        self.parent.pose_graph._phase(
+            "ingest_forward", _wall.perf_counter() - t_f
+        )
+        dt = _wall.perf_counter() - t0
         m = self.parent._metrics
-        m["local_slam_latency"].add().set(_wall.perf_counter() - t0)
+        m["local_slam_latency"].add().set(dt)
+        self.parent.local_slam_latency_seconds.append(dt)
         m["scan_matcher_cost"].add().observe(float(host["matcher_cost"]))
         dropped_total = None
         for key in ("hi_dropped", "lo_dropped", "dense_dropped"):
@@ -436,8 +498,7 @@ class _TrajectoryBuilder:
         while len(self._pg_submap_ids) < num_created:
             slot = len(self._pg_submap_ids) % 2
             pose = Rigid3(
-                jnp.asarray(host["pose_rotation"][slot]),
-                jnp.asarray(host["pose_translation"][slot]),
+                host["pose_rotation"][slot], host["pose_translation"][slot]
             )
             self._pg_submap_ids.append(
                 pg.add_submap(pose, trajectory_id=self.trajectory_id)
@@ -445,8 +506,7 @@ class _TrajectoryBuilder:
         if pending and len(self._pg_submap_ids) == num_created:
             # the next step spawns submap num_created with the pending pose
             pose = Rigid3(
-                jnp.asarray(host["pending_rotation"]),
-                jnp.asarray(host["pending_translation"]),
+                host["pending_rotation"], host["pending_translation"]
             )
             self._pg_submap_ids.append(
                 pg.add_submap(pose, trajectory_id=self.trajectory_id)
@@ -528,24 +588,25 @@ class _TrajectoryBuilder:
             # drop samples no future node can need (keep one for bracketing)
             self._odom_buffer.trim_before(node_time)
 
-    def _forward_to_pose_graph(self, time, res: LioResult, host):
+    def _forward_to_pose_graph(self, time, host, lio):
         if not bool(host["inserted"]):
             return
         self._sync_submaps(host)
         ids = tuple(
             int(i) for i in host["insertion_submap_ids"] if int(i) >= 0
         )
+        # node constant data stays HOST-side (numpy): the background
+        # constraint search stages node batches from these without any
+        # device read (one H2D upload per batched search instead)
         node = NodeRecord(
             time=time,
-            local_pose=Rigid3(
-                jnp.asarray(host["local_q"]), jnp.asarray(host["local_t"])
-            ),
+            local_pose=Rigid3(host["local_q"], host["local_t"]),
             gravity_alignment=host["gravity_alignment"],
-            high_points=res.scan.high_points,
-            high_mask=res.scan.high_mask,
-            low_points=res.scan.low_points,
-            low_mask=res.scan.low_mask,
-            histogram=res.scan.histogram,
+            high_points=host["high_points"],
+            high_mask=host["high_mask"],
+            low_points=host["low_points"],
+            low_mask=host["low_mask"],
+            histogram=host["histogram"],
             submap_ids=ids,
             trajectory_id=self.trajectory_id,
         )
@@ -554,8 +615,10 @@ class _TrajectoryBuilder:
         pg = self.parent.pose_graph
         if finished >= 0:
             # the finishing submap's grids are intact until the next step
+            # (under pipelined ingest: `lio` is the retained post-step state,
+            # still valid — the ingest jit does not donate)
             slot = finished % 2
-            submaps = self._lio.frontend.submaps
+            submaps = lio.frontend.submaps
             # spec-derived slot size: grouped-apply banks carry a padding
             # group at the end, so shape[0] // 2 would be wrong there
             from dliom_tpu.mapping.submap import grid_specs as _gs
@@ -620,6 +683,7 @@ class _TrajectoryBuilder:
             for name in ["imu"] + list(self._synchronizer.sensor_ids):
                 self._collator.finish_queue(name)
             self._drain_collator()
+        self._finish_pending()  # drain the pipelined-ingest tail
         self.parent.pose_graph.finish_trajectory(self.trajectory_id)
         self.finished = True
 
@@ -640,6 +704,7 @@ class MapBuilder:
         use_background_threads: bool = False,
         use_native_collator: bool = False,
         mesh=None,
+        pipeline_depth: int = 0,
     ):
         """`range_sensor_ids`: one entry per LiDAR (the first is the primary
         the others merge into, RangeDataSynchronizer). With
@@ -650,7 +715,10 @@ class MapBuilder:
         so out-of-order arrival across sensors is merged to one
         time-ordered stream before dispatch. `mesh`: optional
         `jax.sharding.Mesh` — loop-constraint search shards its node batch
-        over the mesh's chips (see backend/pose_graph.py)."""
+        over the mesh's chips (see backend/pose_graph.py).
+        `pipeline_depth=1` defers each scan's host fetch to the next scan so
+        the device round trip overlaps the next step (results lag ingestion
+        by one scan; `flush()`/`finish_trajectory()` drain the tail)."""
         if not config.map_builder.use_trajectory_builder_3d:
             raise ValueError(
                 "only the 3D pipeline is built (the 2D pipeline is gated off"
@@ -660,6 +728,11 @@ class MapBuilder:
         self.config = config
         tb = config.trajectory_builder
         self.tb = tb
+        self._pipeline_depth = int(pipeline_depth)
+        # per-scan wall latency (dispatch → host completion), percentile
+        # surface for the bench (the reference's local_slam_latency metric,
+        # local_trajectory_builder_3d.cc:624-649)
+        self.local_slam_latency_seconds: List[float] = []
         self._metrics = register_all_metrics(global_registry())
         pool = None
         if use_background_threads:
@@ -745,6 +818,12 @@ class MapBuilder:
 
     def add_odometry_data(self, time, pose: Rigid3, trajectory_id: int = 0):
         self._trajectories[trajectory_id].add_odometry_data(time, pose)
+
+    def flush(self):
+        """Drain all trajectories' pipelined-ingest tails (no-op unless
+        constructed with pipeline_depth > 0)."""
+        for t in self._trajectories.values():
+            t.flush()
 
     # ----- finishing (FinishTrajectory / RunFinalOptimization) -----
 

@@ -192,7 +192,16 @@ def _run(args, on_builder=None) -> dict:
             pure_localization=bool(getattr(args, "pure_localization", False)),
         )
     else:
-        builder = MapBuilder(cfg)
+        builder = MapBuilder(
+            cfg,
+            # backend-on replay (the reference's 8 background threads +
+            # free ROS/SLAM thread overlap): loop search on the native task
+            # pool, per-scan host fetch pipelined one scan deep
+            use_background_threads=bool(
+                getattr(args, "background_threads", False)
+            ),
+            pipeline_depth=int(getattr(args, "pipeline_depth", 0)),
+        )
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         import jax
@@ -255,7 +264,23 @@ def _run(args, on_builder=None) -> dict:
             "count": len(lat),
             "mean": round(float(np.mean(lat)), 3),
             "p50": round(float(np.median(lat)), 3),
+            "p99": round(float(np.percentile(np.asarray(lat), 99)), 3),
             "max": round(float(np.max(lat)), 3),
+        }
+    slat = builder.local_slam_latency_seconds
+    if slat:
+        # per-scan online latency (local_slam_latency metric parity,
+        # local_trajectory_builder_3d.cc:624-649)
+        a = np.asarray(slat)
+        report["scan_latency_ms"] = {
+            "p50": round(float(np.percentile(a, 50)) * 1e3, 2),
+            "p99": round(float(np.percentile(a, 99)) * 1e3, 2),
+            "max": round(float(np.max(a)) * 1e3, 2),
+        }
+    if builder.pose_graph.phase_seconds:
+        report["phase_seconds"] = {
+            k: round(v, 3)
+            for k, v in sorted(builder.pose_graph.phase_seconds.items())
         }
     if nodes and args.output_csv:
         write_trajectory_csv(
@@ -404,6 +429,12 @@ def main(argv=None):
     ap.add_argument("--profile", default=None,
                     help="write a JAX profiler trace of the replay to this "
                          "directory (the TicToc/RateTimer analog, SURVEY §5)")
+    ap.add_argument("--background-threads", action="store_true",
+                    help="run loop-constraint search on the native task "
+                         "pool (MAP_BUILDER.num_background_threads analog)")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="defer each scan's host fetch N scans (hides the "
+                         "device round trip; results lag by N)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     report = run(args)

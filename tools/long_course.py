@@ -383,7 +383,7 @@ def evaluate_constraints(builder, gt, recall_radius=7.0, min_sep=60.0):
                 opportunities += 1
                 if (sid, nid) in have:
                     hits += 1
-    return {
+    out = {
         "num_inter": len(inter),
         "constraint_precision": (
             round(correct / len(inter), 4) if inter else None
@@ -396,6 +396,27 @@ def evaluate_constraints(builder, gt, recall_radius=7.0, min_sep=60.0):
             round(hits / opportunities, 4) if opportunities else None
         ),
     }
+    # Yaw-fan validation at scale (VERDICT r4 #8): per-constraint yaw the
+    # search had to recover vs the initial guess, bucketed along the course
+    # (node time) so the fan half-width (config with_initial_yaw_window,
+    # default 0.15 rad) is checked against the drift regime it must survive.
+    yc = np.asarray([abs(c.yaw_correction) for c in inter])
+    if len(yc):
+        fan = pg.cfg.constraint_builder.with_initial_yaw_window
+        t_nodes = np.asarray([pg.nodes[c.node_id].time for c in inter])
+        half = t_nodes > np.median(t_nodes)
+        out["yaw_correction_rad"] = {
+            "p50": round(float(np.percentile(yc, 50)), 4),
+            "p95": round(float(np.percentile(yc, 95)), 4),
+            "max": round(float(np.max(yc)), 4),
+            "fan_half_width": fan,
+            "frac_beyond_half_fan": round(float(np.mean(yc > fan / 2)), 4),
+            "late_half_p95": (
+                round(float(np.percentile(yc[half], 95)), 4)
+                if half.any() else None
+            ),
+        }
+    return out
 
 
 def main():
@@ -479,6 +500,7 @@ def main():
         output_ply=None, output_xray=None, assets_pipeline=None,
         assets_dir=None, verbose=bool(os.environ.get("LC_VERBOSE")),
         load_state=None, pure_localization=False, profile=None,
+        background_threads=True, pipeline_depth=1,
     )
 
     extra = {}
