@@ -135,7 +135,6 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
     at the flagship submap scale (VERDICT r4 #3)."""
     from dliom_tpu.io.synthetic import ImuNoise, ImuSimulator
     from dliom_tpu.map_builder import MapBuilder
-    from dliom_tpu.transform.rigid import quat_from_yaw
 
     radius, speed, scan_period = 5.0, 1.5, 0.1
     submaps = (
@@ -178,15 +177,14 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
                 "frames_for_static_initialization": 8,
                 "enable_ndt_initialization": False,
                 "submaps": submaps,
-                **(
-                    {
-                        "max_filtered_points": 8192,
-                        "max_high_res_points": 256,
-                        "max_low_res_points": 256,
-                    }
-                    if flagship
-                    else {}
-                ),
+                # matched-cloud capacity 256 (the adaptive filters target
+                # the reference's 150/200 min_num_points,
+                # trajectory_builder_3d.lua:33-43 — the 1024 default is
+                # over-provisioned padding whose zero rows the loop-search
+                # gathers would still pay for, 4x the search device time)
+                "max_filtered_points": 8192,
+                "max_high_res_points": 256,
+                "max_low_res_points": 256,
             },
             "pose_graph": {
                 "optimize_every_n_nodes": 32,
@@ -198,6 +196,9 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
                 "constraint_builder": {
                     "min_score": 0.45,
                     "every_nodes_to_find_constraint": 2,
+                    "max_nodes_per_search_dispatch": int(
+                        os.environ.get("BENCH_E2E_CHUNK", "4")
+                    ),
                 },
             },
         },
@@ -210,18 +211,18 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
     # BENCH_E2E_POOL overrides the worker count (0 = inline searches) for
     # contention experiments; the chip executes one program at a time, so
     # extra workers buy queue-ahead, not parallel compute.
-    pool_env = os.environ.get("BENCH_E2E_POOL")
-    if pool_env is not None:
-        n_pool = int(pool_env)
-        if n_pool > 0:
-            cfg = cfg.override(
-                {"map_builder": {"num_background_threads": n_pool}}
-            )
-        builder = MapBuilder(
-            cfg, use_background_threads=n_pool > 0, pipeline_depth=1
+    # 2 workers, not the reference's 8: the chip executes one program at a
+    # time, so worker count only sets dispatch queue-ahead depth — 2 was
+    # measured fastest (8 workers thrash the GIL and overfill the FIFO
+    # queue ahead of the latency-critical frontend fetch).
+    n_pool = int(os.environ.get("BENCH_E2E_POOL", "2"))
+    if n_pool > 0:
+        cfg = cfg.override(
+            {"map_builder": {"num_background_threads": n_pool}}
         )
-    else:
-        builder = MapBuilder(cfg, use_background_threads=True, pipeline_depth=1)
+    builder = MapBuilder(
+        cfg, use_background_threads=n_pool > 0, pipeline_depth=1
+    )
     world = SyntheticWorld.create(num_beams=16, num_azimuths=600)
     sim = ImuSimulator(
         rate=100.0,
@@ -233,16 +234,20 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
     )
 
     def circle_pose(tau):
+        # numpy-backed poses throughout the feed loop: the host data
+        # generator must not touch the device (a jnp quaternion here cost
+        # 2 blocking relay reads per sim.between call)
         w = speed / radius
         ang = w * tau
         p = np.array(
-            [radius * np.sin(ang), radius * (1.0 - np.cos(ang)), 0.0]
+            [radius * np.sin(ang), radius * (1.0 - np.cos(ang)), 0.0],
+            np.float32,
         )
         v = np.array([speed * np.cos(ang), speed * np.sin(ang), 0.0])
-        return (
-            Rigid3(quat_from_yaw(jnp.float32(ang)), jnp.asarray(p, jnp.float32)),
-            v,
+        q = np.array(
+            [np.cos(ang / 2), 0.0, 0.0, np.sin(ang / 2)], np.float32
         )
+        return Rigid3(q, p), v
 
     t = 0.0
     pose0, _ = circle_pose(0.0)

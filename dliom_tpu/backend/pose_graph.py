@@ -557,8 +557,9 @@ class PoseGraph:
         return [sid for _, sid in out[: self.cfg.num_close_submaps_loop_with_initial_value]]
 
     def _matcher_fns(self):
-        if "match" in self._jit_cache:
-            return self._jit_cache["match"], self._jit_cache["refine"]
+        """Populate the jit cache with the loop-search device programs."""
+        if "search_batch" in self._jit_cache:
+            return
         fc_cfg = self.cfg.constraint_builder.fast_correlative_scan_matcher
         # With-initial yaw fan (see ConstraintBuilderConfig): > 1 candidates
         # search a narrow window around the initial yaw; the fan reuses
@@ -587,18 +588,6 @@ class PoseGraph:
                 full_resolution_depth=fc_cfg.full_resolution_depth,
             )
             return g_hi, g_lo, pyr
-
-        @functools.partial(jax.jit, static_argnames=("min_score",))
-        def match_fn(
-            pyr, g_lo, hp, hm, lp, lm, initial, hist, submap_hist, yaw0,
-            min_score,
-        ):
-            return fc.match(
-                pyr, hi, g_lo, lo, hp, hm, lp, lm, initial, hist,
-                submap_hist, yaw0, fc_cfg_initial, min_score,
-                num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
-                coarse_point_stride=stride,
-            )
 
         @jax.jit
         def refine_fn(initial, g_hi, g_lo, hp, hm, lp, lm):
@@ -641,55 +630,60 @@ class PoseGraph:
 
             return jax.tree.map(one, tree)
 
+        # COMBINED search programs: BnB match + GN refinement of every node
+        # in one device program, returning (found, score, refined pose,
+        # refined's yaw) as a single small fetch. One dispatch and one
+        # deferred host read per chunk — the per-phase D2H round trips
+        # (~30 ms each through the relay) that a separate
+        # match→read→refine→read chain pays then overlap program execution
+        # instead of serializing after it. Refinement runs on ALL nodes
+        # (found or not — the unfound rows are discarded on host); at chunk
+        # size 4 that costs ~30 ms of device time against two saved round
+        # trips and a second staging pass.
         @functools.partial(jax.jit, static_argnames=("min_score",))
-        def match_batch_fn(
-            pyr, g_lo, hp, hm, lp, lm, initial, hist, submap_hist, yaw0,
-            min_score,
+        def search_batch_fn(
+            pyr, g_hi, g_lo, hp, hm, lp, lm, initial, hist, submap_hist,
+            yaw0, min_score,
         ):
             hp, hm, lp, lm, initial, hist, yaw0 = shard_batch(
                 (hp, hm, lp, lm, initial, hist, yaw0)
             )
-            return jax.vmap(
+            res = jax.vmap(
                 lambda a, b, c, d, e, f, g: fc.match(
                     pyr, hi, g_lo, lo, a, b, c, d, e, f,
                     submap_hist, g, fc_cfg_initial, min_score,
-                    num_angles=n_yaw, use_rotational_gate=False, beam_width=160,
-                    coarse_point_stride=stride,
+                    num_angles=n_yaw, use_rotational_gate=False,
+                    beam_width=160, coarse_point_stride=stride,
                 )
             )(hp, hm, lp, lm, initial, hist, yaw0)
-
-        @jax.jit
-        def refine_batch_fn(initial, g_hi, g_lo, hp, hm, lp, lm):
-            initial, hp, hm, lp, lm = shard_batch((initial, hp, hm, lp, lm))
-            return jax.vmap(
+            refined = jax.vmap(
                 lambda i, a, b, c, d: refine_fn(i, g_hi, g_lo, a, b, c, d)
-            )(initial, hp, hm, lp, lm)
+            )(res.pose, hp, hm, lp, lm)
+            return res.found, res.score, refined.pose
 
-        # Whole-submap all-yaw search (MatchFullSubmap): the global
-        # localization / inter-trajectory entry — no translation prior, yaw
-        # candidates gated by the rotational histogram.
         @functools.partial(jax.jit, static_argnames=("min_score",))
-        def match_full_batch_fn(
-            pyr, g_lo, hp, hm, lp, lm, rot, hist, submap_hist, min_score
+        def search_full_batch_fn(
+            pyr, g_hi, g_lo, hp, hm, lp, lm, rot, hist, submap_hist,
+            min_score,
         ):
             hp, hm, lp, lm, rot, hist = shard_batch(
                 (hp, hm, lp, lm, rot, hist)
             )
-            return jax.vmap(
+            res = jax.vmap(
                 lambda a, b, c, d, r, f: fc.match_full_submap(
                     pyr, hi, g_lo, lo, a, b, c, d, r, f,
                     submap_hist, fc_cfg, min_score, beam_width=1024,
                     coarse_point_stride=stride,
                 )
             )(hp, hm, lp, lm, rot, hist)
+            refined = jax.vmap(
+                lambda i, a, b, c, d: refine_fn(i, g_hi, g_lo, a, b, c, d)
+            )(res.pose, hp, hm, lp, lm)
+            return res.found, res.score, refined.pose
 
         self._jit_cache["decompress"] = decompress_and_pyramid
-        self._jit_cache["match"] = match_fn
-        self._jit_cache["refine"] = refine_fn
-        self._jit_cache["match_batch"] = match_batch_fn
-        self._jit_cache["refine_batch"] = refine_batch_fn
-        self._jit_cache["match_full_batch"] = match_full_batch_fn
-        return match_fn, refine_fn
+        self._jit_cache["search_batch"] = search_batch_fn
+        self._jit_cache["search_full_batch"] = search_full_batch_fn
 
     def _global_candidates(self, from_id: int) -> List[int]:
         """Finished submaps of OTHER trajectories that are either not yet
@@ -749,23 +743,20 @@ class PoseGraph:
                 candidates.append(to_id)
         global_candidates = self._global_candidates(from_id)
         candidates = [c for c in candidates if c not in global_candidates]
-        match_batch = self._jit_cache["match_batch"]
-        refine_batch = self._jit_cache["refine_batch"]
+        search_batch = self._jit_cache["search_batch"]
+        search_full = self._jit_cache["search_full_batch"]
 
         # Node batches pad to power-of-two BUCKETS: the batched matchers
         # jit per leading-axis size, and the surviving-node count varies per
         # (from, to) pair — unpadded, nearly every search paid a fresh XLA
         # compile (the big with-initial search program compiles in minutes),
         # which measured at 0.38 scans/s end-to-end on the loop-dense bench
-        # course. Buckets bound the compile count at log2(max sampled)
-        # shapes, all reused within a run and across runs via the persistent
-        # compile cache. Padding repeats row 0; results beyond the real
-        # count are ignored on host. The reference has no analog (Ceres
-        # re-solves per node without shape specialization); this is pure
-        # XLA-compilation-model plumbing.
+        # course. Buckets bound the compile count at log2(chunk) shapes, all
+        # reused within a run and across runs via the persistent compile
+        # cache. Padding repeats row 0; results beyond the real count are
+        # ignored on host.
         def bucket(n: int) -> int:
             return 1 << (n - 1).bit_length() if n > 1 else 1
-
 
         def bstack(xs, b):
             a = np.stack([np.asarray(x) for x in xs])
@@ -775,6 +766,19 @@ class PoseGraph:
 
         def bstack_tree(trees, b):
             return jax.tree.map(lambda *xs: bstack(list(xs), b), *trees)
+
+        # ---- DISPATCH phase: stage + launch every (pair, chunk)'s combined
+        # match+refine program without reading anything back. All host reads
+        # happen in the DRAIN phase below, so the per-chunk device→host
+        # round trips (~30 ms each through the relay) overlap queued program
+        # execution instead of serializing after each one. Chunked to
+        # max_nodes_per_search_dispatch so no single program monopolizes the
+        # FIFO device queue the latency-critical frontend step shares (the
+        # reference's searches run on CPU worker threads and never block its
+        # SLAM thread; bounded program size is the single-chip equivalent).
+        chunk = max(1, cb.max_nodes_per_search_dispatch)
+        t_st = _time.perf_counter()
+        pending: List[Tuple] = []
         for to_id in candidates:
             to_sub = self.submaps[to_id]
             # max_constraint_distance gates each node-submap pair
@@ -811,9 +815,11 @@ class PoseGraph:
                 node = self.nodes[node_id]
                 if to_id in image_proposals:
                     # initial from the 2D image proposal (ComputeConstraint's
-                    # submap_to_submap_2D composition :240-259)
-                    node_in_from = from_sub.local_pose.inverse().compose(
-                        node.local_pose
+                    # submap_to_submap_2D composition :240-259); numpy
+                    # composition — node-rate host path
+                    node_in_from = np_compose(
+                        np_inverse(np_rigid(from_sub.local_pose)),
+                        np_rigid(node.local_pose),
                     )
                     initials.append(proposal_to_initial_guess(
                         image_proposals[to_id], node_in_from,
@@ -824,19 +830,11 @@ class PoseGraph:
             if self._metrics:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
-            # Chunked dispatch (device-queue hygiene): each chunk is its own
-            # bounded device program, so the latency-critical frontend step
-            # interleaves between chunks instead of waiting out one large
-            # search (the reference's searches run on CPU worker threads and
-            # never block its SLAM thread; on a single shared chip, bounded
-            # program size is the equivalent).
-            chunk = max(1, cb.max_nodes_per_search_dispatch)
             for lo_i in range(0, len(node_ids), chunk):
                 ids_c = node_ids[lo_i : lo_i + chunk]
                 initials_c = initials[lo_i : lo_i + chunk]
                 nodes = [self.nodes[n] for n in ids_c]
                 nb = bucket(len(ids_c))
-                t_st = _time.perf_counter()
                 staged = (
                     bstack([n.high_points for n in nodes], nb),
                     bstack([n.high_mask for n in nodes], nb),
@@ -851,83 +849,27 @@ class PoseGraph:
                          for i in initials_c], nb
                     ),
                 )
-                self._phase("search_stage", _time.perf_counter() - t_st)
-                t_m = _time.perf_counter()
-                res = match_batch(
-                    pyr, g_lo, *staged,
-                    min_score=float(self.cfg.constraint_builder.min_score),
+                t_dp = _time.perf_counter()
+                found, score, pose = search_batch(
+                    pyr, g_hi, g_lo, *staged, min_score=float(cb.min_score),
                 )
-                found = np.asarray(res.found)[: len(ids_c)]
-                self._phase("search_match", _time.perf_counter() - t_m)
-                if not found.any():
-                    continue
-                idx = np.flatnonzero(found)
-                rb = bucket(len(idx))
-                idx_pad = np.concatenate(
-                    [idx, np.repeat(idx[:1], rb - len(idx))]
-                ) if rb > len(idx) else idx
-                t_r = _time.perf_counter()
-                refined = refine_batch(
-                    jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
-                    g_hi, g_lo,
-                    bstack([nodes[i].high_points for i in idx], rb),
-                    bstack([nodes[i].high_mask for i in idx], rb),
-                    bstack([nodes[i].low_points for i in idx], rb),
-                    bstack([nodes[i].low_mask for i in idx], rb),
+                self._phase("search_dispatch", _time.perf_counter() - t_dp)
+                pending.append(
+                    ("loop", to_id, ids_c, initials_c, found, score, pose)
                 )
-                refined_np = jax.tree.map(np.asarray, refined.pose)
-                scores = np.asarray(res.score)
-                self._phase("search_refine", _time.perf_counter() - t_r)
-                for j, i in enumerate(idx):
-                    dyaw = float(
-                        np_quat_yaw(
-                            np_quat_multiply(
-                                np.asarray(
-                                    refined_np.rotation[j], np.float64),
-                                np_quat_conjugate(
-                                    np.asarray(
-                                        initials_c[i].rotation, np.float64)
-                                ),
-                            )
-                        )
-                    )
-                    with self._mutex:
-                        self._append_constraint_locked(
-                            Constraint(
-                                submap_id=to_id,
-                                node_id=ids_c[i],
-                                relative=jax.tree.map(
-                                    lambda x: x[j], refined_np
-                                ),
-                                translation_weight=self.cfg.constraint_builder.loop_closure_translation_weight,
-                                rotation_weight=self.cfg.constraint_builder.loop_closure_rotation_weight,
-                                tag="INTER",
-                                score=float(scores[i]),
-                                yaw_correction=dyaw,
-                            )
-                        )
-                    if cb.log_matches:
-                        _LOG.info(
-                            "loop constraint: node %d -> submap %d score %.3f",
-                            ids_c[i], to_id, float(scores[i]),
-                        )
-                    if self._metrics:
-                        self._metrics["constraints_found"].add().increment()
-                        self._metrics["constraint_scores"].add().observe(
-                            float(scores[i])
-                        )
-                    added += 1
 
         # ---- global search: whole-submap all-yaw match against submaps of
         # unconnected (or stale-connected) trajectories, sampled at
         # global_sampling_ratio and gated by global_localization_min_score
         # (MaybeAddGlobalConstraint / MatchFullSubmap) ----
-        match_full = self._jit_cache["match_full_batch"]
-        stride = max(1, int(round(1.0 / max(self.cfg.global_sampling_ratio, 1e-6))))
+        g_stride = max(
+            1, int(round(1.0 / max(self.cfg.global_sampling_ratio, 1e-6)))
+        )
         for to_id in global_candidates:
             to_sub = self.submaps[to_id]
             node_ids = [
-                n for n in sampled[::stride] if not self._has_constraint(to_id, n)
+                n for n in sampled[::g_stride]
+                if not self._has_constraint(to_id, n)
             ]
             if not node_ids:
                 continue
@@ -936,28 +878,29 @@ class PoseGraph:
             if self._metrics:
                 for _ in node_ids:
                     self._metrics["constraints_searched"].add().increment()
-            chunk = max(1, cb.max_nodes_per_search_dispatch)
             for lo_i in range(0, len(node_ids), chunk):
                 ids_c = node_ids[lo_i : lo_i + chunk]
                 nodes = [self.nodes[n] for n in ids_c]
                 nb = bucket(len(ids_c))
-                t_st = _time.perf_counter()
                 # roll/pitch-consistent rotation guess from the
                 # gravity-aligned global estimates; yaw error is irrelevant
-                # under the ±pi search
+                # under the ±pi search. numpy quaternion product — host path.
                 rots = bstack(
                     [
-                        np.asarray(
-                            quat_multiply(
-                                quat_conjugate(to_sub.global_pose.rotation),
-                                n.global_pose.rotation,
-                            )
-                        )
+                        np_quat_multiply(
+                            np_quat_conjugate(
+                                np.asarray(
+                                    to_sub.global_pose.rotation, np.float64
+                                )
+                            ),
+                            np.asarray(n.global_pose.rotation, np.float64),
+                        ).astype(np.float32)
                         for n in nodes
                     ],
                     nb,
                 )
-                staged = (
+                found, score, pose = search_full(
+                    pyr, g_hi, g_lo,
                     bstack([n.high_points for n in nodes], nb),
                     bstack([n.high_mask for n in nodes], nb),
                     bstack([n.low_points for n in nodes], nb),
@@ -965,62 +908,71 @@ class PoseGraph:
                     rots,
                     bstack([n.histogram for n in nodes], nb),
                     submap_hist,
+                    min_score=float(cb.global_localization_min_score),
                 )
-                self._phase("search_stage", _time.perf_counter() - t_st)
-                t_m = _time.perf_counter()
-                res = match_full(
-                    pyr, g_lo, *staged,
-                    min_score=float(
-                        self.cfg.constraint_builder.global_localization_min_score
-                    ),
+                pending.append(
+                    ("GLOBAL", to_id, ids_c, None, found, score, pose)
                 )
-                found = np.asarray(res.found)[: len(ids_c)]
-                self._phase("search_match", _time.perf_counter() - t_m)
-                if not found.any():
-                    continue
-                idx = np.flatnonzero(found)
-                rb = bucket(len(idx))
-                idx_pad = np.concatenate(
-                    [idx, np.repeat(idx[:1], rb - len(idx))]
-                ) if rb > len(idx) else idx
-                t_r = _time.perf_counter()
-                refined = refine_batch(
-                    jax.tree.map(lambda x: x[jnp.asarray(idx_pad)], res.pose),
-                    g_hi, g_lo,
-                    bstack([nodes[i].high_points for i in idx], rb),
-                    bstack([nodes[i].high_mask for i in idx], rb),
-                    bstack([nodes[i].low_points for i in idx], rb),
-                    bstack([nodes[i].low_mask for i in idx], rb),
-                )
-                refined_np = jax.tree.map(np.asarray, refined.pose)
-                scores = np.asarray(res.score)
-                self._phase("search_refine", _time.perf_counter() - t_r)
-                for j, i in enumerate(idx):
-                    with self._mutex:
-                        self._append_constraint_locked(
-                            Constraint(
-                                submap_id=to_id,
-                                node_id=ids_c[i],
-                                relative=jax.tree.map(
-                                    lambda x: x[j], refined_np
+        self._phase("search_stage", _time.perf_counter() - t_st)
+
+        # ---- DRAIN phase: ONE batched device_get over every chunk's
+        # (found, score, pose) — the leaves fetch concurrently, so the whole
+        # drain costs one relay round trip after the last queued program
+        # finishes (per-chunk np.asarray reads each paid their own ~30 ms
+        # round trip: ~4 reads x chunks ~= 14 s of pure RTT on the bench
+        # course).
+        t_dr = _time.perf_counter()
+        fetched = jax.device_get([p[4:] for p in pending])
+        self._phase("search_drain", _time.perf_counter() - t_dr)
+        t_ap = _time.perf_counter()
+        for (kind, to_id, ids_c, initials_c, _, _, _), (
+            found, score, pose
+        ) in zip(pending, fetched):
+            found_np = np.asarray(found)[: len(ids_c)]
+            if not found_np.any():
+                continue
+            scores = score
+            pose_np = pose
+            for i in np.flatnonzero(found_np):
+                dyaw = 0.0
+                if initials_c is not None:
+                    dyaw = float(
+                        np_quat_yaw(
+                            np_quat_multiply(
+                                np.asarray(pose_np.rotation[i], np.float64),
+                                np_quat_conjugate(
+                                    np.asarray(
+                                        initials_c[i].rotation, np.float64
+                                    )
                                 ),
-                                translation_weight=cb.loop_closure_translation_weight,
-                                rotation_weight=cb.loop_closure_rotation_weight,
-                                tag="INTER",
-                                score=float(scores[i]),
                             )
                         )
-                    if cb.log_matches:
-                        _LOG.info(
-                            "GLOBAL constraint: node %d -> submap %d score %.3f",
-                            ids_c[i], to_id, float(scores[i]),
+                    )
+                with self._mutex:
+                    self._append_constraint_locked(
+                        Constraint(
+                            submap_id=to_id,
+                            node_id=ids_c[i],
+                            relative=jax.tree.map(lambda x: x[i], pose_np),
+                            translation_weight=cb.loop_closure_translation_weight,
+                            rotation_weight=cb.loop_closure_rotation_weight,
+                            tag="INTER",
+                            score=float(scores[i]),
+                            yaw_correction=dyaw,
                         )
-                    if self._metrics:
-                        self._metrics["constraints_found"].add().increment()
-                        self._metrics["constraint_scores"].add().observe(
-                            float(scores[i])
-                        )
-                    added += 1
+                    )
+                if cb.log_matches:
+                    _LOG.info(
+                        "%s constraint: node %d -> submap %d score %.3f",
+                        kind, ids_c[i], to_id, float(scores[i]),
+                    )
+                if self._metrics:
+                    self._metrics["constraints_found"].add().increment()
+                    self._metrics["constraint_scores"].add().observe(
+                        float(scores[i])
+                    )
+                added += 1
+        self._phase("search_append", _time.perf_counter() - t_ap)
         # the matching increment only happens on the pool-dispatch path
         if self._metrics and self._pool is not None:
             self._metrics["queue_length"].add().decrement()
@@ -1046,7 +998,7 @@ class PoseGraph:
                 lambda g: project_to_image(g, spec, size)
             )
         g_hi, _, _ = self._decompressed_grids(sid)
-        s.image = jax.tree.map(np.asarray, self._jit_cache["project"](g_hi))
+        s.image = jax.device_get(self._jit_cache["project"](g_hi))
         self._phase("search_project", _time.perf_counter() - t0)
         return s.image
 
@@ -1092,10 +1044,9 @@ class PoseGraph:
         from_img = SubmapImage(
             jnp.asarray(from_image.image), from_image.meters_per_pixel
         )
-        # dispatch ALL candidate correlations before the first blocking
-        # read (the per-pair float() read otherwise pays one device queue
-        # wait per candidate)
-        props = [
+        # dispatch ALL candidate correlations, then ONE batched device_get —
+        # per-pair float() reads each paid a blocking relay round trip
+        props = jax.device_get([
             propose(
                 SubmapImage(
                     jnp.asarray(self.submaps[to_id].image.image),
@@ -1104,10 +1055,10 @@ class PoseGraph:
                 from_img,
             )
             for to_id in candidates
-        ]
+        ])
         for to_id, prop in zip(candidates, props):
             if float(prop.score) >= cb.image_proposal_min_score:
-                out[to_id] = jax.tree.map(np.asarray, prop)
+                out[to_id] = prop
         self._phase("search_propose", _time.perf_counter() - t0)
         return out
 

@@ -148,10 +148,21 @@ def proposal_to_initial_guess(
     gravity-aligned frames (submap rotations are gravity alignments by
     construction), so no global-pose composition is involved — drifted
     global estimates cannot and should not affect the image-derived seed."""
+    # Pure numpy: this runs per sampled node on the host search path, where
+    # a jnp composition would dispatch device ops whose staging read later
+    # costs a blocking relay round trip per node.
+    import numpy as np
+
+    from dliom_tpu.transform.rigid import np_compose, np_rigid
+
+    yaw = float(proposal.yaw)
     t2d = Rigid3(
-        rotation=quat_from_yaw(proposal.yaw),
-        translation=jnp.asarray(
-            [proposal.shift_xy[0], proposal.shift_xy[1], 0.0], jnp.float32
+        rotation=np.array(
+            [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)], np.float64
+        ),
+        translation=np.array(
+            [float(proposal.shift_xy[0]), float(proposal.shift_xy[1]), 0.0],
+            np.float64,
         ),
     )
-    return t2d.compose(node_pose_in_other)
+    return np_compose(t2d, np_rigid(node_pose_in_other))

@@ -259,7 +259,11 @@ class ImuSimulator:
         capacity: int,
     ):
         """Samples over [t_a, t_b], padded to `capacity`. Returns
-        (dts, accs, gyrs, mask) as jnp arrays ready for LioScanInput."""
+        (dts, accs, gyrs, mask) as NUMPY arrays: host data generation must
+        never hand device arrays back to a host feed loop — every
+        per-sample scalar read would then pay a blocking device round trip
+        (~30 ms through the TPU relay; measured at ~0.7 s/scan in the e2e
+        bench's feed loop). LioScanInput accepts numpy directly."""
         n = max(2, int(round(dt_total * self.rate)))
         sub = dt_total / n
         qa = np.asarray(pose_a.rotation, np.float64)
@@ -281,8 +285,8 @@ class ImuSimulator:
         pad = capacity - n
         assert pad >= 0, (n, capacity)
         return (
-            jnp.asarray(np.pad(dts, (0, pad))),
-            jnp.asarray(np.pad(accs, ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(gyrs, ((0, pad), (0, 0)))),
-            jnp.asarray(np.arange(capacity) < n),
+            np.pad(dts, (0, pad)),
+            np.pad(accs, ((0, pad), (0, 0))),
+            np.pad(gyrs, ((0, pad), (0, 0))),
+            np.arange(capacity) < n,
         )

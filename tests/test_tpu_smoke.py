@@ -193,8 +193,7 @@ def test_bucketed_loop_search_on_tpu():
 
         pg._matcher_fns()
         dec = pg._jit_cache["decompress"]
-        match_batch = pg._jit_cache["match_batch"]
-        refine_batch = pg._jit_cache["refine_batch"]
+        search_batch = pg._jit_cache["search_batch"]  # the production program
         d_hi, d_lo, pyr = dec(comp_hi, comp_lo)
 
         mask = jnp.ones(n, bool)
@@ -208,20 +207,16 @@ def test_bucketed_loop_search_on_tpu():
             stack(jnp.asarray([1.0, 0, 0, 0], jnp.float32)),
             stack(jnp.zeros(3, jnp.float32)),
         )
-        res = match_batch(
-            pyr, d_lo,
+        found, score, pose = search_batch(
+            pyr, d_hi, d_lo,
             stack(pts), stack(mask), stack(pts), stack(mask),
             initial, stack(hist), jnp.asarray(np.asarray(hist)),
             stack(jnp.float32(0.0)),
             min_score=0.4,
         )
-        found = np.asarray(res.found)
-        assert bool(found[0]), f"loop search found nothing: {res}"
-        refined = refine_batch(
-            res.pose, d_hi, d_lo,
-            stack(pts), stack(mask), stack(pts), stack(mask),
-        )
-        t_ref = np.asarray(refined.pose.translation)[0]
+        found = np.asarray(found)
+        assert bool(found[0]), f"loop search found nothing: score={score}"
+        t_ref = np.asarray(pose.translation)[0]
     assert np.isfinite(t_ref).all()
     assert np.linalg.norm(t_ref - np.asarray([1.2, -0.6, 0.4])) < 0.3, t_ref
 

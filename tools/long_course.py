@@ -447,6 +447,10 @@ def main():
         }), flush=True)
 
     overrides = {
+        # 2 background workers (not the reference's 8): the chip runs one
+        # program at a time — worker count is queue-ahead depth, and 2
+        # measured fastest on the e2e bench (see bench.py).
+        "map_builder": {"num_background_threads": 2},
         "trajectory_builder": {
             "scan_period": SCAN_PERIOD,
             "min_range": 1.0,
@@ -472,8 +476,11 @@ def main():
                 "low_resolution_extent": 96,
             },
             "max_filtered_points": 8192,
-            "max_high_res_points": 1024,
-            "max_low_res_points": 1024,
+            # 512: the adaptive filters target the reference's 150/200
+            # min_num_points; loop-search gather cost scales with this
+            # capacity (padding rows still gather)
+            "max_high_res_points": 512,
+            "max_low_res_points": 512,
             "window_size": 6,
             "gn_iterations": 3,
             "ceres_scan_matcher": {"max_num_iterations": 12},
