@@ -126,7 +126,14 @@ def match_candidates(
     ]
 
     def score(depth_idx: int, scan_idx, offsets):
-        """Score (K,) candidates: mean pyramid byte over the scan cells."""
+        """Score (K,) candidates: mean pyramid byte over the scan cells
+        (ScoreCandidates semantics — the FULL point count divides, so
+        out-of-crop or unobserved points dilute conservatively; an
+        in-bounds-only denominator was tried and let window-edge candidates
+        with half their points outside the crop inflate past genuine
+        matches, collapsing constraint precision to 0.05 on the 1 km
+        course. Crop coverage is a GRID SIZING concern: extents must cover
+        the matched cloud's max_range, see tools/long_course.py)."""
         level = pyramid.levels[depth_idx]
         e_level = level.shape[0]
         red = max(0, depth_idx - full_depth + 1)
@@ -216,7 +223,9 @@ def low_resolution_scores(
     poses: Rigid3,  # batched (K,)
 ) -> jnp.ndarray:
     """Mean interpolated probability of the low-res cloud under each pose
-    (CreateLowResolutionMatcher / low_resolution_matcher.cc)."""
+    (CreateLowResolutionMatcher / low_resolution_matcher.cc). Full-count
+    denominator, as the reference: crop coverage is a grid-sizing concern
+    (see match_candidates.score)."""
 
     def one(pose):
         p = interpolated_probability(low_values, pose.apply(low_points), low_spec)

@@ -159,6 +159,21 @@ class CourseWorld:
                     for h in (0.5, 1.5, 2.5, 3.5, 4.5):
                         centers.append([c[0], c[1], h])
                         radii.append(r)
+            # Ground clutter (rocks/shrubs) in every segment: without it
+            # the near field is a featureless plane whose grazing-incidence
+            # ground cells don't repeat between passes, so a CORRECT
+            # revisit pose scores 0.28-0.53 at the reference's 0.45 BnB
+            # gate (measured via tools/loop_debug.py) — unrepresentative of
+            # the real LiDAR scenes the gate was tuned on. Clutter gives
+            # the <=15 m high-res matching cloud repeatable structure.
+            for _ in range(srng.integers(8, 14)):
+                side = 1.0 if srng.random() < 0.5 else -1.0
+                dist = srng.uniform(2.0, 14.0)
+                along = srng.uniform(-seg / 2, seg / 2)
+                c = xy + side * dist * n_world + along * t_world
+                r = srng.uniform(0.2, 0.5)
+                centers.append([c[0], c[1], 0.8 * r])
+                radii.append(r)
         self.centers = np.asarray(centers, np.float64)
         self.radii = np.asarray(radii, np.float64)
         self.ground_z = 0.0
@@ -419,34 +434,9 @@ def evaluate_constraints(builder, gt, recall_radius=7.0, min_sep=60.0):
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--laps", type=float, default=2.0)
-    ap.add_argument("--dataset", default=None,
-                    help="reuse an existing generated .npz")
-    ap.add_argument("--keep-dataset", default=None,
-                    help="write the generated .npz here (default: temp)")
-    ap.add_argument("--seed", type=int, default=11)
-    args = ap.parse_args()
-
-    from dliom_tpu.runner import offline
-
-    if args.dataset:
-        path = args.dataset
-        z = np.load(path)
-        gt = (z["gt/times"], z["gt/rotations"], z["gt/positions"])
-    else:
-        path = args.keep_dataset or os.path.join(
-            tempfile.gettempdir(), f"long_course_{args.laps}_{args.seed}.npz"
-        )
-        gt = generate(path, args.laps, args.seed)
-        print(json.dumps({
-            "phase": "generated", "dataset": path,
-            "num_scans": int(len(gt[0])),
-            "course_length_m": round(args.laps * _perimeter(), 1),
-        }), flush=True)
-
-    overrides = {
+def course_overrides() -> dict:
+    """The course's engine configuration (shared with tools/loop_debug.py)."""
+    return {
         # 2 background workers (not the reference's 8): the chip runs one
         # program at a time — worker count is queue-ahead depth, and 2
         # measured fastest on the e2e bench (see bench.py).
@@ -473,7 +463,15 @@ def main():
                 "low_resolution": 0.8,
                 "num_range_data": 40,
                 "high_resolution_extent": 256,
-                "low_resolution_extent": 96,
+                # Crop-coverage rule: extent * resolution must cover the
+                # matched cloud's max_range from anywhere in the submap.
+                # The low adaptive filter reaches 60 m (reference
+                # MAX_3D_RANGE) and a node sits up to ~16 m from the
+                # submap origin -> ±76.8 m at 192 cells. At 96 cells only
+                # ~70% of a correct revisit's low cloud fell inside the
+                # crop, diluting the 0.55 low-resolution gate below
+                # passing (measured via tools/loop_debug.py).
+                "low_resolution_extent": 192,
             },
             "max_filtered_points": 8192,
             # 512: the adaptive filters target the reference's 150/200
@@ -498,6 +496,49 @@ def main():
             },
         },
     }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--laps", type=float, default=2.0)
+    ap.add_argument("--dataset", default=None,
+                    help="reuse an existing generated .npz")
+    ap.add_argument("--keep-dataset", default=None,
+                    help="write the generated .npz here (default: temp)")
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--extra-overrides", default=None,
+                    help="JSON config dict deep-merged over the course "
+                         "defaults (A/B experiments, e.g. "
+                         "'{\"pose_graph\": {\"constraint_builder\": "
+                         "{\"coarse_scoring_stride\": 1}}}')")
+    args = ap.parse_args()
+
+    from dliom_tpu.runner import offline
+
+    if args.dataset:
+        path = args.dataset
+        z = np.load(path)
+        gt = (z["gt/times"], z["gt/rotations"], z["gt/positions"])
+    else:
+        path = args.keep_dataset or os.path.join(
+            tempfile.gettempdir(), f"long_course_{args.laps}_{args.seed}.npz"
+        )
+        gt = generate(path, args.laps, args.seed)
+        print(json.dumps({
+            "phase": "generated", "dataset": path,
+            "num_scans": int(len(gt[0])),
+            "course_length_m": round(args.laps * _perimeter(), 1),
+        }), flush=True)
+
+    overrides = course_overrides()
+    if args.extra_overrides:
+        def deep_merge(base, extra):
+            for k, v in extra.items():
+                if isinstance(v, dict) and isinstance(base.get(k), dict):
+                    deep_merge(base[k], v)
+                else:
+                    base[k] = v
+        deep_merge(overrides, json.loads(args.extra_overrides))
     run_args = argparse.Namespace(
         dataset=path, preset="basic",
         config_overrides=json.dumps(overrides),
