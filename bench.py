@@ -139,10 +139,14 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
     radius, speed, scan_period = 5.0, 1.5, 0.1
     submaps = (
         {
-            # dual-brick flagship grids (see build_config) with the
-            # backend capture crop at 256 cells (25.6 m — covers the
-            # 5 m-radius course with full margin); loop search decompresses
-            # at this extent
+            # dual-brick flagship grids (see build_config). Backend capture
+            # crops obey the crop-coverage rule (PARITY long-course
+            # finding): extent x resolution must cover the matched cloud's
+            # max_range + the node's offset in the submap — high 448 cells
+            # = ±22.4 m vs the 15 m high-cloud range, low 288 = ±64.8 m vs
+            # the 60 m low-cloud range (an undersized crop silently
+            # dilutes loop-search scores below min_score: a 256/64 crop
+            # closed ZERO loops on this course).
             "high_resolution": 0.1,
             "high_resolution_max_range": 60.0,
             "low_resolution": 0.45,
@@ -152,8 +156,8 @@ def bench_e2e(flagship: bool = False, prefix: str = "e2e"):
             "brick_max_bricks": 65536,
             "brick_apply_groups": 512,
             "dense_apply_groups": 256,
-            "high_resolution_extent": 256,
-            "low_resolution_extent": 64,
+            "high_resolution_extent": 448,
+            "low_resolution_extent": 288,
             "use_brick_grid_low": True,
             "low_brick_dir_extent": 40,
             "low_brick_max_bricks": 8192,

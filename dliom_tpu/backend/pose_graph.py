@@ -205,6 +205,10 @@ class PoseGraph:
     def _decompressed_grids(self, to_id: int):
         """(g_hi, g_lo, pyramid) for a finished submap, LRU-cached on
         device (PrecomputationGridStack3D reuse semantics)."""
+        if "decompress" not in self._jit_cache:
+            # standalone consumers (submap_query texture rendering) reach
+            # here before any constraint search has built the jit cache
+            self._matcher_fns()
         with self._phase_lock:
             hit = self._grid_cache.get(to_id)
             if hit is not None:
