@@ -54,6 +54,10 @@ def _arr_pose(a: np.ndarray) -> Rigid3:
 
 def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -> None:
     """SerializeState (map_builder.cc:205)."""
+    np.savez_compressed(path, **_state_arrays(pose_graph, config_preset))
+
+
+def _state_arrays(pose_graph: PoseGraph, config_preset: str = "basic") -> dict:
     data = {"schema": np.int32(SCHEMA_VERSION)}
     meta = {
         "num_submaps": len(pose_graph.submaps),
@@ -113,7 +117,110 @@ def save_state(path: str, pose_graph: PoseGraph, config_preset: str = "basic") -
     data["constraints/tw"] = np.asarray([x.translation_weight for x in c], np.float32)
     data["constraints/rw"] = np.asarray([x.rotation_weight for x in c], np.float32)
     data["constraints/inter"] = np.asarray([x.tag == "INTER" for x in c], bool)
+    return data
+
+
+def save_live_checkpoint(path: str, builder, config_preset: str = "basic") -> None:
+    """Mid-run checkpoint of a RUNNING MapBuilder: the map state
+    (save_state's pose-graph arrays) PLUS every initialized trajectory's
+    full device state — LIO window, biases, active submap grid banks —
+    and the host-side sensor bookkeeping, so a restored builder continues
+    ingesting mid-submap with bit-identical results.
+
+    This goes beyond the reference, whose pbstream serializes only the
+    finished map (a live run cannot resume: ISAM2/GTSAM state and active
+    HybridGrids are never written) — the SURVEY §5 'orbax-style checkpoint
+    of device state' bullet. The device pytree is snapshotted leaf-wise in
+    `jax.tree` flattening order against the config-derived template, with
+    leaf count and shapes validated on restore."""
+    import jax
+
+    builder.flush()
+    builder.pose_graph.wait_for_all_computations()
+    data = _state_arrays(builder.pose_graph, config_preset)
+    live_meta = {}
+    for tid, t in builder._trajectories.items():
+        live_meta[str(tid)] = {
+            "initialized": bool(t._initialized),
+            "last_imu_time": t._last_imu_time,
+            "time_origin": t._time_origin,
+            "pg_submap_ids": list(t._pg_submap_ids),
+            "prev_node": list(t._prev_node) if t._prev_node else None,
+            "last_queue_time": dict(t._last_queue_time),
+            "finished": bool(t.finished),
+        }
+        if t._imu_times:
+            data[f"live/t{tid}/imu_times"] = np.asarray(t._imu_times)
+            data[f"live/t{tid}/imu_acc"] = np.stack(t._imu_acc)
+            data[f"live/t{tid}/imu_gyr"] = np.stack(t._imu_gyr)
+        if t._initialized:
+            leaves = jax.device_get(jax.tree.leaves(t._lio))
+            live_meta[str(tid)]["num_leaves"] = len(leaves)
+            for i, leaf in enumerate(leaves):
+                data[f"live/t{tid}/leaf/{i}"] = np.asarray(leaf)
+    data["live_meta"] = np.frombuffer(
+        json.dumps(live_meta).encode(), dtype=np.uint8
+    )
     np.savez_compressed(path, **data)
+
+
+def restore_live_trajectories(builder, path: str, tid_map: dict) -> None:
+    """Restore the live per-trajectory state saved by save_live_checkpoint
+    into `builder`, whose pose graph must already hold the checkpoint's
+    map state loaded into an EMPTY graph (ids offset by 0); `tid_map`
+    translates saved trajectory ids to the graph's registered ones."""
+    import jax
+
+    from dliom_tpu.frontend.lio import make_lio_state
+    from dliom_tpu.imu import preintegration as pre
+    from dliom_tpu.map_builder import _TrajectoryBuilder
+
+    z = np.load(path, allow_pickle=False)
+    live_meta = json.loads(bytes(z["live_meta"]).decode())
+    cfg = builder.config.trajectory_builder
+    for tid_s, m in live_meta.items():
+        orig = int(tid_s)  # key in the checkpoint arrays
+        tid = tid_map.get(orig, orig)  # id in the restored pose graph
+        if tid not in builder._trajectories:
+            builder._trajectories[tid] = _TrajectoryBuilder(
+                builder, tid, builder._default_sensor_ids,
+                builder._use_native_collator,
+            )
+        t = builder._trajectories[tid]
+        t._last_imu_time = m["last_imu_time"]
+        t._time_origin = m["time_origin"]
+        t._pg_submap_ids = list(m["pg_submap_ids"])
+        t._prev_node = tuple(m["prev_node"]) if m["prev_node"] else None
+        t._last_queue_time = dict(m["last_queue_time"])
+        t.finished = bool(m["finished"])
+        if f"live/t{orig}/imu_times" in z:
+            t._imu_times = [float(x) for x in z[f"live/t{orig}/imu_times"]]
+            t._imu_acc = list(z[f"live/t{orig}/imu_acc"])
+            t._imu_gyr = list(z[f"live/t{orig}/imu_gyr"])
+        if not m["initialized"]:
+            continue
+        template = make_lio_state(
+            cfg, pre.NavState.identity(), jnp.zeros(3), jnp.zeros(3)
+        )
+        t_leaves, treedef = jax.tree.flatten(template)
+        n = int(m["num_leaves"])
+        if n != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {n} device-state leaves but the config "
+                f"template has {len(t_leaves)} — restore with the SAME "
+                "trajectory_builder configuration it was saved under"
+            )
+        loaded = []
+        for i, tmpl in enumerate(t_leaves):
+            leaf = z[f"live/t{orig}/leaf/{i}"]
+            if tuple(leaf.shape) != tuple(np.shape(tmpl)):
+                raise ValueError(
+                    f"device-state leaf {i} shape {leaf.shape} != template "
+                    f"{np.shape(tmpl)} — config mismatch"
+                )
+            loaded.append(jnp.asarray(leaf))
+        t._lio = jax.tree.unflatten(treedef, loaded)
+        t._initialized = True
 
 
 def load_state(

@@ -705,6 +705,7 @@ class MapBuilder:
         use_native_collator: bool = False,
         mesh=None,
         pipeline_depth: int = 0,
+        create_default_trajectory: bool = True,
     ):
         """`range_sensor_ids`: one entry per LiDAR (the first is the primary
         the others merge into, RangeDataSynchronizer). With
@@ -751,8 +752,11 @@ class MapBuilder:
         self._trajectories: Dict[int, _TrajectoryBuilder] = {}
         self._pure_localization = False
         self._rate_timers: dict = {}
-        # trajectory 0 exists from the start (single-trajectory back-compat)
-        self.add_trajectory_builder(self._default_sensor_ids)
+        if create_default_trajectory:
+            # trajectory 0 exists from the start (single-trajectory
+            # back-compat); checkpoint restore re-creates trajectories
+            # with their saved ids instead (map_builder_from_checkpoint)
+            self.add_trajectory_builder(self._default_sensor_ids)
 
     # ----- trajectory lifecycle (AddTrajectoryBuilder, map_builder.cc:98) --
 
@@ -875,7 +879,19 @@ class MapBuilder:
 
     @property
     def initialized(self) -> bool:
-        return self._trajectories[0].initialized
+        return 0 in self._trajectories and self._trajectories[0].initialized
+
+    # ----- live checkpoint (SURVEY §5: orbax-style device-state snapshot;
+    # beyond the reference, whose pbstream cannot resume a live run) -----
+
+    def save_checkpoint(self, path: str, config_preset: str = "basic"):
+        """Snapshot the FULL running state — map + every trajectory's
+        device state (LIO window, biases, active submap grid banks) and
+        sensor bookkeeping. `map_builder_from_checkpoint` resumes
+        mid-submap with identical subsequent behavior."""
+        from dliom_tpu.io.serialization import save_live_checkpoint
+
+        save_live_checkpoint(path, self, config_preset)
 
     @property
     def num_trajectory_builders(self) -> int:
@@ -910,4 +926,28 @@ def map_builder_from_state(
             builder.pose_graph, path, config, frozen=pure_localization
         )
     builder._pure_localization = pure_localization
+    return builder
+
+
+def map_builder_from_checkpoint(
+    path: str, config: EngineConfig, **kwargs
+) -> "MapBuilder":
+    """Resume a RUNNING map from a `MapBuilder.save_checkpoint` snapshot:
+    the pose graph restores with its original ids, and every trajectory's
+    device state (LIO window, biases, active submap grid banks) and host
+    sensor bookkeeping come back exactly — ingestion continues mid-submap
+    with identical subsequent behavior. The configuration must match the
+    one the checkpoint was saved under (leaf shapes are validated).
+
+    Beyond the reference: pbstream serializes only the finished map
+    (GTSAM/ISAM2 state and active HybridGrids are never written), so a
+    reference run cannot resume live (SURVEY §5)."""
+    from dliom_tpu.io.serialization import (
+        load_state_into,
+        restore_live_trajectories,
+    )
+
+    builder = MapBuilder(config, create_default_trajectory=False, **kwargs)
+    tid_map = load_state_into(builder.pose_graph, path, config)
+    restore_live_trajectories(builder, path, tid_map)
     return builder

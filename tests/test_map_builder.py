@@ -464,3 +464,68 @@ def test_out_of_order_samples_rejected_on_default_path():
         builder.add_range_data(0.3, pts)
     assert sum("out-of-order" in str(x.message) for x in w) == 0
     assert traj.num_out_of_order_dropped == 3
+
+
+def test_live_checkpoint_resume_mid_submap():
+    """save_checkpoint / map_builder_from_checkpoint (SURVEY §5's live
+    device-state snapshot): checkpoint a RUNNING builder mid-submap,
+    restore into a fresh builder, feed both the identical remaining
+    sequence — trajectories, node counts, and submap bookkeeping must
+    match exactly (same device programs on identical state)."""
+    from dliom_tpu.map_builder import map_builder_from_checkpoint
+
+    cfg = _config(num_range_data=4)
+    world = SyntheticWorld.create(num_beams=8, num_azimuths=200)
+
+    def drive(builder, t, scan_idx, n_scans):
+        """Feed n_scans moving scans; returns (t, scan_idx)."""
+        k = 0
+        while k < n_scans and k < n_scans + 10:
+            t = _feed_static_imu(builder, t, n=30)
+            pose = (
+                Rigid3.identity()
+                if not builder.initialized
+                else Rigid3.translation_only(
+                    jnp.asarray([0.12 * scan_idx, 0.0, 0.0], jnp.float32)
+                )
+            )
+            pts, ptimes = world.cast_scan(pose)
+            builder.add_range_data(t, pts, ptimes)
+            if builder.initialized:
+                scan_idx += 1
+                k += 1
+        return t, scan_idx
+
+    a = MapBuilder(cfg)
+    # init + 6 scans: mid-way through the second 4-scan submap
+    t, scan_idx = drive(a, 0.0, 0, 6)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "live.npz")
+        a.save_checkpoint(path)
+        b = map_builder_from_checkpoint(path, cfg)
+        assert b.initialized
+        assert len(b.pose_graph.nodes) == len(a.pose_graph.nodes)
+        assert len(b.pose_graph.submaps) == len(a.pose_graph.submaps)
+
+        # continue BOTH with the identical remaining sequence
+        ta, sa = drive(a, t, scan_idx, 5)
+        tb, sb = drive(b, t, scan_idx, 5)
+        assert (ta, sa) == (tb, sb)
+        pa = a.pose_graph
+        pb = b.pose_graph
+        assert len(pa.nodes) == len(pb.nodes)
+        assert len(pa.submaps) == len(pb.submaps)
+        assert len(pa.constraints) == len(pb.constraints)
+        for na, nb in zip(pa.nodes, pb.nodes):
+            np.testing.assert_allclose(
+                np.asarray(na.local_pose.translation),
+                np.asarray(nb.local_pose.translation), atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(na.local_pose.rotation),
+                np.asarray(nb.local_pose.rotation), atol=1e-5,
+            )
+        # the resumed run's frontend state advanced identically
+        va = np.asarray(jax.device_get(a._trajectories[0]._lio.nav.velocity))
+        vb = np.asarray(jax.device_get(b._trajectories[0]._lio.nav.velocity))
+        np.testing.assert_allclose(va, vb, atol=1e-5)
