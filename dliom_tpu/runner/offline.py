@@ -117,6 +117,25 @@ def run(args, on_builder=None) -> dict:
     returning, so callers (e.g. tools/long_course.py) can derive extra
     metrics — constraint precision vs ground truth — from the final pose
     graph without re-running the replay."""
+    import os
+
+    import jax
+
+    # Persistent compile cache (like bench.py): without it every replay
+    # pays the full XLA compile of the frontend step, loop-search and SPA
+    # programs MID-RUN — a one-off 60+ s per-scan latency stall on the
+    # first submap finish / first optimization.
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "DLIOM_JAX_CACHE",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "dliom_tpu_jax"
+                ),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     return _run(args, on_builder)
 
 
