@@ -48,7 +48,6 @@ def main():
     sys.argv = ["long_course"]
     import tools.long_course as lc
     from dliom_tpu.runner import offline
-    from dliom_tpu.backend import fast_correlative as fc
     from dliom_tpu.backend.precomputation import probability_from_byte, lookup
     from dliom_tpu.mapping.grid import cell_index, interpolated_probability
     from dliom_tpu.transform.rigid import Rigid3
@@ -56,15 +55,7 @@ def main():
     z = np.load(args.dataset)
     gt = (z["gt/times"], z["gt/rotations"], z["gt/positions"])
 
-    # mirror long_course.main()'s run
-    overrides = None
-    import copy
-    lc_args = argparse.Namespace(
-        laps=2.0, dataset=args.dataset, keep_dataset=None, seed=11,
-        extra_overrides=None,
-    )
-    # reuse the module's override table by calling into main()'s pieces is
-    # awkward; replicate via its source constants instead:
+    # the exact engine configuration the course runs under
     overrides = lc.course_overrides()
     run_args = argparse.Namespace(
         dataset=args.dataset, preset="basic",
@@ -133,7 +124,6 @@ def main():
     rng.shuffle(missed)
     pg._matcher_fns()
     hi, lo = pg._hi_spec, pg._lo_spec
-    fc_cfg = pg.cfg.constraint_builder.fast_correlative_scan_matcher
     for sid, nid, (qs, ps), (qn, pn) in missed[: args.pairs]:
         q_rel, p_rel = lc._np_rigid_inv_compose(qs, ps, qn, pn)
         gt_rel = Rigid3(
